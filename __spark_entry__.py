@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries are registered per module in ``rds_pgbadger_etl_spark.plans.*``
+as ``QUERIES: dict[name, (spark_fn, oracle_sql | None)]`` and merged
+here. ``oracle_sql`` is None for non-SQL-expressible ops (driver then
+records a rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +17,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    from rds_pgbadger_etl_spark.plans import relational
+
+    merged: dict[str, tuple[Callable, str | None]] = {}
+    for mod in (relational,):
+        for name, entry_pair in mod.QUERIES.items():
+            if name in merged:
+                raise ValueError(f"duplicate query name {name}")
+            merged[name] = entry_pair
+    return merged
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001."""
+    from rds_pgbadger_etl_spark.plans.relational import q01_pricing_summary
+
+    return q01_pricing_summary(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each oracle-expressible query."""
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql is not None}

@@ -1,0 +1,489 @@
+"""Core relational operator surface, as named queries with DuckDB oracles.
+
+Covers SURVEY.md §2 operators O3 (distinct/union), O5 (filter), O6/O7
+(top-K), O16 (order-insensitive hash), and the pgBadger-analytic shapes
+P5 (group/multi-agg/top-N), P6 (time buckets), P7 (percentiles), P9
+(cube/grouping sets), P10 (lead/lag + sessionization) — expressed over the
+TPC-H-ish testdata so the driver's DuckDB oracle can verify them.
+
+Every double aggregate goes through ``exact_sum``/``exact_avg``
+(functions/agg.py) so results are bit-deterministic across engines and
+partition orders. Every computed column is aliased identically on both
+sides (driver contract).
+
+Scale notes (100 TB):
+- group-by/agg queries shuffle once on their grouping keys; partial
+  (map-side) aggregation is automatic for all the aggs used here.
+- top-K = orderBy+limit compiles to TakeOrderedAndProject — no global sort.
+- star joins broadcast the small dimensions explicitly; the fact-fact
+  joins (orders⋈lineitem) are shuffle joins on the join key, which AQE
+  re-plans/skew-splits at runtime.
+- window/sessionization queries shuffle once on the partition key
+  (user_id / o_custkey) and sort within partitions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.functions.agg import (
+    exact_avg,
+    exact_sum,
+    oracle_exact_avg,
+    oracle_exact_sum,
+)
+from rds_pgbadger_etl_spark.functions.scalar import order_insensitive_hash
+from rds_pgbadger_etl_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# P5 flagship: scan → filter → hash-agg (8 aggregates) → sort. TPC-H Q1 shape
+# — the spine of every pgBadger report section (SURVEY.md §7).
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum(disc_price, "sum_disc_price"),
+            exact_sum(charge, "sum_charge"),
+            exact_avg("l_quantity", "avg_qty"),
+            exact_avg("l_extendedprice", "avg_price"),
+            exact_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {oracle_exact_sum('l_quantity')} AS sum_qty,
+       {oracle_exact_sum('l_extendedprice')} AS sum_base_price,
+       {oracle_exact_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {oracle_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {oracle_exact_avg('l_quantity')} AS avg_qty,
+       {oracle_exact_avg('l_extendedprice')} AS avg_price,
+       {oracle_exact_avg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# O5: filter + projection with a computed column. Both the predicate and the
+# two-column read should reach the parquet scan (PushedFilters/ReadSchema).
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+_Q02_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05
+"""
+
+
+# --------------------------------------------------------------------------
+# O3: distinct (dedup of a projected key set).
+def q03_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.select("c_mktsegment", "c_nationkey").distinct()
+
+
+_Q03_SQL = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+# --------------------------------------------------------------------------
+# O3/O4: union of two filtered listings + dedup (the reference's day-chunk
+# loop-union with its visited-set, rds_pgbadger.py:95-110).
+def q04_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    a = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_nationkey")
+    b = cu.filter(F.col("c_acctbal") > 5000.0).select("c_custkey", "c_nationkey")
+    return a.union(b).distinct()
+
+
+_Q04_SQL = """
+SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000.0
+"""
+
+
+# --------------------------------------------------------------------------
+# O6/O7: sort desc by a derived key + limit — the reference's newest-K file
+# selection (rds_pgbadger.py:117-124). Catalyst: TakeOrderedAndProject.
+# Unique tiebreak (o_orderkey) keeps the selected set deterministic.
+def q05_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(10)
+    )
+
+
+_Q05_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem → revenue per
+# nation. Dimensions are broadcast (no shuffle); orders⋈lineitem is the one
+# real shuffle join, on the fact keys.
+def q06_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q06_SQL = f"""
+SELECT r_name, n_name,
+       {oracle_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# P5: top-N groups by an aggregate (pgBadger's "top queries by total
+# duration" shape). Deterministic because revenue is bit-exact.
+def q07_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_brand"))
+        .limit(5)
+    )
+
+
+_Q07_SQL = f"""
+SELECT p_brand,
+       {oracle_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# P9: cube / grouping sets — pgBadger's per-user/per-db/per-host breakdowns
+# in one pass (rds_pgbadger.py:56-57 prefix fields).
+def q08_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+_Q08_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {oracle_exact_sum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# P7: exact percentiles per group (continuous interpolation — matches
+# DuckDB quantile_cont). At 100 TB switch to percentile_approx; exact is
+# used here so the oracle can verify interpolation semantics.
+def q09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.9).alias("p90"),
+            F.percentile("l_extendedprice", 0.99).alias("p99"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_Q09_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# P10: lead/lag window — inter-order gap per customer (pgBadger's
+# connect/disconnect pairing shape). One shuffle on o_custkey.
+def q10_window_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap_us = F.unix_micros("o_orderdate") - F.unix_micros(F.lag("o_orderdate").over(w))
+    return (
+        od.withColumn("gap_us", gap_us)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (
+                F.sum("gap_us").cast("double")
+                / F.lit(86400000000.0)
+                / F.count("gap_us").cast("double")
+            ).alias("avg_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
+
+
+_Q10_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate)
+           - epoch_us(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey)) AS gap_us
+  FROM orders
+)
+SELECT o_custkey,
+       count(gap_us) AS n_gaps,
+       cast(cast(sum(gap_us) AS bigint) AS double) / 86400000000.0
+         / cast(count(gap_us) AS double) AS avg_gap_days
+FROM seq GROUP BY o_custkey HAVING count(gap_us) > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# P10 sessionization: gap>30min starts a new session (batch twin of
+# session_window; the reference's session-duration report).
+def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("dur_us"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        (
+            F.sum("dur_us").cast("double") / F.lit(1_000_000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_session_secs"),
+    )
+
+
+_Q11_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       cast(max(n_events) AS bigint) AS max_session_events,
+       cast(cast(sum(dur_us) AS bigint) AS double) / 1000000.0
+         / cast(count(*) AS double) AS avg_session_secs
+FROM sess GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# P6: time-bucketed histogram (events per hour — pgBadger's queries/sec and
+# hourly-duration charts). date_trunc keeps the bucket computation JVM-side.
+def q12_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            exact_sum("value", "sum_value"),
+        )
+    )
+
+
+_Q12_SQL = f"""
+SELECT date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events,
+       cast(count(DISTINCT user_id) AS bigint) AS n_users,
+       {oracle_exact_sum('value')} AS sum_value
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
+# --------------------------------------------------------------------------
+# O16: order-insensitive group fingerprint (reference utils.py:7-11) as a
+# real query — per-nation hash of the customer-name set.
+def q13_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.groupBy("c_nationkey").agg(
+        order_insensitive_hash("c_name").alias("names_hash"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q13_SQL = """
+SELECT c_nationkey,
+       md5(string_agg(c_name, '' ORDER BY c_name)) AS names_hash,
+       count(*) AS n
+FROM customer GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Anti join (NOT EXISTS): customers with no *urgent* orders. left_anti
+# avoids materializing the join — at scale this is a shuffle on the key
+# with early termination per match. (Filtered to a subset so the result
+# is non-empty on the synthetic corpus.)
+def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_Q14_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi join (EXISTS) + pushdown filter: customers that placed a high-value
+# order.
+def q15_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+_Q15_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+"""
+
+
+# --------------------------------------------------------------------------
+# X5: JSON map column extraction on events.props (from_json / get_json_object).
+def q16_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_k"),
+        )
+    )
+
+
+_Q16_SQL = """
+SELECT event_type,
+       cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k,
+       count(cast(json_extract_string(props, '$.k') AS bigint)) AS n_k
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
+    "q02_filter_project": (q02_filter_project, _Q02_SQL),
+    "q03_distinct": (q03_distinct, _Q03_SQL),
+    "q04_union_distinct": (q04_union_distinct, _Q04_SQL),
+    "q05_topk_orders": (q05_topk_orders, _Q05_SQL),
+    "q06_star_join_revenue": (q06_star_join_revenue, _Q06_SQL),
+    "q07_group_topn": (q07_group_topn, _Q07_SQL),
+    "q08_cube": (q08_cube, _Q08_SQL),
+    "q09_percentiles": (q09_percentiles, _Q09_SQL),
+    "q10_window_gaps": (q10_window_gaps, _Q10_SQL),
+    "q11_sessionize": (q11_sessionize, _Q11_SQL),
+    "q12_time_buckets": (q12_time_buckets, _Q12_SQL),
+    "q13_group_hash": (q13_group_hash, _Q13_SQL),
+    "q14_anti_join": (q14_anti_join, _Q14_SQL),
+    "q15_semi_join": (q15_semi_join, _Q15_SQL),
+    "q16_json_props": (q16_json_props, _Q16_SQL),
+}
