@@ -1,0 +1,71 @@
+"""Query normalization and log-payload field extraction.
+
+The reference delegates these to pgBadger (invocation at
+rds_pgbadger.py:51-63, stderr format + prefix '%t:%r:%u@%d:[%p]:' at
+rds_pgbadger.py:56-59); here they are native Spark column expressions
+(SURVEY.md §2.2 P3/P4). Everything is built-ins (regexp_replace /
+regexp_extract) so the hot path stays inside whole-stage codegen.
+
+``normalize_query`` is literal-insensitive and idempotent (property-tested
+in tests/test_logparse.py): two statements differing only in constants
+collapse to one normalized form, which is what makes top-N-queries
+aggregation meaningful.
+
+Each regex step is mirrored verbatim in the DuckDB oracle
+(plans/log_oracle.py) — keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Step regexes (applied in order). Kept as data so the oracle SQL can be
+# generated from the same source of truth.
+NORMALIZE_STEPS: list[tuple[str, str]] = [
+    # quoted string literals (with '' escapes) -> ?
+    (r"'(?:[^']|'')*'", "?"),
+    # numeric literals -> ?  (after strings, so numbers inside strings are gone)
+    (r"\b\d+(?:\.\d+)?\b", "?"),
+    # IN (?, ?, ...) lists -> in (...)
+    (r"in\s*\(\s*\?\s*(?:,\s*\?\s*)*\)", "in (...)"),
+    # collapse whitespace
+    (r"\s+", " "),
+]
+
+DURATION_RE = r"duration: ([0-9.]+) ms"
+# (?s): a reassembled multi-line statement must match across newlines
+STATEMENT_RE = r"(?s)(?:statement|execute [^:]*): (.*)"
+
+
+def normalize_query(col: Column | str) -> Column:
+    """Collapse literals/whitespace/case so query variants group together."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lower(c)
+    for pattern, replacement in NORMALIZE_STEPS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return F.trim(out)
+
+
+def normalize_query_oracle_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_query` (same steps, same order)."""
+    out = f"lower({expr})"
+    for pattern, replacement in NORMALIZE_STEPS:
+        pat = pattern.replace("'", "''")
+        rep = replacement.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return f"trim({out})"
+
+
+def extract_duration_ms(col: Column | str) -> Column:
+    """``duration: 12.345 ms`` -> 12.345 (double), else null."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_extract(c, DURATION_RE, 1)
+    return F.when(x == "", None).otherwise(x.cast("double"))
+
+
+def extract_statement(col: Column | str) -> Column:
+    """The SQL text after ``statement:`` / ``execute <name>:``, else null."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_extract(c, STATEMENT_RE, 1)
+    return F.when(x == "", None).otherwise(x)

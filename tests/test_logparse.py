@@ -1,0 +1,119 @@
+"""Golden-fixture tests for the log-analytics layer (SURVEY P1–P11).
+
+Fixtures under tests/fixtures/logs/ follow the reference-pinned format
+(pgBadger --format stderr --prefix '%t:%r:%u@%d:[%p]:',
+/root/reference/rds_pgbadger.py:56-59).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.functions.normalize import normalize_query
+from rds_pgbadger_etl_spark.operators.logparse import parse_logs
+from rds_pgbadger_etl_spark.plans import reports
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "logs")
+
+
+def fixture(name: str) -> str:
+    return os.path.join(FIXTURES, name)
+
+
+def test_basic_parse(spark):
+    ev = parse_logs(spark, fixture("basic.log")).orderBy("line_no").collect()
+    assert len(ev) == 4
+    first = ev[0]
+    assert first.event_ts == datetime.datetime(2019, 4, 1, 10, 0, 1)
+    assert first.remote_host == "10.0.0.1"
+    assert first.remote_port == 50000
+    assert first.log_user == "app"
+    assert first.database == "proddb"
+    assert first.pid == 1001
+    assert first.level == "LOG"
+    assert first.duration_ms == pytest.approx(1.234)
+    assert "select * from users where id = ?" == first.normalized_query
+    assert ev[2].duration_ms == pytest.approx(250.75)
+
+
+def test_multiline_reassembly(spark):
+    ev = parse_logs(spark, fixture("multiline.log")).orderBy("line_no").collect()
+    assert len(ev) == 2
+    big = ev[0]
+    assert big.n_lines == 3
+    assert big.message.count("\n") == 2
+    assert "FROM orders" in big.message
+    # the reassembled statement normalizes as one query
+    assert big.normalized_query == "select * from orders where total > ?"
+    assert ev[1].n_lines == 1
+
+
+def test_errors_and_maintenance(spark):
+    ev = parse_logs(spark, fixture("errors.log"))
+    err = {
+        (r.level, r.n)
+        for r in reports.error_report(ev).select("level", "n").collect()
+    }
+    assert ("ERROR", 1) in err and ("FATAL", 1) in err and ("WARNING", 1) in err
+    # STATEMENT line carries the failing query
+    stmt = ev.filter(F.col("level") == "STATEMENT").collect()
+    assert len(stmt) == 1
+    assert stmt[0].normalized_query == "insert into users values (?, ?)"
+    maint = {r.kind: r for r in reports.maintenance_report(ev).collect()}
+    assert maint["checkpoint"].n == 2
+    assert maint["temp_file"].total_temp_bytes == 1048576
+    assert maint["autovacuum"].n == 1
+
+
+def test_sessions(spark):
+    ev = parse_logs(spark, fixture("sessions.log"))
+    rows = reports.session_stats(ev).orderBy("log_user").collect()
+    by_user = {r.log_user: r for r in rows}
+    assert by_user["app"].n_sessions == 1
+    assert by_user["app"].avg_session_secs == pytest.approx(600.0)
+    assert by_user["report"].avg_session_secs == pytest.approx(1800.0)
+
+
+def test_malformed_quarantined(spark):
+    ev = parse_logs(spark, fixture("malformed.log")).orderBy("line_no").collect()
+    assert ev[0].level == "MALFORMED"
+    assert ev[0].n_lines == 2  # the two leading garbage lines, one event
+    ok = [r for r in ev if r.level == "LOG"]
+    assert len(ok) == 1
+    # the trailing truncated-prefix line is NOT indented, so it is
+    # quarantined as its own MALFORMED event, not glued onto the statement
+    assert ok[0].n_lines == 1
+    assert ok[0].normalized_query == "select ? from t where a in (...)"
+    assert sum(1 for r in ev if r.level == "MALFORMED") == 2
+
+
+def test_normalize_properties(spark):
+    ev = parse_logs(spark, fixture("normalize_cases.log"))
+    agg = reports.top_queries(ev, n=10, by="calls").collect()
+    by_q = {r.normalized_query: r.calls for r in agg}
+    # literal-insensitive + case-insensitive: ids 1/2222/3 collapse
+    assert by_q["select name from users where id = ?"] == 3
+    # string literals collapse; IN lists collapse regardless of arity
+    assert by_q["select name from users where city = ?"] == 1
+    assert by_q["select name from users where city = ? and id in (...)"] == 2
+    # idempotence: normalize(normalize(x)) == normalize(x)
+    df = ev.filter(F.col("normalized_query").isNotNull()).select(
+        F.col("normalized_query").alias("q1"),
+        normalize_query("normalized_query").alias("q2"),
+    )
+    assert df.filter(F.col("q1") != F.col("q2")).count() == 0
+
+
+def test_report_sink_roundtrip(spark, tmp_path):
+    ev = parse_logs(spark, fixture("basic.log"))
+    from rds_pgbadger_etl_spark.sinks.report_sink import write_report
+
+    sections = reports.full_report(ev)
+    out = str(tmp_path / "report")
+    write_report(sections, out)
+    back = spark.read.parquet(f"{out}/top_queries")
+    assert back.count() > 0
