@@ -21,10 +21,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from rds_pgbadger_etl_spark.plans import log_oracle, relational
+    from rds_pgbadger_etl_spark.plans import llm_ops, log_oracle, relational
 
     merged: dict[str, tuple[Callable, str | None]] = {}
-    for mod in (relational, log_oracle):
+    for mod in (relational, log_oracle, llm_ops):
         for name, entry_pair in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name}")

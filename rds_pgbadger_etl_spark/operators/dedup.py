@@ -1,0 +1,157 @@
+"""Deduplication operators (SURVEY X1/X2): exact, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+All hashing goes through md5-based integer/string hashes
+(functions/scalar.hex_hash64) rather than Spark's xxhash64 so the DuckDB
+oracle can reproduce every stage bit-for-bit (plans/llm_ops.py).
+
+Scale design (100 TB):
+- Exact dedup is a hash-aggregate on the dedup key — one shuffle,
+  map-side combine. For multi-TB corpora dedup on ``md5(text)`` (16
+  bytes) rather than the full text to keep shuffle rows narrow.
+- MinHash: shingling explodes each doc into ~len(text) rows, but the
+  explode is map-side only — the single shuffle is the per-doc min
+  aggregation, whose output is 4 hex strings per doc. Band buckets then
+  join doc↔doc only within equal bands (the LSH trick: candidate pairs
+  ∝ true near-dups, not n²).
+- SimHash: one explode + one aggregate; 16 bit-sums per doc.
+- Pairwise Jaccard runs ONLY on LSH candidate pairs, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_SEEDS = ["mh1:", "mh2:", "mh3:", "mh4:"]
+SHINGLE_K = 16
+TEXT_CAP = 512  # shingle at most this many chars per doc (cost bound)
+SIMHASH_BITS = 16
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """X1: keep one row per distinct key (all columns when cols is None)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def char_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    cap: int = TEXT_CAP,
+) -> DataFrame:
+    """Explode each doc into its k-char shingles: (id, shingle)."""
+    capped = F.substring(F.col(text_col), 1, cap)
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(capped) - (k - 1), F.lit(1)))
+    ).alias("pos")
+    return df.select(F.col(id_col), capped.alias("_t"), pos).select(
+        id_col, F.col("_t").substr(F.col("pos"), F.lit(k)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", seeds: list[str] = MINHASH_SEEDS
+) -> DataFrame:
+    """Per-doc MinHash signature: one min-md5 per seed.
+
+    min over hex strings is an order-statistic of a uniform hash — the
+    classic MinHash estimator, kept in the string domain so both engines
+    agree (lexicographic min of hex == numeric min of the 128-bit hash).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"sig{i + 1}")
+        for i, seed in enumerate(seeds)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Two bands of two signatures each → (id, band) rows. Docs agreeing
+    on ANY band become candidate pairs."""
+    b1 = F.md5(F.concat("sig1", "sig2"))
+    b2 = F.md5(F.concat("sig3", "sig4"))
+    return signatures.select(
+        id_col, F.explode(F.array(b1, b2)).alias("band")
+    ).distinct()
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join on band → unordered candidate pairs (a < b)."""
+    left = bands.select(F.col(id_col).alias("a"), "band")
+    right = bands.select(F.col(id_col).alias("b"), "band")
+    return (
+        left.join(right, "band")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def pair_jaccard(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Jaccard similarity over distinct shingle sets for given pairs."""
+    s = shingles.distinct()
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(s.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(s.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X2 end-to-end: shingle → MinHash → LSH bands → candidates →
+    Jaccard verify → pairs above threshold."""
+    sh = char_shingles(df, id_col, text_col)
+    sigs = minhash_signatures(sh, id_col)
+    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col)
+    return pair_jaccard(cands, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, majority vote of token
+    hashes; near-dups share (or almost share) the fingerprint."""
+    from rds_pgbadger_etl_spark.functions.scalar import hex_hash64
+
+    words = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = hex_hash64(F.col("w"), seed="simhash:")
+    per_bit = [
+        F.sum(
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = words.groupBy(id_col).agg(*per_bit)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(id_col, fp.cast("bigint").alias("simhash"))

@@ -1,0 +1,412 @@
+"""LLM-data-pipeline queries (SURVEY X1–X5) with DuckDB oracles.
+
+Each query wraps the operators in ``operators/{dedup,text,similarity,
+multimodal}.py`` over the ``documents``/``embeddings`` tables. Oracle SQL
+is *generated from the same constants* (seeds, shingle size, hyperplane
+signs, marker lists) so engine and oracle can only drift if semantics
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.operators import dedup as D
+from rds_pgbadger_etl_spark.operators import multimodal as M
+from rds_pgbadger_etl_spark.operators import similarity as S
+from rds_pgbadger_etl_spark.operators import text as X
+from rds_pgbadger_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup — per-lang distinct-content counts.
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT lang, count(*) AS n_docs,
+       cast(count(DISTINCT md5(text)) AS bigint) AS n_unique
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# X2: MinHash signatures (shared SQL fragments generated from constants).
+
+_SH_SQL = f"""
+  SELECT doc_id, substr(substr(text, 1, {D.TEXT_CAP}), i, {D.SHINGLE_K}) AS shingle
+  FROM documents,
+       unnest(generate_series(
+         1, greatest(length(substr(text, 1, {D.TEXT_CAP})) - {D.SHINGLE_K - 1}, 1)
+       )) AS t(i)
+"""
+
+_SIG_COLS_SQL = ",\n       ".join(
+    f"min(md5('{seed}' || shingle)) AS sig{i + 1}"
+    for i, seed in enumerate(D.MINHASH_SEEDS)
+)
+
+
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(D.char_shingles(docs))
+
+
+_DEDUP_MINHASH_SIGS_SQL = f"""
+WITH sh AS ({_SH_SQL})
+SELECT doc_id, {_SIG_COLS_SQL}
+FROM sh GROUP BY doc_id
+"""
+
+
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.near_dup_pairs(docs, threshold=0.5)
+
+
+_DEDUP_NEAR_PAIRS_SQL = f"""
+WITH sh0 AS ({_SH_SQL}),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh0 GROUP BY doc_id),
+bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id, unnest([md5(sig1 || sig2), md5(sig3 || sig4)]) AS band FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.a
+  JOIN s sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a
+JOIN sizes nb ON nb.doc_id = i.b
+WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# X2: SimHash fingerprints.
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+_H_SQL = "cast('0x' || substr(md5('simhash:' || w), 1, 15) AS bigint)"
+_SIMHASH_SUMS = ",\n       ".join(
+    f"sum((({_H_SQL} >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(D.SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(D.SIMHASH_BITS)
+)
+
+_DEDUP_SIMHASH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM words GROUP BY doc_id)
+SELECT doc_id, cast({_SIMHASH_FP} AS bigint) AS simhash FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# X4: text stats / quality / language-ID / token counting / fingerprints.
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", X.n_tokens("text"))
+        .withColumn("punct", X.punct_count("text"))
+        .withColumn("quality", X.quality_score("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("sum_tokens"),
+            F.sum("punct").alias("sum_punct"),
+            (
+                F.sum(F.col("quality").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_quality"),
+        )
+    )
+
+
+_TOKS_SQL = "(length(text) - length(replace(text, ' ', '')) + 1)"
+_PUNCT_SQL = r"(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))"
+
+
+def _occ_sql(hay: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return (
+        f"cast((length({hay}) - length(replace({hay}, '{n}', ''))) / {len(needle)}"
+        " AS bigint)"
+    )
+
+
+_QUALITY_SQL = f"""(
+  (CASE WHEN {_TOKS_SQL} BETWEEN 20 AND 1000 THEN cast(0.4 AS double) ELSE cast(0 AS double) END)
+  + (CASE WHEN cast({_occ_sql('text', ' the ')} + {_occ_sql('text', ' a ')} + {_occ_sql('text', ' of ')} AS double)
+          / cast({_TOKS_SQL} AS double) > 0.01
+     THEN cast(0.3 AS double) ELSE cast(0 AS double) END)
+  + (CASE WHEN cast({_PUNCT_SQL} AS double) / cast(length(text) AS double) < 0.1
+     THEN cast(0.3 AS double) ELSE cast(0 AS double) END)
+)"""
+
+_TEXT_STATS_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       cast(sum({_TOKS_SQL}) AS bigint) AS sum_tokens,
+       cast(sum({_PUNCT_SQL}) AS bigint) AS sum_punct,
+       cast(sum(cast({_QUALITY_SQL} AS decimal(20,6))) AS double)
+         / cast(count(*) AS double) AS avg_quality
+FROM documents GROUP BY lang
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted", X.lang_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    return {
+        lang: " + ".join(_occ_sql("padded", m) for m in markers)
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+
+
+def _lang_case_sql() -> str:
+    scores = _lang_scores_sql()
+    langs = sorted(X.LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [
+            f"({scores[lang]}) >= ({scores[other]})" for other in langs[i + 1:]
+        ]
+        if conds:
+            whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+        else:
+            whens.append(f"ELSE '{lang}'")
+    maxscore = f"greatest({', '.join(f'({scores[lang]})' for lang in langs)})"
+    case = " ".join(whens[:-1]) + " " + whens[-1]
+    return f"CASE WHEN {maxscore} = 0 THEN 'und' ELSE (CASE {case} END) END"
+
+
+_TEXT_LANG_ID_SQL = f"""
+WITH padded_docs AS (SELECT lang, ' ' || text || ' ' AS padded FROM documents)
+SELECT lang, {_lang_case_sql()} AS predicted, count(*) AS n
+FROM padded_docs GROUP BY lang, predicted
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(X.n_tokens("text")).alias("sum_ws_tokens"),
+        F.sum(X.bpe_token_count("text")).alias("sum_bpe_tokens"),
+    )
+
+
+_TEXT_TOKEN_COUNT_SQL = f"""
+SELECT source,
+       cast(sum({_TOKS_SQL}) AS bigint) AS sum_ws_tokens,
+       cast(sum(length(regexp_extract_all(text, '{X.BPE_RE}'))) AS bigint)
+         AS sum_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.rolling_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n") > 1)
+    )
+
+
+_DOC_FINGERPRINT_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, min(md5(shingle)) AS fingerprint
+  FROM ({_SH_SQL}) GROUP BY doc_id
+)
+SELECT fingerprint, count(*) AS n, cast(min(doc_id) AS bigint) AS first_doc
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X3: similarity search.
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_TOPK = 5
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _QUERY_IDS, _TOPK)
+
+
+_ANN_BRUTE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+sims AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(q.q_emb, e.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(e.emb, e.emb))), 6) AS sim
+  FROM e, q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_TOPK}
+"""
+
+
+def _plane_sql(table: int, plane: int) -> str:
+    vals = ", ".join(str(S.plane_sign(table, plane, i)) for i in range(S.DIM))
+    return f"CAST([{vals}] AS double[])"
+
+
+def _bucket_sql(table: int, n_planes: int = S.N_PLANES) -> str:
+    return "(" + " || ".join(
+        f"(CASE WHEN round(list_dot_product(emb, {_plane_sql(table, j)}), 6) > 0"
+        " THEN '1' ELSE '0' END)"
+        for j in range(n_planes)
+    ) + ")"
+
+
+def _buckets_long_sql(n_planes: int = S.N_PLANES) -> str:
+    # one row per (vec, table): vec_id, emb, table_id, bucket
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, emb, {t} AS table_id, {_bucket_sql(t, n_planes)} AS bucket"
+        " FROM e"
+        for t in range(S.N_TABLES)
+    )
+
+
+_BUCKETS_LONG_SQL = _buckets_long_sql()
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, _QUERY_IDS, _TOPK)
+
+
+_ANN_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+b AS ({_BUCKETS_LONG_SQL}),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, table_id, bucket FROM b
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+cands AS (
+  SELECT DISTINCT q.q_id, b.vec_id
+  FROM b JOIN q ON b.table_id = q.table_id AND b.bucket = q.bucket
+             AND b.vec_id <> q.q_id
+),
+sims AS (
+  SELECT c.q_id, c.vec_id,
+         round(list_dot_product(eq.emb, ev.emb)
+               / (sqrt(list_dot_product(eq.emb, eq.emb))
+                  * sqrt(list_dot_product(ev.emb, ev.emb))), 6) AS sim
+  FROM cands c JOIN e eq ON eq.vec_id = c.q_id JOIN e ev ON ev.vec_id = c.vec_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_TOPK}
+"""
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(emb, threshold=0.3)
+
+
+_EMB_NEAR_DUPS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+b AS ({_buckets_long_sql(S.NEAR_DUP_PLANES)}),
+pairs AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM b l JOIN b r ON l.table_id = r.table_id AND l.bucket = r.bucket
+              AND l.vec_id < r.vec_id
+)
+SELECT p.a, p.b,
+       round(list_dot_product(ea.emb, eb.emb)
+             / (sqrt(list_dot_product(ea.emb, ea.emb))
+                * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS sim
+FROM pairs p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b
+WHERE round(list_dot_product(ea.emb, eb.emb)
+            / (sqrt(list_dot_product(ea.emb, ea.emb))
+               * sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# X5: multimodal plumbing (Pandas-UDF path, deterministic fake features).
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary(docs))
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id, 'image/fake' AS media_type,
+       cast(octet_length(encode(text)) AS bigint) AS byte_len,
+       cast(ascii(substr(text, 1, 1)) AS int) AS first_byte,
+       cast(octet_length(encode(text)) % 64 + 1 AS int) AS fake_width,
+       cast(octet_length(encode(text)) % 48 + 1 AS int) AS fake_height,
+       cast(octet_length(encode(text)) % 7 + 1 AS int) AS n_frames
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
+    "dedup_near_pairs": (dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL),
+    "dedup_simhash": (dedup_simhash, _DEDUP_SIMHASH_SQL),
+    "text_stats": (text_stats, _TEXT_STATS_SQL),
+    "text_lang_id": (text_lang_id, _TEXT_LANG_ID_SQL),
+    "text_token_count": (text_token_count, _TEXT_TOKEN_COUNT_SQL),
+    "doc_fingerprint": (doc_fingerprint, _DOC_FINGERPRINT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, _ANN_BRUTE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
+    "embedding_near_dups": (embedding_near_dups, _EMB_NEAR_DUPS_SQL),
+    "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
+}

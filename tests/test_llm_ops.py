@@ -1,0 +1,70 @@
+"""Differential + behavioral tests for the LLM-pipeline operators (X1–X5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.operators import dedup as D
+from rds_pgbadger_etl_spark.operators import multimodal as M
+from rds_pgbadger_etl_spark.operators import similarity as S
+from rds_pgbadger_etl_spark.plans.llm_ops import QUERIES
+from rds_pgbadger_etl_spark.sources.tables import load_table
+from tests.oracle import compare
+
+CASES = [(name, fn, sql) for name, (fn, sql) in QUERIES.items() if sql]
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
+def test_llm_oracle_match(spark, sf_oracle, name, fn, sql):
+    compare(fn(spark, sf_oracle), sql, sf_oracle)
+
+
+def test_exact_dedup_collapses(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    doubled = docs.union(docs)
+    assert D.exact_dedup(doubled).count() == docs.count()
+    assert D.exact_dedup(doubled, ["doc_id"]).count() == docs.count()
+
+
+def test_minhash_identical_texts_collide(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    clones = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = D.near_dup_pairs(docs.union(clones), threshold=0.99).collect()
+    # every doc must pair with its exact clone at jaccard 1.0
+    clone_pairs = {(r.a, r.b) for r in pairs if r.b == r.a + 1_000_000}
+    assert len(clone_pairs) == 20
+    assert all(r.jaccard == 1.0 for r in pairs if r.b == r.a + 1_000_000)
+
+
+def test_simhash_close_for_similar_docs(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(5)
+    tweaked = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra"))
+    )
+    fp = {r.doc_id: r.simhash for r in D.simhash(docs.union(tweaked)).collect()}
+    for base_id in [k for k in fp if k < 1_000_000]:
+        xor = fp[base_id] ^ fp[base_id + 1_000_000]
+        assert bin(xor).count("1") <= 4  # one appended token barely moves bits
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    brute = S.brute_force_topk(emb, qids, 5).collect()
+    approx = S.lsh_topk(emb, qids, 5).collect()
+    brute_top1 = {r.q_id: r.vec_id for r in brute if r.rank == 1}
+    approx_hits = {(r.q_id, r.vec_id) for r in approx}
+    # the nearest neighbor shares the bucket for most queries (recall@top1)
+    hits = sum(1 for q, v in brute_top1.items() if (q, v) in approx_hits)
+    assert hits >= 3
+
+
+def test_multimodal_decode_stub(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(3)
+    binary = M.attach_binary(docs)
+    with pytest.raises(NotImplementedError):
+        M.decode_media(binary)
+    feats = M.extract_features(binary).collect()
+    assert len(feats) == 3
+    assert all(r.byte_len > 0 and 1 <= r.n_frames <= 7 for r in feats)
