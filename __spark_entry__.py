@@ -21,10 +21,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from rds_pgbadger_etl_spark.plans import llm_ops, log_oracle, relational
+    from rds_pgbadger_etl_spark.plans import (
+        catalog_oracle,
+        llm_ops,
+        log_oracle,
+        relational,
+        streaming_oracle,
+    )
 
     merged: dict[str, tuple[Callable, str | None]] = {}
-    for mod in (relational, log_oracle, llm_ops):
+    for mod in (relational, log_oracle, llm_ops, catalog_oracle, streaming_oracle):
         for name, entry_pair in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name}")

@@ -1,0 +1,90 @@
+"""Oracle-checkable catalog-planning queries (SURVEY O2–O8, O17).
+
+File names are synthesized from the hours present in ``events`` (one
+catalog row per distinct hour, plus malformed names that must be
+quarantined), then pushed through the engine's real selection pipeline
+(sources/logcatalog.py). The DuckDB oracle performs the identical
+synthesis + selection.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.functions.scalar import extract_date_from_name
+from rds_pgbadger_etl_spark.sources.logcatalog import select_log_files
+from rds_pgbadger_etl_spark.sources.tables import load_table
+
+_REFERENCE = datetime(2024, 1, 15, 12, 0, 0)
+_MAX_RECORDS = 7
+
+
+def _synth_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    named = ev.select(
+        F.concat(
+            F.lit("error/postgresql.log."),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH"),
+        ).alias("file_name")
+    ).distinct()
+    junk = spark.createDataFrame(
+        [("error/postgresql.log.not-a-date",), ("random.txt",)], ["file_name"]
+    )
+    return named.union(junk)
+
+
+_SYNTH_CATALOG_SQL = """
+  SELECT DISTINCT 'error/postgresql.log.' || strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS file_name
+  FROM events
+  UNION ALL SELECT 'error/postgresql.log.not-a-date'
+  UNION ALL SELECT 'random.txt'
+"""
+
+
+def catalog_select_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2–O7: newest-K closed-hour selection over the synthesized catalog."""
+    return select_log_files(_synth_catalog(spark, sf_dir), _REFERENCE, _MAX_RECORDS)
+
+
+_CATALOG_SELECT_SQL = f"""
+WITH catalog AS ({_SYNTH_CATALOG_SQL}),
+parsed AS (
+  SELECT file_name,
+         try_strptime(nullif(regexp_extract(file_name, '(\\d{{4}}-\\d{{2}}-\\d{{2}}-\\d{{2}})$', 1), ''),
+                  '%Y-%m-%d-%H') AS file_ts
+  FROM catalog
+)
+SELECT file_name, file_ts FROM parsed
+WHERE file_ts IS NOT NULL AND file_ts < TIMESTAMP '{_REFERENCE:%Y-%m-%d %H:%M:%S}'
+ORDER BY file_ts DESC, file_name DESC LIMIT {_MAX_RECORDS}
+"""
+
+
+def catalog_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17 + O18: per-date file counts with the 'unknown' fallback for
+    undated names (reference utils.py:14-21 + the vestigial groupby)."""
+    cat = _synth_catalog(spark, sf_dir)
+    return (
+        cat.withColumn("log_date", extract_date_from_name("file_name"))
+        .groupBy("log_date")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+    )
+
+
+_CATALOG_DATES_SQL = f"""
+WITH catalog AS ({_SYNTH_CATALOG_SQL})
+SELECT CASE WHEN regexp_extract(file_name, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) = ''
+            THEN 'unknown'
+            ELSE regexp_extract(file_name, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) END AS log_date,
+       count(*) AS n_files
+FROM catalog GROUP BY log_date
+"""
+
+
+QUERIES = {
+    "catalog_select_files": (catalog_select_files, _CATALOG_SELECT_SQL),
+    "catalog_dates": (catalog_dates, _CATALOG_DATES_SQL),
+}

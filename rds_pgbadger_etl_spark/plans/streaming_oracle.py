@@ -1,0 +1,83 @@
+"""Oracle twin of the streaming aggregations (SURVEY P13/P6).
+
+``F.window(ts, '1 hour')`` in batch mode builds the exact plan shape the
+streaming query uses (same tumbling-window expression, no state store);
+epoch-aligned 1-hour tumbling windows coincide with ``date_trunc('hour')``
+so DuckDB can verify the bucketing. The watermark/append semantics are
+exercised in tests/test_streaming.py against the live streaming runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.functions.agg import exact_sum, oracle_exact_sum
+from rds_pgbadger_etl_spark.sources.tables import load_table
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STREAM_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS n_events,
+       {oracle_exact_sum('value')} AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30-min gap) in batch mode; oracle rebuilds the
+    same sessions with a lag/cumsum window (q11's technique) and derives
+    each session's [start, end] span."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
+    "stream_session_windows": (stream_session_windows, _STREAM_SESSION_SQL),
+}

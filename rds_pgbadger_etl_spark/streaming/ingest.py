@@ -1,0 +1,116 @@
+"""Structured-Streaming incrementality (SURVEY P13, replacing O15).
+
+The reference runs hourly from cron, processes the newest closed hours,
+and relies on Luigi target-existence for idempotent re-runs
+(rds_pgbadger.py:81, 25-26,44-45,70-71). The Spark-native equivalent:
+
+- a file-source ``readStream`` over the log/event directory,
+- ``trigger(availableNow=True)`` for the cron-shaped "drain what's new
+  then stop" run,
+- a 1-hour watermark: the reference's skip-the-open-hour filter (O5) is
+  exactly "don't emit a window until it can no longer receive data",
+- checkpointing for exactly-once progress instead of target existence.
+
+At scale: the file source tracks seen-files in the checkpoint (use
+``maxFilesPerTrigger`` to bound batch size); aggregation state is
+per-window-per-key in the state store, pruned by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns (nanosAsLong), as in tables.py
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of events (same ns→µs conversion as the batch
+    loader)."""
+    raw = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """P6 as a streaming aggregation: tumbling 1-hour windows, closed by
+    the watermark (the reference's skip-open-hour semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """P10 in streaming form: native session windows with a gap timeout."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    agg: DataFrame, checkpoint_dir: str, query_name: str
+) -> None:
+    """Drain all currently-available input into a memory sink and stop —
+    the cron-shaped incremental run (P13), for tests/smoke. The memory
+    sink cannot resume a checkpoint; use :func:`run_available_now_to_parquet`
+    for the durable incremental path."""
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_to_parquet(
+    agg: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """The production incremental run: exactly-once append to a parquet
+    sink, progress tracked in the checkpoint (replaces Luigi
+    target-existence memoization, rds_pgbadger.py:25-26,44-45,70-71).
+    Re-running with the same checkpoint processes only new input files.
+    """
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

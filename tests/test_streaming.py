@@ -1,0 +1,97 @@
+"""Streaming (P13) behavioral tests + catalog/streaming oracle checks."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.plans.catalog_oracle import QUERIES as CAT_QUERIES
+from rds_pgbadger_etl_spark.plans.streaming_oracle import QUERIES as STR_QUERIES
+from rds_pgbadger_etl_spark.sources.logcatalog import select_log_files
+from rds_pgbadger_etl_spark.streaming.ingest import (
+    hourly_counts,
+    read_event_stream,
+    run_available_now,
+)
+from tests.oracle import compare
+
+CASES = [
+    (name, fn, sql)
+    for qs in (CAT_QUERIES, STR_QUERIES)
+    for name, (fn, sql) in qs.items()
+    if sql
+]
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
+def test_catalog_streaming_oracle(spark, sf_oracle, name, fn, sql):
+    compare(fn(spark, sf_oracle), sql, sf_oracle)
+
+
+def test_select_log_files_semantics(spark):
+    names = [
+        "x/postgresql.log.2019-04-01-10",
+        "x/postgresql.log.2019-04-01-09",
+        "x/postgresql.log.2019-03-31-23",  # midnight boundary (O4)
+        "x/postgresql.log.2019-04-01-11",  # the open reference hour → excluded
+        "x/postgresql.log.2019-04-02-00",  # future → excluded
+        "x/garbage",  # unparseable → quarantined
+    ]
+    files = spark.createDataFrame([(n,) for n in names], ["file_name"])
+    picked = select_log_files(
+        files, datetime.datetime(2019, 4, 1, 11, 30), max_records=2
+    ).collect()
+    assert [r.file_name[-13:] for r in picked] == ["2019-04-01-10", "2019-04-01-09"]
+    picked_all = select_log_files(
+        files, datetime.datetime(2019, 4, 1, 11, 0), max_records=10
+    ).collect()
+    assert [r.file_name[-13:] for r in picked_all] == [
+        "2019-04-01-10",
+        "2019-04-01-09",
+        "2019-03-31-23",
+    ]
+
+
+def test_streaming_hourly_counts_watermark(spark, sf_oracle, tmp_path):
+    stream = read_event_stream(spark, sf_oracle)
+    agg = hourly_counts(stream)
+    run_available_now(agg, str(tmp_path / "ckpt"), "hourly_out")
+    got = spark.sql("SELECT * FROM hourly_out")
+
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    batch = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - datetime.timedelta(hours=1)
+
+    got_rows = {(r.bucket, r.event_type): r.n_events for r in got.collect()}
+    batch_rows = {(r.bucket, r.event_type): r.n_events for r in batch.collect()}
+    # append mode + watermark: a window is emitted iff its END is at or
+    # before the final watermark (max event time - 1h) — the streaming
+    # form of the reference's skip-open-hour filter
+    # (rds_pgbadger.py:112-115).
+    open_keys = {
+        k for k in batch_rows if k[0] + datetime.timedelta(hours=1) > watermark
+    }
+    assert set(got_rows) == set(batch_rows) - open_keys
+    assert all(got_rows[k] == batch_rows[k] for k in got_rows)
+    assert open_keys  # the open tail was actually withheld
+
+
+def test_streaming_resume_is_incremental(spark, sf_oracle, tmp_path):
+    from rds_pgbadger_etl_spark.streaming.ingest import run_available_now_to_parquet
+
+    ckpt, out = str(tmp_path / "ckpt2"), str(tmp_path / "out")
+    stream = read_event_stream(spark, sf_oracle)
+    run_available_now_to_parquet(hourly_counts(stream), ckpt, out)
+    n1 = spark.read.parquet(out).count()
+    # second drain from the same checkpoint: no new files → no new rows
+    run_available_now_to_parquet(hourly_counts(stream), ckpt, out)
+    n2 = spark.read.parquet(out).count()
+    assert n1 > 0
+    assert n2 == n1
