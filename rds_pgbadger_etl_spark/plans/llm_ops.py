@@ -49,8 +49,8 @@ _SH_SQL = f"""
 """
 
 _SIG_COLS_SQL = ",\n       ".join(
-    f"min(md5('{seed}' || shingle)) AS sig{i + 1}"
-    for i, seed in enumerate(D.MINHASH_SEEDS)
+    f"min(substr(md5(shingle), {1 + 8 * i}, 8)) AS sig{i + 1}"
+    for i in range(D.N_MINHASH)
 )
 
 
