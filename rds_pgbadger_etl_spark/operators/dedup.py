@@ -41,7 +41,14 @@ def char_shingles(
     k: int = SHINGLE_K,
     cap: int = TEXT_CAP,
 ) -> DataFrame:
-    """Explode each doc into its k-char shingles: (id, shingle)."""
+    """Explode each doc into its k-char shingles: (id, shingle).
+
+    The explode amplifies ~cap× — rebalance first so a single small
+    input split cannot serialize the downstream hash aggregate.
+    """
+    from rds_pgbadger_etl_spark.sources.tables import rebalance
+
+    df = rebalance(df)
     capped = F.substring(F.col(text_col), 1, cap)
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length(capped) - (k - 1), F.lit(1)))
@@ -51,31 +58,38 @@ def char_shingles(
     )
 
 
+def _sig_cols(n: int = N_MINHASH) -> list[Column]:
+    """n MinHash aggregates from ONE md5 per shingle.
+
+    The digest's disjoint 8-hex chunks are independent uniform 32-bit
+    hashes, so min of chunk i across shingles gives n MinHash estimators
+    for the price of one md5 per shingle (codegen CSEs the digest).
+    Each chunk is converted hex→bigint BEFORE the min: min over a
+    *numeric* runs in codegen HashAggregate, whereas min over a string
+    forces a SortAggregate that sorts the whole exploded shingle stream
+    (measured ~10× slower at sf0.1).
+    """
+    digest = F.md5(F.col("shingle"))
+    return [
+        F.min(
+            F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast("bigint")
+        ).alias(f"sig{i + 1}")
+        for i in range(n)
+    ]
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", n: int = N_MINHASH
 ) -> DataFrame:
-    """Per-doc MinHash signature: n min-hashes from ONE md5 per shingle.
-
-    The digest's disjoint 8-hex chunks are independent uniform hashes, so
-    taking the min of chunk i across shingles gives n MinHash estimators
-    for the price of one md5 per shingle (4× less hashing than seeded
-    re-hashing — this dominates the shingle explode at scale). Min over
-    hex strings is lexicographic == numeric min of the underlying bits,
-    so both engines agree.
-    """
-    digest = F.md5(F.col("shingle"))
-    aggs = [
-        F.min(F.substring(digest, 1 + 8 * i, 8)).alias(f"sig{i + 1}")
-        for i in range(n)
-    ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    """Per-doc MinHash signature: (id, sig1..sign) — one row per doc."""
+    return shingles.groupBy(id_col).agg(*_sig_cols(n))
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Two bands of two signatures each → (id, band) rows. Docs agreeing
     on ANY band become candidate pairs."""
-    b1 = F.md5(F.concat("sig1", "sig2"))
-    b2 = F.md5(F.concat("sig3", "sig4"))
+    b1 = F.md5(F.concat_ws(":", "sig1", "sig2"))
+    b2 = F.md5(F.concat_ws(":", "sig3", "sig4"))
     return signatures.select(
         id_col, F.explode(F.array(b1, b2)).alias("band")
     ).distinct()
@@ -93,27 +107,44 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def pair_jaccard(
-    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+def shingle_profile(
+    shingles: DataFrame, id_col: str = "doc_id", n: int = N_MINHASH
 ) -> DataFrame:
-    """Jaccard similarity over distinct shingle sets for given pairs."""
-    s = shingles.distinct()
-    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        pairs.join(s.select(F.col(id_col).alias("a"), "shingle"), "a")
-        .join(s.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    """ONE shuffle producing everything LSH dedup needs per doc: the
+    distinct shingle set (for exact Jaccard verify) and the MinHash sigs.
+
+    The explode + hash-aggregate stays inside whole-stage codegen, which
+    on this workload is ~20× faster than the equivalent per-row
+    higher-order ``transform``/``array_min`` pipeline (lambda bodies are
+    interpreted, not codegen'd). Map-side partial aggregation keeps the
+    shuffle narrow; output is one row per doc.
+    """
+    return shingles.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shingle_set"), *_sig_cols(n)
     )
+
+
+def pair_jaccard(
+    pairs: DataFrame, profile: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard over per-doc distinct shingle sets for given pairs.
+
+    The candidate side is tiny (LSH keeps it ∝ true near-dups), so both
+    joins broadcast and the set intersection runs per-pair on two
+    in-memory arrays — no exploded shingle join, no pair-level shuffle.
+    """
+    prof_a = profile.select(F.col(id_col).alias("a"), F.col("shingle_set").alias("sa"))
+    prof_b = profile.select(F.col(id_col).alias("b"), F.col("shingle_set").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
     return (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
+        pairs.join(prof_a, "a")
+        .join(prof_b, "b")
         .select(
             "a",
             "b",
             (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+                inter.cast("double")
+                / (F.size("sa") + F.size("sb") - inter).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -127,10 +158,9 @@ def near_dup_pairs(
 ) -> DataFrame:
     """X2 end-to-end: shingle → MinHash → LSH bands → candidates →
     Jaccard verify → pairs above threshold."""
-    sh = char_shingles(df, id_col, text_col)
-    sigs = minhash_signatures(sh, id_col)
-    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col)
-    return pair_jaccard(cands, sh, id_col).filter(F.col("jaccard") >= threshold)
+    prof = shingle_profile(char_shingles(df, id_col, text_col), id_col)
+    cands = candidate_pairs(lsh_bands(prof, id_col), id_col)
+    return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(
@@ -142,7 +172,9 @@ def simhash(
     """SimHash over whitespace tokens: per bit, majority vote of token
     hashes; near-dups share (or almost share) the fingerprint."""
     from rds_pgbadger_etl_spark.functions.scalar import hex_hash64
+    from rds_pgbadger_etl_spark.sources.tables import rebalance
 
+    df = rebalance(df)
     words = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.col("w") != "")

@@ -116,6 +116,9 @@ def lsh_buckets_long(
     path the DuckDB oracle uses; fold-order float noise (~1e-15) cannot
     flip a bit rounded at 1e-6.
     """
+    from rds_pgbadger_etl_spark.sources.tables import rebalance
+
+    emb = rebalance(emb)
     signs_t = _signs_matrix(n_tables, n_planes, DIM).T  # dim × (tables·planes)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -146,11 +149,13 @@ def brute_force_topk(
     emb: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:
     """Exact cosine top-k per query vector, query side broadcast."""
+    from rds_pgbadger_etl_spark.sources.tables import rebalance
+
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     joined = (
-        emb.crossJoin(F.broadcast(q))
+        rebalance(emb).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

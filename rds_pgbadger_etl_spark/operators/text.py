@@ -95,13 +95,18 @@ def lang_id(col: Column | str) -> Column:
 
 
 def rolling_fingerprint(col: Column | str, k: int = 16) -> Column:
-    """Document fingerprint: min k-char-shingle md5 over the first 512
-    chars (one-column winnowing; equal fingerprints ⇒ likely overlap).
-    Scalar variant of the shingle pipeline in operators/dedup.py."""
+    """Document fingerprint: min k-char-shingle hash (60-bit md5 prefix)
+    over the first 512 chars (one-column winnowing; equal fingerprints ⇒
+    likely overlap). Scalar variant of the shingle pipeline in
+    operators/dedup.py — prefer the explode + groupBy form there for bulk
+    fingerprinting: higher-order lambdas are interpreted, not codegen'd
+    (measured ~20× slower at sf0.1)."""
+    from rds_pgbadger_etl_spark.functions.scalar import hex_hash64
+
     c = F.col(col) if isinstance(col, str) else col
     capped = F.substring(c, 1, 512)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(capped) - (k - 1), F.lit(1))),
-        lambda i: F.md5(capped.substr(i, F.lit(k))),
+        lambda i: hex_hash64(capped.substr(i, F.lit(k))),
     )
     return F.array_min(shingles)

@@ -16,7 +16,8 @@ from rds_pgbadger_etl_spark.operators import dedup as D
 from rds_pgbadger_etl_spark.operators import multimodal as M
 from rds_pgbadger_etl_spark.operators import similarity as S
 from rds_pgbadger_etl_spark.operators import text as X
-from rds_pgbadger_etl_spark.sources.tables import load_table
+from rds_pgbadger_etl_spark.functions.scalar import hex_hash64
+from rds_pgbadger_etl_spark.sources.tables import load_table, rebalance
 
 # ---------------------------------------------------------------------------
 # X1: exact dedup — per-lang distinct-content counts.
@@ -49,7 +50,8 @@ _SH_SQL = f"""
 """
 
 _SIG_COLS_SQL = ",\n       ".join(
-    f"min(substr(md5(shingle), {1 + 8 * i}, 8)) AS sig{i + 1}"
+    f"min(cast('0x' || substr(md5(shingle), {1 + 8 * i}, 8) AS bigint))"
+    f" AS sig{i + 1}"
     for i in range(D.N_MINHASH)
 )
 
@@ -76,7 +78,11 @@ WITH sh0 AS ({_SH_SQL}),
 sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh0 GROUP BY doc_id),
 bands AS (
   SELECT DISTINCT doc_id, band FROM (
-    SELECT doc_id, unnest([md5(sig1 || sig2), md5(sig3 || sig4)]) AS band FROM sigs)
+    SELECT doc_id,
+           unnest([md5(cast(sig1 AS varchar) || ':' || cast(sig2 AS varchar)),
+                   md5(cast(sig3 AS varchar) || ':' || cast(sig4 AS varchar))])
+             AS band
+    FROM sigs)
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -133,7 +139,7 @@ SELECT doc_id, cast({_SIMHASH_FP} AS bigint) AS simhash FROM sums
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("toks", X.n_tokens("text"))
         .withColumn("punct", X.punct_count("text"))
@@ -183,7 +189,7 @@ FROM documents GROUP BY lang
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("predicted", X.lang_id("text"))
         .groupBy("lang", "predicted")
@@ -223,7 +229,7 @@ FROM padded_docs GROUP BY lang, predicted
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
     return docs.groupBy("source").agg(
         F.sum(X.n_tokens("text")).alias("sum_ws_tokens"),
         F.sum(X.bpe_token_count("text")).alias("sum_bpe_tokens"),
@@ -240,10 +246,20 @@ FROM documents GROUP BY source
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode + two hash-aggregates rather than the scalar
+    # text.rolling_fingerprint: the per-shingle hash then runs inside
+    # whole-stage codegen (higher-order transform lambdas are
+    # interpreted), and the numeric min stays in HashAggregate
+    # (min over strings would force a SortAggregate over the whole
+    # exploded shingle stream — measured ~20× slower at sf0.1).
     docs = load_table(spark, sf_dir, "documents")
+    fps = (
+        D.char_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.min(hex_hash64(F.col("shingle"))).alias("fingerprint"))
+    )
     return (
-        docs.select("doc_id", X.rolling_fingerprint("text").alias("fingerprint"))
-        .groupBy("fingerprint")
+        fps.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("n") > 1)
     )
@@ -251,7 +267,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOC_FINGERPRINT_SQL = f"""
 WITH fp AS (
-  SELECT doc_id, min(md5(shingle)) AS fingerprint
+  SELECT doc_id,
+         min(cast('0x' || substr(md5(shingle), 1, 15) AS bigint)) AS fingerprint
   FROM ({_SH_SQL}) GROUP BY doc_id
 )
 SELECT fingerprint, count(*) AS n, cast(min(doc_id) AS bigint) AS first_doc

@@ -28,7 +28,7 @@ from rds_pgbadger_etl_spark.functions.normalize import (
     normalize_query_oracle_sql,
 )
 from rds_pgbadger_etl_spark.operators.logparse import PREFIX_RE, tokenize
-from rds_pgbadger_etl_spark.sources.tables import load_table
+from rds_pgbadger_etl_spark.sources.tables import load_table, rebalance
 
 # ---------------------------------------------------------------------------
 # Shared synthesis — keep the Spark and SQL versions textually parallel.
@@ -39,7 +39,9 @@ def _s(c: Column) -> Column:
 
 
 def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # regex parse downstream amplifies per-row cost; spread a single
+    # small input split across the session's cores first.
+    ev = rebalance(load_table(spark, sf_dir, "events"))
     level = (
         F.when(F.col("event_type") == "error", "ERROR")
         .when(F.col("event_type") == "signup", "WARNING")

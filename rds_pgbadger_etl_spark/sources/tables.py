@@ -144,3 +144,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every table; keys match the oracle's pre-registered view names."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def rebalance(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan has fewer input partitions
+    than the session's parallelism.
+
+    Compute-amplifying operators (shingle explode ×~300, per-row vector
+    math, regex log-line synthesis) call this so one small parquet file
+    doesn't serialize the whole stage — measured 60× on the sf0.1
+    MinHash aggregate (7.6 s → 0.12 s on 8 cores). At real scale the
+    input already carries ≥ cores splits and this is a no-op, so no
+    shuffle is added where the file source parallelizes naturally.
+    """
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
