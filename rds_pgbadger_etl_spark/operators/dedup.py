@@ -163,6 +163,51 @@ def near_dup_pairs(
     return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
 
 
+WORD_NGRAM_N = 3
+WORD_CAP = 256  # n-gram at most this many words per doc (cost bound)
+
+
+def word_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = WORD_NGRAM_N,
+    cap: int = WORD_CAP,
+) -> DataFrame:
+    """Explode each doc into space-joined word n-grams: (id, shingle).
+
+    Same output shape as :func:`char_shingles`, so the whole MinHash →
+    LSH → Jaccard machinery applies unchanged to token-level dedup.
+    """
+    from rds_pgbadger_etl_spark.sources.tables import rebalance
+
+    df = rebalance(df)
+    words = F.slice(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != ""), 1, cap
+    )
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    ).alias("pos")
+    return df.select(F.col(id_col), words.alias("_w"), pos).select(
+        id_col,
+        F.concat_ws(" ", F.slice("_w", F.col("pos"), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = WORD_NGRAM_N,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """X2 token-level near-dup: word n-grams → MinHash → LSH bands →
+    exact n-gram Jaccard on candidates → pairs above threshold."""
+    prof = shingle_profile(word_ngrams(df, id_col, text_col, n), id_col)
+    cands = candidate_pairs(lsh_bands(prof, id_col), id_col)
+    return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

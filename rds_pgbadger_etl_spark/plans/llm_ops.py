@@ -106,6 +106,57 @@ WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.5
 """
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.4)
+
+
+# DuckDB list slices are 1-based and inclusive: ws[i:i+n-1] ==
+# Spark slice(ws, i, n); both clamp past the end.
+_NGRAM_SH_SQL = f"""
+  SELECT doc_id, array_to_string(ws[i:i + {D.WORD_NGRAM_N - 1}], ' ') AS shingle
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '')[1:{D.WORD_CAP}]
+                 AS ws
+        FROM documents),
+       unnest(generate_series(
+         1, greatest(len(ws) - {D.WORD_NGRAM_N - 1}, 1)
+       )) AS t(i)
+"""
+
+_DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh0 AS ({_NGRAM_SH_SQL}),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh0 GROUP BY doc_id),
+bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id,
+           unnest([md5(cast(sig1 AS varchar) || ':' || cast(sig2 AS varchar)),
+                   md5(cast(sig3 AS varchar) || ':' || cast(sig4 AS varchar))])
+             AS band
+    FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.a
+  JOIN s sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a
+JOIN sizes nb ON nb.doc_id = i.b
+WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # X2: SimHash fingerprints.
 
@@ -417,6 +468,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
     "dedup_near_pairs": (dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL),
     "dedup_simhash": (dedup_simhash, _DEDUP_SIMHASH_SQL),
     "text_stats": (text_stats, _TEXT_STATS_SQL),
     "text_lang_id": (text_lang_id, _TEXT_LANG_ID_SQL),

@@ -109,7 +109,8 @@ _SYNTH_SQL = """
 """
 
 _PARSE_SQL = f"""
-  SELECT regexp_extract(value, '{PREFIX_RE}', 5) AS log_user,
+  SELECT regexp_extract(value, '{PREFIX_RE}', 3) AS remote_host,
+         regexp_extract(value, '{PREFIX_RE}', 5) AS log_user,
          regexp_extract(value, '{PREFIX_RE}', 6) AS db,
          regexp_extract(value, '{PREFIX_RE}', 8) AS level,
          cast(regexp_extract(value, '{PREFIX_RE}', 7) AS int) AS pid,
@@ -219,9 +220,290 @@ GROUP BY level, log_user
 """
 
 
+# P7: exact per-db duration percentiles (F.percentile interpolates
+# exactly like DuckDB quantile_cont; at 100 TB switch to
+# percentile_approx — t-digest-style, mergeable map-side).
+def log_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = tokenize(_synth_lines(spark, sf_dir))
+    return (
+        parsed.withColumn("duration_ms", extract_duration_ms("payload"))
+        .groupBy(F.col("database").alias("db"))
+        .agg(
+            F.percentile("duration_ms", 0.5).alias("p50"),
+            F.percentile("duration_ms", 0.9).alias("p90"),
+            F.percentile("duration_ms", 0.99).alias("p99"),
+            F.max("duration_ms").alias("max_ms"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_LOG_DURATION_PCTL_SQL = f"""
+WITH lines AS ({_SYNTH_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT db,
+       quantile_cont(duration_ms, 0.5) AS p50,
+       quantile_cont(duration_ms, 0.9) AS p90,
+       quantile_cont(duration_ms, 0.99) AS p99,
+       max(duration_ms) AS max_ms,
+       count(*) AS n
+FROM parsed GROUP BY db
+"""
+
+
+# P9: pgBadger's per-user/db/host connection breakdowns — ONE cube pass
+# (GROUPING SETS) instead of three separate groupBys.
+def log_connections_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = tokenize(_synth_lines(spark, sf_dir))
+    return parsed.cube("log_user", F.col("database").alias("db")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("pid").alias("n_pids"),
+        F.countDistinct("remote_host").alias("n_hosts"),
+    )
+
+
+_LOG_CONNECTIONS_CUBE_SQL = f"""
+WITH lines AS ({_SYNTH_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT log_user, db, count(*) AS n_events,
+       cast(count(DISTINCT pid) AS bigint) AS n_pids,
+       cast(count(DISTINCT remote_host) AS bigint) AS n_hosts
+FROM parsed GROUP BY CUBE (log_user, db)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P10/P11 run over a second synthesized stream: PostgreSQL "system" lines
+# (disconnection / temporary file / lock wait / autovacuum), one per
+# event row, class chosen by event_id % 4.
+
+
+def _synth_sys_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = rebalance(load_table(spark, sf_dir, "events"))
+    pad2 = lambda c: F.lpad(_s(c), 2, "0")  # noqa: E731
+    disconnect = F.concat(
+        F.lit("disconnection: session time: "),
+        _s(F.col("event_id") % 9),
+        F.lit(":"),
+        pad2(F.col("user_id") % 60),
+        F.lit(":"),
+        pad2(F.col("event_id") % 60),
+        F.lit("."),
+        F.lpad(_s(F.col("user_id") % 1000), 3, "0"),
+        F.lit(" user=u"),
+        _s(F.col("user_id") % 10),
+        F.lit(" database=db"),
+        _s(F.col("user_id") % 5),
+        F.lit(" host=10.0."),
+        _s(F.col("user_id") % 250),
+        F.lit(".1"),
+    )
+    tempfile = F.concat(
+        F.lit('temporary file: path "base/pgsql_tmp/pgsql_tmp'),
+        _s(F.lit(1000) + F.col("user_id") % 100),
+        F.lit("."),
+        _s(F.col("event_id") % 10),
+        F.lit('", size '),
+        _s((F.col("event_id") * 7919) % 10000000),
+    )
+    lock = F.concat(
+        F.lit("process "),
+        _s(F.lit(1000) + F.col("user_id") % 100),
+        F.lit(" still waiting for ShareLock on transaction "),
+        _s(F.col("event_id") % 100000),
+        F.lit(" after "),
+        _s(F.col("event_id") % 5000),
+        F.lit("."),
+        F.lpad(_s(F.col("user_id") % 1000), 3, "0"),
+        F.lit(" ms"),
+    )
+    vacuum = F.concat(
+        F.lit('automatic vacuum of table "db'),
+        _s(F.col("user_id") % 5),
+        F.lit(".public.t"),
+        _s(F.col("event_id") % 20),
+        F.lit('": index scans: 1, tuples: removed '),
+        _s(F.col("user_id") % 1000),
+    )
+    payload = (
+        F.when(F.col("event_id") % 4 == 0, disconnect)
+        .when(F.col("event_id") % 4 == 1, tempfile)
+        .when(F.col("event_id") % 4 == 2, lock)
+        .otherwise(vacuum)
+    )
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" UTC:10.0."),
+        _s(F.col("user_id") % 250),
+        F.lit(".1("),
+        _s(F.lit(50000) + F.col("event_id") % 1000),
+        F.lit("):u"),
+        _s(F.col("user_id") % 10),
+        F.lit("@db"),
+        _s(F.col("user_id") % 5),
+        F.lit(":["),
+        _s(F.lit(1000) + F.col("user_id") % 100),
+        F.lit("]:LOG:  "),
+        payload,
+    )
+    return ev.select(
+        F.lit("system.log").alias("source_file"),
+        F.col("event_id").alias("line_no"),
+        line.alias("value"),
+    )
+
+
+_SYNTH_SYS_SQL = """
+  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S')
+         || ' UTC:10.0.' || cast(user_id % 250 AS varchar)
+         || '.1(' || cast(50000 + event_id % 1000 AS varchar)
+         || '):u' || cast(user_id % 10 AS varchar)
+         || '@db' || cast(user_id % 5 AS varchar)
+         || ':[' || cast(1000 + user_id % 100 AS varchar)
+         || ']:LOG:  '
+         || (CASE
+             WHEN event_id % 4 = 0 THEN
+               'disconnection: session time: '
+               || cast(event_id % 9 AS varchar)
+               || ':' || lpad(cast(user_id % 60 AS varchar), 2, '0')
+               || ':' || lpad(cast(event_id % 60 AS varchar), 2, '0')
+               || '.' || lpad(cast(user_id % 1000 AS varchar), 3, '0')
+               || ' user=u' || cast(user_id % 10 AS varchar)
+               || ' database=db' || cast(user_id % 5 AS varchar)
+               || ' host=10.0.' || cast(user_id % 250 AS varchar) || '.1'
+             WHEN event_id % 4 = 1 THEN
+               'temporary file: path "base/pgsql_tmp/pgsql_tmp'
+               || cast(1000 + user_id % 100 AS varchar)
+               || '.' || cast(event_id % 10 AS varchar)
+               || '", size ' || cast((event_id * 7919) % 10000000 AS varchar)
+             WHEN event_id % 4 = 2 THEN
+               'process ' || cast(1000 + user_id % 100 AS varchar)
+               || ' still waiting for ShareLock on transaction '
+               || cast(event_id % 100000 AS varchar)
+               || ' after ' || cast(event_id % 5000 AS varchar)
+               || '.' || lpad(cast(user_id % 1000 AS varchar), 3, '0') || ' ms'
+             ELSE
+               'automatic vacuum of table "db' || cast(user_id % 5 AS varchar)
+               || '.public.t' || cast(event_id % 20 AS varchar)
+               || '": index scans: 1, tuples: removed '
+               || cast(user_id % 1000 AS varchar)
+             END) AS value
+  FROM events
+"""
+
+_SESSION_RE = r"session time: (\d+):(\d{2}):(\d{2})\.(\d{3})"
+
+
+# P10: per-user/db session stats from disconnection lines (what pgBadger
+# reports as "Sessions per user/database"). Total time kept as exact
+# bigint milliseconds; only the final avg divides.
+def log_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = tokenize(_synth_sys_lines(spark, sf_dir))
+    p = F.col("payload")
+    part = lambda i: F.regexp_extract(p, _SESSION_RE, i).cast("bigint")  # noqa: E731
+    session_ms = (
+        (part(1) * 3600 + part(2) * 60 + part(3)) * 1000 + part(4)
+    )
+    return (
+        parsed.filter(p.contains("disconnection:"))
+        .groupBy("log_user", F.col("database").alias("db"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(session_ms).alias("total_session_ms"),
+            (
+                F.sum(session_ms).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_session_ms"),
+        )
+    )
+
+
+def _part_sql(i: int) -> str:
+    return f"cast(regexp_extract(payload, '{_SESSION_RE}', {i}) AS bigint)"
+
+
+_SESSION_MS_SQL = (
+    f"(({_part_sql(1)} * 3600 + {_part_sql(2)} * 60 + {_part_sql(3)}) * 1000"
+    f" + {_part_sql(4)})"
+)
+
+_LOG_SESSIONS_SQL = f"""
+WITH lines AS ({_SYNTH_SYS_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT log_user, db, count(*) AS n_sessions,
+       cast(sum({_SESSION_MS_SQL}) AS bigint) AS total_session_ms,
+       cast(sum({_SESSION_MS_SQL}) AS double) / cast(count(*) AS double)
+         AS avg_session_ms
+FROM parsed WHERE payload LIKE '%disconnection:%'
+GROUP BY log_user, db
+"""
+
+
+# P11: temp-file / lock / autovacuum classification + per-class stats.
+# Lock wait "M.mmm ms" is summed as exact integer microseconds, never
+# floats (map-side sum order would change a float total).
+def log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = tokenize(_synth_sys_lines(spark, sf_dir))
+    p = F.col("payload")
+    cls = (
+        F.when(p.contains("temporary file:"), "tempfile")
+        .when(p.contains("still waiting for"), "lock_wait")
+        .when(p.contains("automatic vacuum"), "autovacuum")
+        .otherwise("session")
+    )
+    # regexp_extract misses yield '' — ANSI mode rejects ''→bigint, so
+    # null them first (same nullif guard the DuckDB twin uses).
+    ext = lambda pat, i: F.nullif(  # noqa: E731
+        F.regexp_extract(p, pat, i), F.lit("")
+    ).cast("bigint")
+    temp_bytes = ext(r"size (\d+)", 1)
+    wait_us = (
+        ext(r"after (\d+)\.(\d{3}) ms", 1) * 1000
+        + ext(r"after (\d+)\.(\d{3}) ms", 2)
+    )
+    removed = ext(r"tuples: removed (\d+)", 1)
+    return (
+        parsed.withColumn("class", cls)
+        .groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(temp_bytes, F.lit(0))).alias("temp_bytes"),
+            F.sum(F.coalesce(wait_us, F.lit(0))).alias("lock_wait_us"),
+            F.sum(F.coalesce(removed, F.lit(0))).alias("tuples_removed"),
+        )
+    )
+
+
+_LOG_MAINTENANCE_SQL = f"""
+WITH lines AS ({_SYNTH_SYS_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT (CASE WHEN payload LIKE '%temporary file:%' THEN 'tempfile'
+             WHEN payload LIKE '%still waiting for%' THEN 'lock_wait'
+             WHEN payload LIKE '%automatic vacuum%' THEN 'autovacuum'
+             ELSE 'session' END) AS class,
+       count(*) AS n,
+       cast(sum(coalesce(cast(nullif(regexp_extract(payload, 'size (\\d+)', 1),
+                              '') AS bigint), 0)) AS bigint) AS temp_bytes,
+       cast(sum(coalesce(
+           cast(nullif(regexp_extract(payload, 'after (\\d+)\\.(\\d{{3}}) ms', 1),
+                '') AS bigint) * 1000
+           + cast(nullif(regexp_extract(payload, 'after (\\d+)\\.(\\d{{3}}) ms', 2),
+                  '') AS bigint), 0)) AS bigint) AS lock_wait_us,
+       cast(sum(coalesce(cast(nullif(regexp_extract(payload,
+                              'tuples: removed (\\d+)', 1), '') AS bigint), 0))
+            AS bigint) AS tuples_removed
+FROM parsed
+GROUP BY class
+"""
+
+
 QUERIES = {
     "log_parse_fields": (log_parse_fields, _LOG_PARSE_FIELDS_SQL),
     "log_top_queries": (log_top_queries, _LOG_TOP_QUERIES_SQL),
     "log_time_histogram": (log_time_histogram, _LOG_TIME_HISTOGRAM_SQL),
     "log_error_classes": (log_error_classes, _LOG_ERROR_CLASSES_SQL),
+    "log_duration_percentiles": (log_duration_percentiles, _LOG_DURATION_PCTL_SQL),
+    "log_connections_cube": (log_connections_cube, _LOG_CONNECTIONS_CUBE_SQL),
+    "log_sessions": (log_sessions, _LOG_SESSIONS_SQL),
+    "log_maintenance": (log_maintenance, _LOG_MAINTENANCE_SQL),
 }

@@ -68,3 +68,31 @@ def test_multimodal_decode_stub(spark, sf_smoke):
     feats = M.extract_features(binary).collect()
     assert len(feats) == 3
     assert all(r.byte_len > 0 and 1 <= r.n_frames <= 7 for r in feats)
+
+
+def test_word_ngrams_short_and_normal_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "tiny"), (3, "a  b")],
+        ["doc_id", "text"],
+    )
+    rows = D.word_ngrams(df, n=3).collect()
+    by_doc: dict[int, set[str]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert by_doc[1] == {"alpha beta gamma", "beta gamma delta"}
+    # fewer words than n: one clamped shingle, never zero rows
+    assert by_doc[2] == {"tiny"}
+    # empty tokens from double spaces are dropped before n-gramming
+    assert by_doc[3] == {"a b"}
+
+
+def test_ngram_jaccard_finds_token_level_dup(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x1 x2"
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    assert all(3 not in p for p in pairs)
