@@ -1,0 +1,130 @@
+"""CLI entry point (SURVEY O1): the reference's whole pipeline, one command.
+
+The reference wires CLI/env parameters into a Luigi graph
+(rds_pgbadger.py:132-149) that selects the newest closed-hour log files,
+runs pgBadger per file, and publishes per-file HTML reports
+(rds_pgbadger.py:83-129). Here the same surface is one declarative Spark
+job:
+
+    python -m rds_pgbadger_etl_spark.cli \
+        --log-dir /staged/logs --out-dir /reports \
+        --reference-datetime 2024-01-15-12 --max-records 5 --html report.html
+
+- ``--log-dir``: directory of staged ``…postgresql.log.YYYY-MM-DD-HH``
+  files (stage from RDS with sources/rds_ingest.py, which adds the
+  retries/status checks the reference lacks — rds_download_log.py:119-125).
+- Selection = sources/logcatalog.select_log_files (O2–O8 as one plan).
+- Parsing = operators/logparse.parse_logs (P1–P4).
+- Report = plans/reports.full_report (P5–P11), written hour-partitioned
+  (P12) with dynamic partition overwrite for idempotent re-runs (O15),
+  plus the reference-shaped single HTML artifact on request.
+
+Parameters fall back to environment variables like the reference's click
+``envvar`` bindings (rds_pgbadger.py:133-134).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime, timezone
+
+
+def _parse_reference(value: str | None) -> datetime:
+    """``YYYY-MM-DD-HH`` (the reference's file-name granularity,
+    rds_pgbadger.py:141-142) or ISO; default = now UTC (rds_pgbadger.py:81)."""
+    if not value:
+        return datetime.now(timezone.utc).replace(tzinfo=None)
+    for fmt in ("%Y-%m-%d-%H", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(value, fmt)
+        except ValueError:
+            continue
+    raise SystemExit(f"unparseable --reference-datetime {value!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rds-pgbadger-etl-spark",
+        description="PySpark-native PostgreSQL log analytics pipeline",
+    )
+    p.add_argument("--log-dir", default=os.environ.get("SPARK_GRAFT_LOG_DIR"),
+                   help="directory of staged postgresql.log.YYYY-MM-DD-HH files")
+    p.add_argument("--out-dir", default=os.environ.get("SPARK_GRAFT_OUT_DIR"),
+                   help="output directory (events/ + report/ written under it)")
+    p.add_argument("--reference-datetime",
+                   default=os.environ.get("SPARK_GRAFT_REFERENCE_DATETIME"),
+                   help="process hours strictly before this (default: now UTC)")
+    p.add_argument("--max-records", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_MAX_RECORDS", "5")),
+                   help="newest-K closed-hour files to process (reference default 5)")
+    p.add_argument("--html", default=None,
+                   help="also render the one-file HTML report here")
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    return p
+
+
+def run_pipeline(
+    spark,
+    log_dir: str,
+    out_dir: str,
+    reference_dt: datetime,
+    max_records: int = 5,
+    html_path: str | None = None,
+) -> dict[str, int]:
+    """Select → parse → report → sink; returns row counts per stage."""
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.operators.logparse import parse_logs
+    from rds_pgbadger_etl_spark.plans.reports import full_report
+    from rds_pgbadger_etl_spark.sinks.report_sink import (
+        render_html,
+        write_events_partitioned,
+        write_report,
+    )
+    from rds_pgbadger_etl_spark.sources.logcatalog import select_log_files
+
+    names = [
+        f for f in os.listdir(log_dir)
+        if os.path.isfile(os.path.join(log_dir, f))
+    ]
+    catalog = spark.createDataFrame([(n,) for n in names] or [("",)], ["file_name"])
+    selected = [
+        r.file_name
+        for r in select_log_files(catalog, reference_dt, max_records).collect()
+    ]
+    if not selected:
+        raise SystemExit(f"no closed-hour log files in {log_dir} before {reference_dt}")
+
+    events = parse_logs(spark, [os.path.join(log_dir, n) for n in selected])
+    write_events_partitioned(events, os.path.join(out_dir, "events"))
+    sections = full_report(events)
+    write_report(sections, os.path.join(out_dir, "report"))
+    if html_path:
+        render_html(sections, html_path)
+
+    n_events = spark.read.parquet(os.path.join(out_dir, "events")).count()
+    return {"files": len(selected), "events": n_events}
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    if not args.log_dir or not args.out_dir:
+        raise SystemExit("--log-dir and --out-dir are required (or env vars)")
+
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="rds-pgbadger-etl-spark", cpus=args.cpus)
+    stats = run_pipeline(
+        spark,
+        args.log_dir,
+        args.out_dir,
+        _parse_reference(args.reference_datetime),
+        args.max_records,
+        args.html,
+    )
+    print(f"processed {stats['files']} files -> {stats['events']} events")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,22 +59,24 @@ LEVELS = [
 ]
 
 
-def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
+def read_log_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Read raw log text as ``(source_file, line_no, value)``.
 
     The catalog-scan + pruning the reference does against the RDS API
     (rds_pgbadger.py:86-93) is Spark's file listing here: pass a file, a
-    directory, or a glob (``…/logs/*.log``) and Catalyst prunes it. A
-    trailing glob is translated to ``pathGlobFilter`` (this Spark build
-    rejects inline globs on the local filesystem).
+    directory, a glob (``…/logs/*.log``), or an explicit list of selected
+    paths (the O7 top-K output). A trailing glob is translated to
+    ``pathGlobFilter`` (this Spark build rejects inline globs on the
+    local filesystem).
     """
     import os
 
     reader = spark.read
-    base = os.path.basename(path)
-    if any(ch in base for ch in "*?["):
-        reader = reader.option("pathGlobFilter", base)
-        path = os.path.dirname(path)
+    if isinstance(path, str):
+        base = os.path.basename(path)
+        if any(ch in base for ch in "*?["):
+            reader = reader.option("pathGlobFilter", base)
+            path = os.path.dirname(path)
     w = Window.partitionBy("source_file").orderBy("mid")
     return (
         reader.text(path)

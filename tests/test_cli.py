@@ -1,0 +1,64 @@
+"""End-to-end pipeline test: staged hour files → select → parse → sinks.
+
+Covers the reference's whole MainTask flow (rds_pgbadger.py:83-129):
+newest-K closed-hour selection (the open reference hour must be
+skipped), per-file parsing, report sections, partitioned event sink,
+and the single-HTML artifact.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+
+from tests.test_logparse import FIXTURES
+
+from rds_pgbadger_etl_spark.cli import _parse_reference, run_pipeline
+
+
+def _stage(tmp_path, hours: list[str]) -> str:
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    src = os.path.join(FIXTURES, "basic.log")
+    for h in hours:
+        shutil.copy(src, log_dir / f"postgresql.log.{h}")
+    (log_dir / "README.txt").write_text("not a log file name")
+    return str(log_dir)
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    log_dir = _stage(
+        tmp_path,
+        ["2024-01-15-09", "2024-01-15-10", "2024-01-15-11", "2024-01-15-12"],
+    )
+    out_dir = str(tmp_path / "out")
+    html = str(tmp_path / "report.html")
+    stats = run_pipeline(
+        spark,
+        log_dir,
+        out_dir,
+        reference_dt=datetime(2024, 1, 15, 12, 0),
+        max_records=2,
+        html_path=html,
+    )
+    # hour 12 is the open reference hour -> excluded; newest 2 = 11, 10
+    assert stats["files"] == 2
+    assert stats["events"] > 0
+
+    events = spark.read.parquet(f"{out_dir}/events")
+    # partition values come back through read-side type inference (int here)
+    hours = {str(r.log_hour) for r in events.select("log_hour").distinct().collect()}
+    assert hours == {"10", "11"}
+
+    top = spark.read.parquet(f"{out_dir}/report/top_queries")
+    assert top.count() > 0
+    with open(html) as f:
+        body = f.read()
+    assert "top_queries" in body and "<table" in body
+
+
+def test_parse_reference_formats():
+    assert _parse_reference("2024-01-15-12") == datetime(2024, 1, 15, 12, 0)
+    assert _parse_reference("2024-01-15T01:02:03") == datetime(2024, 1, 15, 1, 2, 3)
+    assert _parse_reference(None).year >= 2024
