@@ -206,6 +206,82 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def ivf_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the first ``n_centroids`` vectors by id — a
+    deterministic sample both engines can reproduce; production IVF
+    would k-means-refine them, which changes only the centroid table,
+    never the plan shape. Assignment is a broadcast cross join against
+    the tiny centroid set + one per-vector top-1 window.
+    """
+    from rds_pgbadger_etl_spark.sources.tables import rebalance
+
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    scored = rebalance(emb).crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine_batch(F.col("embedding"), F.col("c_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """X3 scale path: probe the ``n_probe`` nearest cells per query and
+    compute exact cosine only inside them — the search touches
+    ~n_probe/n_centroids of the corpus. At 100 TB, partition the
+    assignment table BY cell so a probe is a partition-pruned scan.
+    """
+    cells = ivf_cells(emb, n_centroids)
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "cell", cosine_batch(F.col("q_emb"), F.col("c_emb")).alias("sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cell")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """X2 embedding-cosine near-dup pairs via any-table LSH collision.
 

@@ -417,6 +417,57 @@ SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
 """
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _QUERY_IDS, _TOPK)
+
+
+_ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+sims AS (
+  SELECT p.q_id, a.vec_id, {_cos_sql('q.q_emb', 'a.emb')} AS sim
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_TOPK}
+"""
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_near_dups(emb, threshold=0.3)
@@ -476,6 +527,7 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, _DOC_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, _ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
     "embedding_near_dups": (embedding_near_dups, _EMB_NEAR_DUPS_SQL),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
 }

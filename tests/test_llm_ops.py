@@ -96,3 +96,15 @@ def test_ngram_jaccard_finds_token_level_dup(spark):
     pairs = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(df).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
     assert all(3 not in p for p in pairs)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    brute = S.brute_force_topk(emb, qids, 5).collect()
+    approx = S.ivf_topk(emb, qids, 5).collect()
+    assert all(1 <= r.rank <= 5 for r in approx)
+    brute_top1 = {r.q_id: r.vec_id for r in brute if r.rank == 1}
+    approx_hits = {(r.q_id, r.vec_id) for r in approx}
+    hits = sum(1 for q, v in brute_top1.items() if (q, v) in approx_hits)
+    assert hits >= 3
