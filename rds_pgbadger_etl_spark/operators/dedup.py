@@ -11,9 +11,10 @@ Scale design (100 TB):
   bytes) rather than the full text to keep shuffle rows narrow.
 - MinHash: shingling explodes each doc into ~len(text) rows, but the
   explode is map-side only — the single shuffle is the per-doc min
-  aggregation, whose output is 4 hex strings per doc. Band buckets then
-  join doc↔doc only within equal bands (the LSH trick: candidate pairs
-  ∝ true near-dups, not n²).
+  aggregation (codegen HashAggregate: the mins are over hex→bigint
+  hashes, never strings), whose output is 4 bigints + the distinct
+  shingle set per doc. Band buckets then join doc↔doc only within equal
+  bands (the LSH trick: candidate pairs ∝ true near-dups, not n²).
 - SimHash: one explode + one aggregate; 16 bit-sums per doc.
 - Pairwise Jaccard runs ONLY on LSH candidate pairs, never all pairs.
 """
