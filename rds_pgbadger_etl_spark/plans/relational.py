@@ -469,6 +469,66 @@ FROM events GROUP BY event_type
 """
 
 
+# As-of join (operators/asof.py): each error event picks up the user's
+# most recent prior non-error event. The oracle replicates the same
+# merge formulation (tag, union, one running window) textually.
+def q17_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.filter(F.col("event_type") != "error")
+    joined = asof_join(
+        errors,
+        others,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "event_type", "value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "prev_event_id",
+        "prev_event_type",
+        "prev_value",
+    )
+
+
+_Q17_SQL = """
+WITH r AS (
+  SELECT user_id, ts AS _t, 0 AS _side, event_id AS _tb,
+         struct_pack(event_id := event_id, event_type := event_type,
+                     v := "value") AS _r,
+         NULL::BIGINT AS l_event_id
+  FROM events WHERE event_type <> 'error'
+),
+l AS (
+  SELECT user_id, ts AS _t, 1 AS _side, NULL::BIGINT AS _tb,
+         NULL::STRUCT(event_id BIGINT, event_type VARCHAR, v DOUBLE) AS _r,
+         event_id AS l_event_id
+  FROM events WHERE event_type = 'error'
+),
+u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+m AS (
+  SELECT *, last_value(_r IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY _t, _side, _tb
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _m
+  FROM u
+)
+SELECT l_event_id AS event_id, user_id,
+       epoch_us(cast(_t AS TIMESTAMP)) AS ts_us,
+       struct_extract(_m, 'event_id') AS prev_event_id,
+       struct_extract(_m, 'event_type') AS prev_event_type,
+       struct_extract(_m, 'v') AS prev_value
+FROM m WHERE _side = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -486,4 +546,5 @@ QUERIES = {
     "q14_anti_join": (q14_anti_join, _Q14_SQL),
     "q15_semi_join": (q15_semi_join, _Q15_SQL),
     "q16_json_props": (q16_json_props, _Q16_SQL),
+    "q17_asof_prev_event": (q17_asof_prev_event, _Q17_SQL),
 }

@@ -77,7 +77,47 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL stateful streaming query (applyInPandasWithState,
+    availableNow trigger, memory sink) and returns each user's final
+    state row — the oracle checks the cross-trigger accumulation against
+    a batch group-by. Totals accumulate as exact integer cents, so the
+    comparison is bit-exact, not tolerance-based."""
+    import tempfile
+    import uuid
+
+    from rds_pgbadger_etl_spark.streaming.ingest import (
+        read_event_stream,
+        run_available_now,
+        running_user_totals,
+    )
+
+    name = f"running_totals_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        running_user_totals(read_event_stream(spark, sf_dir)),
+        tempfile.mkdtemp(prefix="ckpt_running_"),
+        name,
+        output_mode="update",
+    )
+    return spark.sql(
+        f"""SELECT user_id, n_events, total_value, max_value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) AS rn
+              FROM {name}) WHERE rn = 1"""
+    )
+
+
+_STREAM_RUNNING_SQL = """
+SELECT user_id, count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS bigint)) AS double) / 100
+         AS total_value,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
     "stream_session_windows": (stream_session_windows, _STREAM_SESSION_SQL),
+    "stream_running_totals": (stream_running_totals, _STREAM_RUNNING_SQL),
 }

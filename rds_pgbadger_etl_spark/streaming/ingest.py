@@ -79,15 +79,80 @@ def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),  # exact-integer running sum
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    totals that accumulate ACROSS triggers — the state lives in the
+    state store, so an incremental availableNow run continues exactly
+    where the last one stopped (the piece native windowed aggs can't
+    express: unbounded per-key running state with arbitrary Python
+    update logic).
+
+    Each trigger emits one updated row per user seen in that trigger.
+    State is 3 numbers per user — at 100 TB scale the state store
+    shards by the grouping key alongside the shuffle, and a TTL
+    (GroupStateTimeout) bounds it when keys churn.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents, mx = state.get if state.exists else (0, 0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact-integer accumulation (corpus values are 2-decimal):
+            # float += in trigger order would drift vs any batch re-sum
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, cents, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "max_value": [mx],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
-    agg: DataFrame, checkpoint_dir: str, query_name: str
+    agg: DataFrame, checkpoint_dir: str, query_name: str,
+    output_mode: str = "append",
 ) -> None:
     """Drain all currently-available input into a memory sink and stop —
     the cron-shaped incremental run (P13), for tests/smoke. The memory
     sink cannot resume a checkpoint; use :func:`run_available_now_to_parquet`
-    for the durable incremental path."""
+    for the durable incremental path. Stateful update-mode operators
+    (e.g. :func:`running_user_totals`) pass ``output_mode="update"``."""
     q = (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)

@@ -95,3 +95,42 @@ def test_streaming_resume_is_incremental(spark, sf_oracle, tmp_path):
     n2 = spark.read.parquet(out).count()
     assert n1 > 0
     assert n2 == n1
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_oracle, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from rds_pgbadger_etl_spark.streaming.ingest import running_user_totals
+
+    stream = read_event_stream(spark, sf_oracle)
+    run_available_now(
+        running_user_totals(stream), str(tmp_path / "ckpt"), "running_out",
+        output_mode="update",
+    )
+    # update-mode memory sink: keep each user's LAST emitted row
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM running_out) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 6), r.mx)
+        for r in load_table(spark, sf_oracle, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-4
+        assert got[u][2] == want[u][2]
