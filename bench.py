@@ -27,8 +27,15 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", cpus=cpus)
 
-    # Warm the JVM/codegen paths so per-query numbers measure steady state.
+    # Warm the JVM/codegen paths AND the Python-worker/Arrow channel so
+    # per-query numbers measure steady state, not process spin-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.operators.similarity import cosine_batch
+
+    arr = F.array(F.lit(1.0), F.lit(2.0))
+    spark.range(1_000).select(cosine_batch(arr, arr)).collect()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(entry_mod.queries().items()):

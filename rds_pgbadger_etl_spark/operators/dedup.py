@@ -158,8 +158,17 @@ def near_dup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """X2 end-to-end: shingle → MinHash → LSH bands → candidates →
-    Jaccard verify → pairs above threshold."""
-    prof = shingle_profile(char_shingles(df, id_col, text_col), id_col)
+    Jaccard verify → pairs above threshold.
+
+    The profile is persisted: the plan references it from the band
+    self-join AND both sides of the verify join, and without
+    materialization Catalyst re-derives the whole explode+aggregate per
+    reference (12 Generate nodes in the physical plan). The profile is
+    the ~1%-of-corpus compressed representation — at 100 TB you'd write
+    it to a table; in-session MEMORY_AND_DISK persistence is the local
+    equivalent.
+    """
+    prof = shingle_profile(char_shingles(df, id_col, text_col), id_col).persist()
     cands = candidate_pairs(lsh_bands(prof, id_col), id_col)
     return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
 
@@ -203,8 +212,10 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
 ) -> DataFrame:
     """X2 token-level near-dup: word n-grams → MinHash → LSH bands →
-    exact n-gram Jaccard on candidates → pairs above threshold."""
-    prof = shingle_profile(word_ngrams(df, id_col, text_col, n), id_col)
+    exact n-gram Jaccard on candidates → pairs above threshold.
+    Profile persisted for the same diamond-DAG reason as
+    :func:`near_dup_pairs`."""
+    prof = shingle_profile(word_ngrams(df, id_col, text_col, n), id_col).persist()
     cands = candidate_pairs(lsh_bands(prof, id_col), id_col)
     return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
 

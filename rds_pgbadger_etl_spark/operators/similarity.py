@@ -178,7 +178,10 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     arrays rejoin afterwards by key) so the shuffle rows stay narrow —
     at 100 TB the candidate-pair stream is the dominant shuffle.
     """
-    b = lsh_buckets_long(emb)
+    # persisted: the query side derives from the same bucket table it
+    # joins against — without materialization the bucketing UDF runs
+    # twice over the full corpus
+    b = lsh_buckets_long(emb).persist()
     q = b.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), "table_id", "bucket"
     )
@@ -290,8 +293,10 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     more planes than the top-k path: candidate volume is O(n²/2^planes)
     per table, and near-dup pairs (high sim) still collide often.
     """
-    ids = lsh_buckets_long(emb, n_planes=NEAR_DUP_PLANES).select(
-        "vec_id", "table_id", "bucket"
+    ids = (
+        lsh_buckets_long(emb, n_planes=NEAR_DUP_PLANES)
+        .select("vec_id", "table_id", "bucket")
+        .persist()  # self-joined below; avoid bucketing the corpus twice
     )
     pairs = (
         ids.select(F.col("vec_id").alias("a"), "table_id", "bucket")
