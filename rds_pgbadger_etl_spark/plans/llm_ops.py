@@ -328,6 +328,83 @@ FROM fp GROUP BY fingerprint HAVING count(*) > 1
 
 
 # ---------------------------------------------------------------------------
+# Composite pretraining filter: the canonical LLM-data pipeline in one
+# plan — language gate + quality gate + exact dedup + near-dup removal
+# (keep the lowest doc_id of each near-dup pair). Everything reuses the
+# operators above; the oracle reuses their SQL fragments.
+
+
+def pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gated = (
+        docs.withColumn("quality", X.quality_score("text"))
+        .filter((F.col("lang") == "en") & (F.col("quality") >= F.lit(0.7)))
+    )
+    # exact dedup: keep min doc_id per identical text
+    keeper = gated.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = gated.join(keeper, "doc_id").drop("_h")
+    # near-dup removal: drop the higher doc_id of every confirmed pair
+    dups = D.near_dup_pairs(docs, threshold=0.5).select(
+        F.col("b").alias("doc_id")
+    ).distinct()
+    kept = exact.join(dups, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(X.n_tokens("text")).alias("sum_tokens"),
+    )
+
+
+_PRETRAIN_FILTER_SQL = f"""
+WITH gated AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE lang = 'en' AND {_QUALITY_SQL} >= 0.7
+),
+keeper AS (
+  SELECT md5(text) AS _h, min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+),
+exact AS (
+  SELECT g.* FROM gated g JOIN keeper k ON k.doc_id = g.doc_id
+),
+sh0 AS ({_SH_SQL}),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh0 GROUP BY doc_id),
+bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id,
+           unnest([md5(cast(sig1 AS varchar) || ':' || cast(sig2 AS varchar)),
+                   md5(cast(sig3 AS varchar) || ':' || cast(sig4 AS varchar))])
+             AS band
+    FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.a
+  JOIN s sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+dups AS (
+  SELECT DISTINCT i.b AS doc_id
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.a
+  JOIN sizes nb ON nb.doc_id = i.b
+  WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.5
+)
+SELECT source, count(*) AS n_kept,
+       cast(sum({_TOKS_SQL}) AS bigint) AS sum_tokens
+FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # X3: similarity search.
 
 _QUERY_IDS = [0, 1, 2, 3, 4]
@@ -530,4 +607,5 @@ QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
     "embedding_near_dups": (embedding_near_dups, _EMB_NEAR_DUPS_SQL),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
+    "pretrain_filter": (pretrain_filter, _PRETRAIN_FILTER_SQL),
 }
