@@ -58,6 +58,49 @@ def decode_media(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Real media resize — NOT IMPLEMENTED in this container (no PIL).
+    Same mapInPandas wiring as :func:`extract_features`; a real resizer
+    yields ``(doc_id, payload)`` batches with transformed bytes."""
+    raise NotImplementedError(
+        "media resize requires an image library not present in this "
+        "environment; wire it into a mapInPandas like extract_features"
+    )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_id int, frame_bytes bigint"
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: the 1→N ``mapInPandas`` shape (one output
+    row per sampled frame). Frame count and per-frame byte length are
+    deterministic functions of the payload so the oracle can verify the
+    fan-out exactly: ``n_frames = len % 7 + 1``; frame i (stride
+    ``every_n``) carries the ``payload[i::n_frames]`` interleave slice.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            doc_ids: list[int] = []
+            frame_ids: list[int] = []
+            frame_bytes: list[int] = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                nf = len(b) % 7 + 1
+                for i in range(0, nf, every_n):
+                    doc_ids.append(did)
+                    frame_ids.append(i)
+                    frame_bytes.append(len(b[i::nf]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_id": pd.Series(frame_ids, dtype="int32"),
+                    "frame_bytes": pd.Series(frame_bytes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched fake feature extraction over the binary payload.
 

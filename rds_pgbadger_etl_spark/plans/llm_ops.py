@@ -592,6 +592,25 @@ FROM documents
 """
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_binary(docs))
+
+
+# frame i of n: the payload[i::n] interleave slice has
+# (bl - i + n - 1) // n bytes (numerator stays >= 0 since i < n).
+_MULTIMODAL_FRAMES_SQL = """
+WITH media AS (
+  SELECT doc_id, octet_length(encode(text)) AS bl,
+         octet_length(encode(text)) % 7 + 1 AS nf
+  FROM documents
+)
+SELECT doc_id, cast(i AS int) AS frame_id,
+       cast((bl - i + nf - 1) // nf AS bigint) AS frame_bytes
+FROM media, unnest(generate_series(0, nf - 1, 2)) AS t(i)
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -607,5 +626,6 @@ QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
     "embedding_near_dups": (embedding_near_dups, _EMB_NEAR_DUPS_SQL),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
+    "multimodal_frames": (multimodal_frames, _MULTIMODAL_FRAMES_SQL),
     "pretrain_filter": (pretrain_filter, _PRETRAIN_FILTER_SQL),
 }

@@ -108,3 +108,21 @@ def test_ivf_recall_vs_brute_force(spark, sf_oracle):
     approx_hits = {(r.q_id, r.vec_id) for r in approx}
     hits = sum(1 for q, v in brute_top1.items() if (q, v) in approx_hits)
     assert hits >= 3
+
+
+def test_resize_stub_and_frame_sampling(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(5)
+    media = M.attach_binary(docs)
+    with pytest.raises(NotImplementedError):
+        M.resize_media(media, 64, 64)
+    frames = M.sample_frames(media).collect()
+    assert len(frames) >= 5  # at least one frame per doc
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        # interleave slices partition the payload when every frame is
+        # sampled; with stride 2 the sampled slices never overlap, so
+        # byte counts stay <= payload length and frame ids are even
+        assert all(r.frame_id % 2 == 0 for r in rows)
+        assert all(r.frame_bytes >= 0 for r in rows)
