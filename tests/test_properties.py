@@ -1,0 +1,56 @@
+"""Property-based tests (SURVEY.md §5 item 4, via hypothesis).
+
+Each example batches into one small DataFrame so a property run costs a
+handful of Spark jobs, not hundreds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.functions.normalize import normalize_query
+from rds_pgbadger_etl_spark.functions.scalar import order_insensitive_hash
+
+_SQLISH = st.text(
+    alphabet=st.sampled_from(list("abcXY01 '\",=()<>*.\n\t;")), max_size=60
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_SQLISH, min_size=1, max_size=20))
+def test_normalize_is_idempotent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["q"])
+    out = df.select(
+        normalize_query("q").alias("n1"),
+        normalize_query(normalize_query("q")).alias("n2"),
+    )
+    assert out.filter(F.col("n1") != F.col("n2")).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9), st.integers(min_value=0, max_value=10**9))
+def test_normalize_is_literal_insensitive(spark, a, b):
+    df = spark.createDataFrame(
+        [
+            (f"SELECT * FROM t WHERE x = {a} AND name = 'u{a}'",
+             f"SELECT * FROM t WHERE x = {b} AND name = 'u{b}'"),
+        ],
+        ["qa", "qb"],
+    )
+    out = df.select(
+        normalize_query("qa").alias("na"), normalize_query("qb").alias("nb")
+    ).collect()[0]
+    assert out.na == out.nb
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.permutations(list(range(8))))
+def test_order_insensitive_hash_is_permutation_invariant(spark, perm):
+    rows = [(1, v) for v in perm] + [(2, v) for v in sorted(perm)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    hashes = {
+        r.g: r.h
+        for r in df.groupBy("g").agg(order_insensitive_hash("v").alias("h")).collect()
+    }
+    assert hashes[1] == hashes[2]
