@@ -529,6 +529,126 @@ FROM m WHERE _side = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Range join (operators/rangejoin.py): each error event opens a 10-minute
+# half-open window [ts, ts+600s); count/sum the user's non-error events in
+# the window. The bucketized equi-join keeps the pair count linear in
+# window length instead of quadratic per user — the 100 TB-safe plan. The
+# oracle states the same semantics as a plain inequality join.
+def q18_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("win_end"),
+    )
+    points = ev.filter(F.col("event_type") != "error").select("user_id", "ts", "value")
+    joined = range_join(
+        points,
+        errors,
+        by=["user_id"],
+        point_ts="ts",
+        start="win_start",
+        end="win_end",
+        bucket_width_s=600,
+    )
+    return joined.groupBy("err_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        exact_sum("value", "sum_value"),
+    )
+
+
+_Q18_SQL = f"""
+SELECT e.event_id AS err_id, e.user_id,
+       count(*) AS n_follow,
+       {oracle_exact_sum('o."value"')} AS sum_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, ts, "value" FROM events WHERE event_type <> 'error') o
+  ON o.user_id = e.user_id
+ AND o.ts >= e.ts
+ AND o.ts <  e.ts + INTERVAL 600 SECOND
+GROUP BY e.event_id, e.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar-subquery shape (TPC-H Q17): lineitems whose quantity is below half
+# the part's average quantity. Decorrelated as an aggregate + equi-join —
+# one shuffle on l_partkey for the agg, reused by AQE for the join; the
+# deterministic exact_avg keeps the threshold comparison engine-stable.
+def q19_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(exact_avg("l_quantity", "avg_qty"))
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (exact_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q19_SQL = f"""
+SELECT {oracle_exact_sum('l_extendedprice')} / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN (SELECT l_partkey, {oracle_exact_avg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a USING (l_partkey)
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# P9 rollup twin of q08's cube: hierarchical subtotals priority → status →
+# grand total in one pass (GROUPING SETS under the hood, single shuffle).
+def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("o_totalprice", "sum_price"),
+    )
+
+
+_Q20_SQL = f"""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       {oracle_exact_sum('o_totalprice')} AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operators beyond union: INTERSECT and EXCEPT (distinct set semantics)
+# over the customer/supplier nation-key sets, tagged and unioned into one
+# result. Both compile to aggregate-based set ops (one shuffle each side).
+def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cu.intersect(su).withColumn("membership", F.lit("both"))
+    cust_only = cu.subtract(su).withColumn("membership", F.lit("customer_only"))
+    return both.unionByName(cust_only)
+
+
+_Q21_SQL = """
+SELECT nationkey, 'both' AS membership
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS membership
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -547,4 +667,8 @@ QUERIES = {
     "q15_semi_join": (q15_semi_join, _Q15_SQL),
     "q16_json_props": (q16_json_props, _Q16_SQL),
     "q17_asof_prev_event": (q17_asof_prev_event, _Q17_SQL),
+    "q18_range_join_error_window": (q18_range_join_error_window, _Q18_SQL),
+    "q19_below_avg_quantity": (q19_below_avg_quantity, _Q19_SQL),
+    "q20_rollup": (q20_rollup, _Q20_SQL),
+    "q21_set_ops": (q21_set_ops, _Q21_SQL),
 }
