@@ -248,3 +248,88 @@ def simhash(
         bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return sums.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation: each vertex's label
+    converges to the smallest vertex id in its component.
+
+    Iterative DataFrame algorithm (the one genuinely iterative operator in
+    the engine): per round, every vertex takes the min of its own label
+    and its neighbors' labels — one shuffle (the groupBy) per round, and
+    ``localCheckpoint`` truncates the lineage so round N's plan doesn't
+    replay rounds 1..N-1. Rounds needed = graph diameter, which for
+    near-dup clusters is small (tight cliques from LSH band collisions);
+    for adversarial long-chain graphs switch to the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"), which converges in O(log n) rounds on the same primitive.
+
+    Returns (vertex, component) for every vertex appearing in ``edges``;
+    component = min vertex id of the component. Convergence is detected
+    by the (monotonically decreasing) sum of labels going stable.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.vertex)
+            .select(F.col("dst").alias("vertex"), "component")
+            .groupBy("vertex")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_cluster_assignments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup clustering: pairs (X2) → connected components →
+    (id, component, is_canonical) for EVERY document; singletons are
+    their own component. ``is_canonical`` (int 0/1) marks the one doc
+    per component a pretraining pipeline keeps (min id — deterministic)."""
+    pairs = near_dup_pairs(df, id_col, text_col, threshold)
+    comp = connected_components(pairs, "a", "b")
+    out = (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == F.col("vertex"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", (F.col("component") == F.col(id_col)).cast("int")
+    )

@@ -73,8 +73,9 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_pairs(docs, threshold=0.5)
 
 
-_DEDUP_NEAR_PAIRS_SQL = f"""
-WITH sh0 AS ({_SH_SQL}),
+# CTE chain + final select split out so dedup_clusters can extend the
+# same pipeline with a recursive-CTE transitive closure.
+_NEAR_PAIRS_CTES = f"""sh0 AS ({_SH_SQL}),
 sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh0 GROUP BY doc_id),
 bands AS (
   SELECT DISTINCT doc_id, band FROM (
@@ -96,13 +97,48 @@ inter AS (
   JOIN s sa ON sa.doc_id = c.a
   JOIN s sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
   GROUP BY c.a, c.b
-)
-SELECT i.a, i.b,
+)"""
+
+_NEAR_PAIRS_FINAL = """SELECT i.a, i.b,
        cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) AS jaccard
 FROM inter i
 JOIN sizes na ON na.doc_id = i.a
 JOIN sizes nb ON nb.doc_id = i.b
-WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.5
+WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.5"""
+
+_DEDUP_NEAR_PAIRS_SQL = f"""
+WITH {_NEAR_PAIRS_CTES}
+{_NEAR_PAIRS_FINAL}
+"""
+
+
+# ---------------------------------------------------------------------------
+# X2 end-state: near-dup pairs → connected components → per-document
+# cluster assignment. Spark side is the iterative min-label propagation
+# (operators/dedup.py connected_components); the oracle expresses the
+# same fixpoint as a recursive-CTE transitive closure — feasible for the
+# oracle's scale, while the Spark plan is the one that survives 100 TB.
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_cluster_assignments(docs, threshold=0.5)
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NEAR_PAIRS_CTES},
+pairs AS ({_NEAR_PAIRS_FINAL}),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src)
+SELECT d.doc_id,
+       coalesce(least(c.doc_id, c.min_reach), d.doc_id) AS component,
+       CAST(coalesce(least(c.doc_id, c.min_reach), d.doc_id) = d.doc_id
+            AS INTEGER) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
@@ -615,6 +651,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
     "dedup_near_pairs": (dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL),
+    "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL),
     "dedup_simhash": (dedup_simhash, _DEDUP_SIMHASH_SQL),
     "text_stats": (text_stats, _TEXT_STATS_SQL),

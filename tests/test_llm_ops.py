@@ -126,3 +126,28 @@ def test_resize_stub_and_frame_sampling(spark, sf_smoke):
         # byte counts stay <= payload length and frame ids are even
         assert all(r.frame_id % 2 == 0 for r in rows)
         assert all(r.frame_bytes >= 0 for r in rows)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # Chain 1-2-3-4 has diameter 3 (needs >1 propagation round) plus a
+    # separate island {10,11}: labels must converge to the component min.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    comp = {r.vertex: r.component for r in D.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_cluster_assignments_covers_all_docs(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    out = D.dedup_cluster_assignments(docs, threshold=0.5)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc assigned, singletons too
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        assert r.component <= r.doc_id  # component = min id of the cluster
+        by_comp.setdefault(r.component, []).append(r)
+    for cid, members in by_comp.items():
+        canon = [r for r in members if r.is_canonical == 1]
+        assert len(canon) == 1 and canon[0].doc_id == cid
+    assert any(len(m) > 1 for m in by_comp.values())  # real clusters exist
