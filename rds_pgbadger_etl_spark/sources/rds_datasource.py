@@ -34,7 +34,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from rds_pgbadger_etl_spark.sources.rds_ingest import (
     download_log_file,
@@ -146,6 +151,73 @@ class RdsLogReader(DataSourceReader):
             yield (partition.file_name, i, line)
 
 
+class RdsLogStreamReader(SimpleDataSourceStreamReader):
+    """Incremental tail of the RDS log catalog — the reference's hourly
+    cron mode (reference_date_hour default utcnow, rds_pgbadger.py:81)
+    as a Structured Streaming source.
+
+    Offset model: the set of fully-consumed file names (flat
+    comma-joined string — offsets must be JSON dicts). A file enters the
+    offset only when its rows were emitted, so each file is processed
+    exactly once per checkpoint — the Luigi target-existence memoization
+    (O15) becomes checkpointed stream progress. `readBetweenOffsets`
+    replays a batch deterministically on failure recovery.
+
+    With ``skip_newest=true`` the lexicographically newest hour-stamp in
+    the listing is held back — the reference's "skip the hour still
+    being written" rule (rds_pgbadger.py:112-115); it is picked up by a
+    later microbatch once a newer hour appears.
+
+    `SimpleDataSourceStreamReader.read` runs on the driver — appropriate
+    here because a microbatch is a handful of hour files; bulk backfill
+    should use the batch reader (one partition per file, executor-wide).
+    """
+
+    def __init__(self, options: dict):
+        self.instance = options.get("instance", "")
+        self.contains = options.get("contains") or None
+        self.transport = options.get("transport", "boto3")
+        self.skip_newest = str(options.get("skip_newest", "false")).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"done": ""}
+
+    def _listing(self) -> list[str]:
+        client = make_client(self.transport)
+        files = list_log_files(client, self.instance, self.contains)
+        return sorted(f["LogFileName"] for f in files)
+
+    def _file_rows(self, names: list[str]) -> list[tuple]:
+        # A concrete list, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator, and generators don't pickle.
+        client = make_client(self.transport)
+        rows: list[tuple] = []
+        for name in names:
+            text = download_log_file(client, self.instance, name)
+            rows.extend(
+                (name, i, line) for i, line in enumerate(text.splitlines())
+            )
+        return rows
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        done = set(filter(None, start.get("done", "").split(",")))
+        names = self._listing()
+        if self.skip_newest and names:
+            open_stamp = max(n[-13:] for n in names)
+            names = [n for n in names if n[-13:] != open_stamp]
+        fresh = sorted(n for n in names if n not in done)
+        end = {"done": ",".join(sorted(done | set(fresh)))}
+        return iter(self._file_rows(fresh)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        done0 = set(filter(None, start.get("done", "").split(",")))
+        done1 = set(filter(None, end.get("done", "").split(",")))
+        return iter(self._file_rows(sorted(done1 - done0)))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class RdsLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -156,3 +228,6 @@ class RdsLogDataSource(DataSource):
 
     def reader(self, schema) -> RdsLogReader:
         return RdsLogReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> RdsLogStreamReader:
+        return RdsLogStreamReader(dict(self.options))

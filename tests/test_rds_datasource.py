@@ -116,3 +116,58 @@ def test_feeds_log_parser(registered, log_dir):
     parsed = tokenize(df.withColumnRenamed("file_name", "source_file"))
     errs = parsed.filter(parsed.level == "ERROR").collect()
     assert len(errs) == 1 and errs[0].pid == 9002
+
+
+def test_stream_incremental_exactly_once(registered, log_dir, tmp_path):
+    """availableNow streaming: first run drains the catalog; a restart
+    from the same checkpoint after a new file appears processes ONLY the
+    new file (O15's memoization as checkpointed offsets)."""
+    import shutil
+
+    src = tmp_path / "logs"
+    shutil.copytree(log_dir, src)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            registered.readStream.format("rds_logs")
+            .option("instance", "testdb")
+            .option("transport", f"fixture:{src}")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return registered.read.parquet(out)
+
+    first = run_once()
+    n_first = first.count()
+    assert n_first == 6  # all lines of the three fixture files
+    assert {r.file_name for r in first.select("file_name").distinct().collect()} == {
+        "postgresql.log.2019-04-01-09",
+        "postgresql.log.2019-04-01-10",
+        "postgresql.log.2019-04-02-00",
+    }
+
+    (src / "postgresql.log.2019-04-02-01").write_text("new line 1\nnew line 2\n")
+    second = run_once()
+    assert second.count() == n_first + 2
+    new_rows = second.filter("file_name = 'postgresql.log.2019-04-02-01'")
+    assert new_rows.count() == 2
+
+
+def test_stream_skip_newest_holds_back_open_hour(registered, log_dir):
+    from rds_pgbadger_etl_spark.sources.rds_datasource import RdsLogStreamReader
+
+    r = RdsLogStreamReader(
+        {"instance": "testdb", "transport": f"fixture:{log_dir}", "skip_newest": "true"}
+    )
+    rows, end = r.read(r.initialOffset())
+    files = {f for f, _, _ in rows}
+    # 2019-04-02-00 is the newest hour stamp -> held back as "open".
+    assert files == {"postgresql.log.2019-04-01-09", "postgresql.log.2019-04-01-10"}
+    assert "2019-04-02-00" not in end["done"]
