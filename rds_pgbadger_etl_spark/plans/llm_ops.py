@@ -647,6 +647,160 @@ FROM media, unnest(generate_series(0, nf - 1, 2)) AS t(i)
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data assembly: deterministic weighted sampling (data mixing),
+# per-group top-k selection, and quantile (curriculum) bucketing.
+
+
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep rates via hash-mod sampling — the scalable,
+    reshuffle-free way to mix corpus sources at fixed ratios: a pure
+    filter (no sort, no sample() nondeterminism, stable under re-runs
+    and partition changes). Rates derive from the source name so the
+    oracle is seed-free: src N keeps (N % 4 + 1) * 200 per mille."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (F.substring("source", 4, 10).cast("int") % 4 + 1) * 200
+    bucket = hex_hash64(F.col("doc_id").cast("string"), seed="mix:") % 1000
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_SAMPLE_MIX_SQL = """
+SELECT source, count(*) AS n_kept,
+       cast(sum(n_chars) AS bigint) AS sum_chars
+FROM documents
+WHERE cast('0x' || substr(md5('mix:' || cast(doc_id AS varchar)), 1, 15)
+           AS bigint) % 1000
+      < (cast(substr(source, 4) AS int) % 4 + 1) * 200
+GROUP BY source
+"""
+
+
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (rank window + filter): the 'best K documents per
+    language' selection shape. One shuffle on the partition key; rank
+    runs within partitions — no global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+_TOP_DOCS_SQL = """
+SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         cast(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id) AS int) AS rnk
+  FROM documents)
+WHERE rnk <= 3
+"""
+
+
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quantile bucketing per language (curriculum phases by doc
+    length): equal-frequency bins with a deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("tile", F.ntile(4).over(w))
+        .groupBy("lang", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_CURRICULUM_SQL = """
+SELECT lang, tile, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM (
+  SELECT lang, n_chars,
+         cast(ntile(4) OVER (PARTITION BY lang
+                             ORDER BY n_chars, doc_id) AS int) AS tile
+  FROM documents)
+GROUP BY lang, tile
+"""
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: TF-IDF keyword extraction — top-3 terms per document.
+
+    Corpus-wide stats via two hash aggregations (term-frequency, then
+    document-frequency) and one join on term; the rank ordering is
+    integer-only (tf desc, df asc, term) so the top-3 set is bit-stable
+    across engines — the float tfidf is carried as a value, never used
+    to rank. At 100 TB the df table is the vocabulary (small) and
+    broadcast; tf stays partitioned by doc."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    # tf feeds both the per-doc ranking and the document-frequency agg;
+    # without persist Catalyst re-runs the corpus explode for each branch
+    # (two Generate scans — a full duplicate pass at 100 TB, where this
+    # intermediate would be a written table).
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df"), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((1.0 + F.col("n_total")) / (1.0 + F.col("df"))),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_total FROM documents)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT f.doc_id, f.term, f.tf, d.df,
+         f.tf * ln((1.0 + n.n_total) / (1.0 + d.df)) AS tfidf,
+         row_number() OVER (PARTITION BY f.doc_id
+                            ORDER BY f.tf DESC, d.df, f.term) AS rnk
+  FROM tf f JOIN dfreq d USING (term) CROSS JOIN n
+) WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -665,4 +819,8 @@ QUERIES = {
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
     "multimodal_frames": (multimodal_frames, _MULTIMODAL_FRAMES_SQL),
     "pretrain_filter": (pretrain_filter, _PRETRAIN_FILTER_SQL),
+    "sample_weighted_mix": (sample_weighted_mix, _SAMPLE_MIX_SQL),
+    "top_docs_per_lang": (top_docs_per_lang, _TOP_DOCS_SQL),
+    "curriculum_buckets": (curriculum_buckets, _CURRICULUM_SQL),
+    "text_tfidf_top_terms": (text_tfidf_top_terms, _TFIDF_SQL),
 }
