@@ -23,6 +23,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from rds_pgbadger_etl_spark.plans import (
         catalog_oracle,
+        curation,
         llm_ops,
         log_oracle,
         relational,
@@ -30,7 +31,14 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
     )
 
     merged: dict[str, tuple[Callable, str | None]] = {}
-    for mod in (relational, log_oracle, llm_ops, catalog_oracle, streaming_oracle):
+    for mod in (
+        relational,
+        log_oracle,
+        llm_ops,
+        curation,
+        catalog_oracle,
+        streaming_oracle,
+    ):
         for name, entry_pair in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name}")

@@ -1,0 +1,89 @@
+"""Differential + behavioral tests for the curation operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.operators import curation as C
+from rds_pgbadger_etl_spark.plans.curation import QUERIES
+from rds_pgbadger_etl_spark.sources.tables import load_table
+from tests.oracle import compare
+
+CASES = [(name, fn, sql) for name, (fn, sql) in QUERIES.items() if sql]
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
+def test_curation_oracle_match(spark, sf_oracle, name, fn, sql):
+    compare(fn(spark, sf_oracle), sql, sf_oracle)
+
+
+def test_redact_pii_replaces_all_classes(spark):
+    df = spark.createDataFrame(
+        [("write to a.b+c@mail.example.org or 10.1.2.3 or 555-0199 now",)],
+        ["text"],
+    )
+    out = df.select(C.redact_pii("text").alias("t")).first().t
+    assert out == "write to <EMAIL> or <IP> or <PHONE> now"
+
+
+def test_pii_count_does_not_double_count_email_as_ip(spark):
+    df = spark.createDataFrame([("ping user@host.example.com",)], ["text"])
+    row = df.select(
+        C.pii_count("text", "email").alias("e"),
+        C.pii_count("text", "ipv4").alias("i"),
+        C.pii_count("text", "phone").alias("p"),
+    ).first()
+    assert (row.e, row.i, row.p) == (1, 0, 0)
+
+
+def test_decontaminate_drops_benchmark_copies(spark):
+    rows = [
+        (0, "a b c d e f g h i j", "bench"),  # benchmark doc
+        (100, "a b c d e f g h i j", "train"),  # verbatim copy → dropped
+        (101, "z y x w v u t s r q", "train"),  # disjoint → kept
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kept = C.decontaminate(docs, bench_max_id=50)
+    assert [r.doc_id for r in kept.collect()] == [101]
+
+
+def test_repetition_stats_flags_dominated_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam ok"), (2, "a b c d e f g h i j")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in C.repetition_stats(docs).collect()}
+    assert rows[1].flagged == 1 and rows[1].top_cnt == 4
+    assert rows[2].flagged == 0 and rows[2].n_distinct == 10
+
+
+def test_chunk_windows_partial_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 150))], ["doc_id", "text"]
+    )
+    chunks = C.chunk_windows(docs, chunk=64).orderBy("chunk_id").collect()
+    assert [(c.chunk_id, c.chunk_tokens) for c in chunks] == [
+        (0, 64), (1, 64), (2, 22),
+    ]
+
+
+def test_pack_bins_contiguous_offsets(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 1000), "s") for i in range(5)],
+        ["doc_id", "text", "source"],
+    )
+    bins = {r.doc_id: r.bin for r in C.pack_bins(docs, budget=2048).collect()}
+    # offsets 0,1000,2000,3000,4000 → bins 0,0,0,1,1
+    assert bins == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_training_order_is_permutation_stable(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    a = docs.select("doc_id", C.training_order_key("doc_id").alias("k"))
+    b = docs.repartition(13).select(
+        "doc_id", C.training_order_key("doc_id").alias("k")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # keys are collision-free over the corpus
+    assert a.select("k").distinct().count() == docs.count()
