@@ -315,12 +315,18 @@ def dedup_cluster_assignments(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup clustering: pairs (X2) → connected components →
     (id, component, is_canonical) for EVERY document; singletons are
     their own component. ``is_canonical`` (int 0/1) marks the one doc
-    per component a pretraining pipeline keeps (min id — deterministic)."""
-    pairs = near_dup_pairs(df, id_col, text_col, threshold)
+    per component a pretraining pipeline keeps (min id — deterministic).
+
+    ``pairs`` lets callers reuse an already-materialized near-dup pair
+    table (the pair stream is the expensive intermediate — compute it
+    once per corpus, feed every consumer)."""
+    if pairs is None:
+        pairs = near_dup_pairs(df, id_col, text_col, threshold)
     comp = connected_components(pairs, "a", "b")
     out = (
         df.select(id_col)

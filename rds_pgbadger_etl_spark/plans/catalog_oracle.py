@@ -23,17 +23,26 @@ _MAX_RECORDS = 7
 
 
 def _synth_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    named = ev.select(
-        F.concat(
-            F.lit("error/postgresql.log."),
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH"),
-        ).alias("file_name")
-    ).distinct()
-    junk = spark.createDataFrame(
-        [("error/postgresql.log.not-a-date",), ("random.txt",)], ["file_name"]
-    )
-    return named.union(junk)
+    """Synthesized file catalog, materialized once per process (two
+    queries plan over it; a real deployment lists the object store once
+    and plans every downstream step off that snapshot)."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        named = ev.select(
+            F.concat(
+                F.lit("error/postgresql.log."),
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH"),
+            ).alias("file_name")
+        ).distinct()
+        junk = spark.createDataFrame(
+            [("error/postgresql.log.not-a-date",), ("random.txt",)],
+            ["file_name"],
+        )
+        return named.union(junk)
+
+    return shared_df(spark, "synth_catalog", sf_dir, build)
 
 
 _SYNTH_CATALOG_SQL = """

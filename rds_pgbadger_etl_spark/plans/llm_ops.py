@@ -68,9 +68,25 @@ FROM sh GROUP BY doc_id
 """
 
 
+def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs at threshold 0.5, materialized once per
+    process: three queries consume them (pairs, clusters, the composite
+    pretraining filter) — at 100 TB this is the written pair table every
+    dedup consumer reads, not a recomputation per report."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "near_dup_pairs_0.5",
+        sf_dir,
+        lambda: D.near_dup_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.5
+        ),
+    )
+
+
 def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return D.near_dup_pairs(docs, threshold=0.5)
+    return _near_pairs(spark, sf_dir)
 
 
 # CTE chain + final select split out so dedup_clusters can extend the
@@ -120,7 +136,9 @@ WITH {_NEAR_PAIRS_CTES}
 # oracle's scale, while the Spark plan is the one that survives 100 TB.
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.dedup_cluster_assignments(docs, threshold=0.5)
+    return D.dedup_cluster_assignments(
+        docs, threshold=0.5, pairs=_near_pairs(spark, sf_dir)
+    )
 
 
 _DEDUP_CLUSTERS_SQL = f"""
@@ -382,7 +400,7 @@ def pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = gated.join(keeper, "doc_id").drop("_h")
     # near-dup removal: drop the higher doc_id of every confirmed pair
-    dups = D.near_dup_pairs(docs, threshold=0.5).select(
+    dups = _near_pairs(spark, sf_dir).select(
         F.col("b").alias("doc_id")
     ).distinct()
     kept = exact.join(dups, "doc_id", "left_anti")

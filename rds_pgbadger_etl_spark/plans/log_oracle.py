@@ -122,10 +122,36 @@ _PARSE_SQL = f"""
 """
 
 
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed log corpus, materialized once per process: every report
+    query below branches off this — the staging-table pattern (parse
+    once, store, report many) rather than re-running the regex parse
+    per report section."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "parsed_logs",
+        sf_dir,
+        lambda: tokenize(_synth_lines(spark, sf_dir)),
+    )
+
+
+def _parsed_sys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "parsed_sys_logs",
+        sf_dir,
+        lambda: tokenize(_synth_sys_lines(spark, sf_dir)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P1/P3: field extraction + duration — per-user/db rollup.
 def log_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = tokenize(_synth_lines(spark, sf_dir))
+    parsed = _parsed(spark, sf_dir)
     return (
         parsed.withColumn("duration_ms", extract_duration_ms("payload"))
         .groupBy("log_user", F.col("database").alias("db"))
@@ -150,7 +176,7 @@ FROM parsed GROUP BY log_user, db
 
 # P4/P5: normalize + top-N by calls (pgBadger "most frequent queries").
 def log_top_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = tokenize(_synth_lines(spark, sf_dir))
+    parsed = _parsed(spark, sf_dir)
     return (
         parsed.withColumn("nq", normalize_query(extract_statement("payload")))
         .groupBy(F.col("nq").alias("normalized_query"))
@@ -179,7 +205,7 @@ ORDER BY calls DESC, normalized_query LIMIT 10
 
 # P6: hourly histogram over the parsed timestamp.
 def log_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = tokenize(_synth_lines(spark, sf_dir))
+    parsed = _parsed(spark, sf_dir)
     return (
         parsed.filter(F.col("event_ts").isNotNull())
         .groupBy(F.date_trunc("hour", "event_ts").alias("bucket"))
@@ -203,7 +229,7 @@ GROUP BY date_trunc('hour', event_ts)
 
 # P8: severity breakdown (ERROR/WARNING filter → group → count).
 def log_error_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = tokenize(_synth_lines(spark, sf_dir))
+    parsed = _parsed(spark, sf_dir)
     return (
         parsed.filter(F.col("level").isin("ERROR", "FATAL", "PANIC", "WARNING"))
         .groupBy("level", "log_user")
@@ -224,7 +250,7 @@ GROUP BY level, log_user
 # exactly like DuckDB quantile_cont; at 100 TB switch to
 # percentile_approx — t-digest-style, mergeable map-side).
 def log_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = tokenize(_synth_lines(spark, sf_dir))
+    parsed = _parsed(spark, sf_dir)
     return (
         parsed.withColumn("duration_ms", extract_duration_ms("payload"))
         .groupBy(F.col("database").alias("db"))
@@ -254,7 +280,7 @@ FROM parsed GROUP BY db
 # P9: pgBadger's per-user/db/host connection breakdowns — ONE cube pass
 # (GROUPING SETS) instead of three separate groupBys.
 def log_connections_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = tokenize(_synth_lines(spark, sf_dir))
+    parsed = _parsed(spark, sf_dir)
     return parsed.cube("log_user", F.col("database").alias("db")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("pid").alias("n_pids"),
@@ -398,7 +424,7 @@ _SESSION_RE = r"session time: (\d+):(\d{2}):(\d{2})\.(\d{3})"
 # reports as "Sessions per user/database"). Total time kept as exact
 # bigint milliseconds; only the final avg divides.
 def log_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = tokenize(_synth_sys_lines(spark, sf_dir))
+    parsed = _parsed_sys(spark, sf_dir)
     p = F.col("payload")
     part = lambda i: F.regexp_extract(p, _SESSION_RE, i).cast("bigint")  # noqa: E731
     session_ms = (
@@ -443,7 +469,7 @@ GROUP BY log_user, db
 # Lock wait "M.mmm ms" is summed as exact integer microseconds, never
 # floats (map-side sum order would change a float total).
 def log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = tokenize(_synth_sys_lines(spark, sf_dir))
+    parsed = _parsed_sys(spark, sf_dir)
     p = F.col("payload")
     cls = (
         F.when(p.contains("temporary file:"), "tempfile")
