@@ -91,17 +91,23 @@ def decontaminate(
 
     The benchmark gram set is broadcast (a benchmark is small by
     definition); the corpus-side grams are filtered to training docs
-    *before* the explode so the scan prunes the benchmark rows. Returns
-    the kept training docs."""
+    *before* the explode so the scan prunes the benchmark rows, and the
+    train grams are NOT pre-deduplicated — the broadcast semi-join
+    discards almost all of them, so the only shuffle is the tiny
+    contaminated-id distinct. Returns the kept training docs."""
+    from rds_pgbadger_etl_spark.operators.dedup import word_ngrams
+
     train = docs.filter(F.col("doc_id") >= bench_max_id)
     bench_grams = (
         word_ngram_grams(docs.filter(F.col("doc_id") < bench_max_id), n)
         .select("gram")
         .distinct()
     )
+    train_grams = word_ngrams(train, n=n, cap=DECON_WORD_CAP).withColumnRenamed(
+        "shingle", "gram"
+    )
     contaminated = (
-        word_ngram_grams(train, n)
-        .join(F.broadcast(bench_grams), "gram")
+        train_grams.join(F.broadcast(bench_grams), "gram", "leftsemi")
         .select("doc_id")
         .distinct()
     )

@@ -649,6 +649,26 @@ FROM (SELECT c_nationkey AS nationkey FROM customer
 """
 
 
+# --------------------------------------------------------------------------
+# The 100 TB scale path for q03 (distinct) and q09 (percentiles): sketch
+# aggregates — HyperLogLog++ count-distinct and quantile-sketch
+# percentiles. One map-side-combinable aggregation, constant memory per
+# group, no sort; the mergeable sketches are what survive a 1000-executor
+# fan-in where exact distinct/percentile would shuffle the full column.
+# Approximate by design ⇒ no SQL oracle (driver records the rows-only
+# check); tests/test_relational.py bounds the error against the exact
+# twins instead.
+def q22_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+            "value_quantiles"
+        ),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -671,4 +691,5 @@ QUERIES = {
     "q19_below_avg_quantity": (q19_below_avg_quantity, _Q19_SQL),
     "q20_rollup": (q20_rollup, _Q20_SQL),
     "q21_set_ops": (q21_set_ops, _Q21_SQL),
+    "q22_sketch_profile": (q22_sketch_profile, None),
 }

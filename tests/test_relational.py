@@ -22,3 +22,30 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_sketch_profile_bounds_vs_exact(spark, sf_oracle):
+    """q22's sketches must track the exact answers: HLL within its 2%
+    design rsd (×3 safety) and quantile-sketch within the value spread."""
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.plans.relational import q22_sketch_profile
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+
+    approx = {r.event_type: r for r in q22_sketch_profile(spark, sf_oracle).collect()}
+    exact = {
+        r.event_type: r
+        for r in load_table(spark, sf_oracle, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", 0.5).alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users)
+        assert len(a.value_quantiles) == 3
+        assert abs(a.value_quantiles[0] - e.p50) <= 0.05 * max(1.0, abs(e.p50))
