@@ -669,6 +669,110 @@ def q22_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Full outer join: reconcile two aggregates keyed on nation — rows
+# surviving from either side with coalesced defaults (the reconciliation/
+# diff-report shape). Both sides pre-aggregate before the join, so the
+# shuffle carries one row per nation, not per customer/supplier.
+def q23_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    su = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cu.join(su, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+_Q23_SQL = """
+SELECT nationkey,
+       cast(coalesce(n_cust, 0) AS bigint) AS n_cust,
+       cast(coalesce(n_supp, 0) AS bigint) AS n_supp
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      FROM customer WHERE c_custkey % 7 = 0 GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      FROM supplier WHERE s_suppkey % 3 = 0 GROUP BY 1) s
+USING (nationkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot (crosstab): event counts per user bucket × event type. Spark's
+# pivot with an EXPLICIT value list compiles to one hash aggregate (no
+# second pass to discover values — at 100 TB the value-discovery scan is
+# the difference between one job and two).
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q24_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("int"))
+        .groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_bucket",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+_Q24_SQL = f"""
+SELECT cast(user_id % 10 AS int) AS user_bucket,
+       {", ".join(
+           f"cast(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS bigint)"
+           f" AS {t}" for t in EVENT_TYPES
+       )}
+FROM events GROUP BY user_bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Relative-rank analytics: percent_rank/cume_dist per status over a
+# deterministic (tie-broken) ordering; the filter keeps the top 0.5% —
+# the "flag outlier rows by in-group rank" shape. Both engines evaluate
+# (rank-1)/(n-1) on identical integers, so the doubles compare bit-equal.
+def q25_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("pr") >= 0.995)
+    )
+
+
+_Q25_SQL = """
+SELECT o_orderstatus, o_orderkey, o_totalprice, pr, cd FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+) WHERE pr >= 0.995
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -692,4 +796,7 @@ QUERIES = {
     "q20_rollup": (q20_rollup, _Q20_SQL),
     "q21_set_ops": (q21_set_ops, _Q21_SQL),
     "q22_sketch_profile": (q22_sketch_profile, None),
+    "q23_full_outer": (q23_full_outer, _Q23_SQL),
+    "q24_pivot": (q24_pivot, _Q24_SQL),
+    "q25_percent_rank": (q25_percent_rank, _Q25_SQL),
 }

@@ -116,8 +116,55 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming dedup (dropDuplicatesWithinWatermark,
+    availableNow, memory sink) against a deliberately DOUBLED stream —
+    the same source unioned with itself, i.e. an at-least-once upstream
+    delivering everything twice — and aggregates the survivors. The
+    oracle counts each event once, so the hash only matches if the
+    dedup state dropped every duplicate."""
+    import tempfile
+    import uuid
+
+    from rds_pgbadger_etl_spark.streaming.ingest import (
+        dedup_events,
+        read_event_stream,
+        run_available_now,
+    )
+
+    doubled = read_event_stream(spark, sf_dir).unionByName(
+        read_event_stream(spark, sf_dir)
+    )
+    agg = (
+        dedup_events(doubled)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+    name = f"dedup_counts_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        agg,
+        tempfile.mkdtemp(prefix="ckpt_dedup_"),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sum_cents
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
+    "stream_dedup_counts": (stream_dedup_counts, _STREAM_DEDUP_SQL),
     "stream_session_windows": (stream_session_windows, _STREAM_SESSION_SQL),
     "stream_running_totals": (stream_running_totals, _STREAM_RUNNING_SQL),
 }

@@ -142,6 +142,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per ``event_id``,
+    with state expiring at the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the exactly-once guard in
+    front of an at-least-once upstream (retried file drops, replayed
+    Kinesis shards). State size is bounded by ids-per-watermark-window,
+    not by stream history."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(
     agg: DataFrame, checkpoint_dir: str, query_name: str,
     output_mode: str = "append",
