@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="newest-K closed-hour files to process (reference default 5)")
     p.add_argument("--html", default=None,
                    help="also render the one-file HTML report here")
+    p.add_argument("--incremental", action="store_true",
+                   help="cron mode: process every closed-hour file not yet "
+                        "in the out-dir manifest (idempotent re-runs)")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     return p
 
@@ -107,6 +110,56 @@ def run_pipeline(
     return {"files": len(selected), "events": n_events}
 
 
+def run_incremental(
+    spark,
+    log_dir: str,
+    out_dir: str,
+    reference_dt: datetime,
+) -> dict[str, int]:
+    """The reference's cron mode (Dockerfile:15: run hourly, process
+    what's new, skip what's done) for a staged local/object-store dir.
+
+    Idempotency is an explicit manifest of processed file names — the
+    inspectable equivalent of Luigi's target-existence memoization
+    (rds_pgbadger.py:25-26,44-45,70-71). A still-open reference-hour
+    file is *not* added to the manifest, so the next run picks it up
+    once its hour closes — the retry semantics a streaming file-source
+    checkpoint cannot express (a source-tracked file is never
+    re-offered). Events append hour-partitioned with dynamic partition
+    overwrite, so a re-processed hour replaces exactly itself.
+    """
+    from rds_pgbadger_etl_spark.operators.logparse import parse_logs
+    from rds_pgbadger_etl_spark.sinks.report_sink import write_events_partitioned
+    from rds_pgbadger_etl_spark.sources.logcatalog import select_log_files
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = os.path.join(out_dir, "_processed_files.txt")
+    done: set[str] = set()
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            done = set(f.read().split())
+
+    names = [
+        f for f in os.listdir(log_dir)
+        if os.path.isfile(os.path.join(log_dir, f))
+    ]
+    catalog = spark.createDataFrame([(n,) for n in names] or [("",)], ["file_name"])
+    closed = [
+        r.file_name
+        for r in select_log_files(catalog, reference_dt, max_records=None).collect()
+    ]
+    todo = [n for n in closed if n not in done]
+    if todo:
+        events = parse_logs(spark, [os.path.join(log_dir, n) for n in todo])
+        write_events_partitioned(events, os.path.join(out_dir, "events"))
+        # atomic manifest update (temp + rename), mirroring O13
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(sorted(done | set(todo))) + "\n")
+        os.replace(tmp, manifest)
+    return {"files": len(todo), "skipped": len(closed) - len(todo)}
+
+
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     if not args.log_dir or not args.out_dir:
@@ -115,6 +168,15 @@ def main(argv: list[str] | None = None) -> None:
     from rds_pgbadger_etl_spark.session import get_spark
 
     spark = get_spark(app_name="rds-pgbadger-etl-spark", cpus=args.cpus)
+    if args.incremental:
+        stats = run_incremental(
+            spark,
+            args.log_dir,
+            args.out_dir,
+            _parse_reference(args.reference_datetime),
+        )
+        print(f"processed {stats['files']} new files ({stats['skipped']} already done)")
+        return
     stats = run_pipeline(
         spark,
         args.log_dir,

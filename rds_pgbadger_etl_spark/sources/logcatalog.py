@@ -43,7 +43,7 @@ def file_timestamp(col) -> F.Column:
 def select_log_files(
     files: DataFrame,
     reference_dt: datetime,
-    max_records: int = 5,
+    max_records: int | None = 5,
     name_col: str = "file_name",
 ) -> DataFrame:
     """Pick the newest ``max_records`` *closed*-hour files at or before
@@ -52,14 +52,18 @@ def select_log_files(
 
     Output: file_name, file_ts (desc order). The reference-hour file is
     excluded because it is still being written (O5 — the batch twin of a
-    1-hour watermark).
+    1-hour watermark). ``max_records=None`` means every closed hour —
+    expressed by OMITTING the limit, never by a huge K: ``.limit(k)``
+    compiles to TakeOrderedAndProject, which allocates a k-sized top-K
+    buffer per partition.
     """
     ref_hour = reference_dt.replace(minute=0, second=0, microsecond=0)
-    return (
+    out = (
         files.withColumn("file_ts", file_timestamp(name_col))
         .filter(F.col("file_ts").isNotNull())
         .filter(F.col("file_ts") < F.lit(ref_hour))  # closed hours only
         .orderBy(F.col("file_ts").desc(), F.col(name_col).desc())
-        .limit(max_records)
-        .select(name_col, "file_ts")
     )
+    if max_records is not None:
+        out = out.limit(max_records)
+    return out.select(name_col, "file_ts")

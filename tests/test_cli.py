@@ -62,3 +62,25 @@ def test_parse_reference_formats():
     assert _parse_reference("2024-01-15-12") == datetime(2024, 1, 15, 12, 0)
     assert _parse_reference("2024-01-15T01:02:03") == datetime(2024, 1, 15, 1, 2, 3)
     assert _parse_reference(None).year >= 2024
+
+
+def test_run_incremental_manifest_semantics(spark, tmp_path):
+    from rds_pgbadger_etl_spark.cli import run_incremental
+
+    log_dir = _stage(tmp_path, ["2024-01-15-09", "2024-01-15-10"])
+    out_dir = str(tmp_path / "out_inc")
+    ref = datetime(2024, 1, 15, 10, 0)
+
+    # run 1: hour 09 is closed, hour 10 is the open reference hour
+    s1 = run_incremental(spark, log_dir, out_dir, ref)
+    assert s1 == {"files": 1, "skipped": 0}
+    # run 2: nothing new
+    s2 = run_incremental(spark, log_dir, out_dir, ref)
+    assert s2 == {"files": 0, "skipped": 1}
+    # hour 10 closes (reference advances): exactly it gets processed
+    s3 = run_incremental(spark, log_dir, out_dir, datetime(2024, 1, 15, 11, 0))
+    assert s3 == {"files": 1, "skipped": 1}
+
+    events = spark.read.parquet(f"{out_dir}/events")
+    hours = {str(r.log_hour) for r in events.select("log_hour").distinct().collect()}
+    assert hours == {"9", "10"}
