@@ -1,0 +1,111 @@
+"""Data-layout maintenance for partitioned event tables: compaction and
+sort-for-skipping.
+
+Incremental runs (cli.run_incremental, streaming append sinks) leave
+many small files per hour partition — the classic small-file problem: at
+100 TB the listing pressure and per-file open cost dominate scans long
+before CPU does. Compaction rewrites each partition to size-targeted
+files; sorting rows by the filter column within each file makes parquet
+row-group min/max stats selective, so point/range scans skip whole row
+groups (single-column clustering — what log timelines need).
+
+Safety: the rewrite materializes the compacted rows (localCheckpoint)
+BEFORE overwriting, so the write never reads the files it is replacing.
+That bounds this utility to compaction jobs that fit executor storage —
+the right granularity anyway: at scale you compact a few partitions per
+run (pass them as a filter), or use a transactional table format whose
+commit protocol does the swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def partition_file_stats(
+    spark: SparkSession, table_dir: str, partition_cols: list[str]
+) -> DataFrame:
+    """Per-partition file count and byte totals from the `_metadata`
+    column — the health check that decides when to compact."""
+    return (
+        spark.read.parquet(table_dir)
+        .select(
+            *partition_cols,
+            F.col("_metadata.file_path").alias("_path"),
+            F.col("_metadata.file_size").alias("_bytes"),
+        )
+        .dropDuplicates(["_path"])
+        .groupBy(*partition_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("_bytes").alias("part_bytes"),
+        )
+    )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    partition_filter: Column | None = None,
+) -> None:
+    """Rewrite partitions of a parquet table with size-targeted files
+    and optional within-file ordering.
+
+    File count per partition derives from that partition's actual bytes
+    (a skewed hour gets more files, a quiet hour gets one); rows are
+    salted into exactly that many buckets, so one shuffle + one dynamic
+    partition overwrite rewrites everything. ``partition_filter`` limits
+    the rewrite to chosen partitions (the scale path: compact recent
+    hours per run, not the whole table).
+    """
+    df = spark.read.parquet(table_dir)
+    if partition_filter is not None:
+        df = df.filter(partition_filter)
+    sizes = (
+        df.select(
+            *partition_cols,
+            F.col("_metadata.file_path").alias("_path"),
+            F.col("_metadata.file_size").alias("_bytes"),
+        )
+        .dropDuplicates(["_path"])
+        .groupBy(*partition_cols)
+        .agg(F.sum("_bytes").alias("part_bytes"))
+        .collect()
+    )
+    if not sizes:
+        return
+    n_map = [
+        tuple(r[c] for c in partition_cols)
+        + (int(max(1, -(-r.part_bytes // target_file_bytes))),)
+        for r in sizes
+    ]
+    map_df = F.broadcast(
+        spark.createDataFrame(n_map, partition_cols + ["_n_files"])
+    )
+    total_files = sum(r[-1] for r in n_map)
+    salted = (
+        df.join(map_df, partition_cols)
+        .withColumn(
+            "_file_idx",
+            F.pmod(F.hash(F.monotonically_increasing_id()), F.col("_n_files")),
+        )
+        .repartition(total_files, *partition_cols, F.col("_file_idx"))
+    )
+    # keep each output partition-dir's rows contiguous within the task
+    # (one open writer at a time), then the skip column
+    order = list(partition_cols) + (sort_cols or [])
+    salted = salted.sortWithinPartitions(*order)
+    # detach from the source files before overwriting them
+    ready = salted.drop("_n_files", "_file_idx").localCheckpoint(eager=True)
+    (
+        ready.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(table_dir)
+    )

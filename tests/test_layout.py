@@ -1,0 +1,79 @@
+"""Compaction / layout-maintenance tests."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.sinks.layout import (
+    compact_partitioned,
+    partition_file_stats,
+)
+from rds_pgbadger_etl_spark.sources.tables import load_table
+
+
+def _parquet_files(table_dir: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(f"{table_dir}/**/*.parquet", recursive=True)
+        if "_temporary" not in p
+    ]
+
+
+def _write_fragmented(spark, sf_dir, out: str, n_chunks: int = 8) -> int:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "log_date", F.to_date("ts")
+    )
+    for i in range(n_chunks):  # n_chunks small appends -> many tiny files
+        (
+            ev.filter(F.col("event_id") % n_chunks == i)
+            .write.mode("append")
+            .partitionBy("log_date")
+            .parquet(out)
+        )
+    return ev.count()
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "events_table")
+    n_rows = _write_fragmented(spark, sf_smoke, out)
+    before = len(_parquet_files(out))
+
+    compact_partitioned(
+        spark, out, ["log_date"], sort_cols=["ts"], target_file_bytes=1 << 30
+    )
+    after_files = _parquet_files(out)
+    compacted = spark.read.parquet(out)
+
+    n_parts = compacted.select("log_date").distinct().count()
+    assert len(after_files) == n_parts < before
+    assert compacted.count() == n_rows
+    # within-file ordering: each file's rows are ts-sorted
+    one = spark.read.parquet(after_files[0]).select("ts").collect()
+    ts = [r.ts for r in one]
+    assert ts == sorted(ts)
+
+
+def test_partition_filter_limits_rewrite(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "events_partial")
+    _write_fragmented(spark, sf_smoke, out, n_chunks=4)
+    stats = {
+        str(r.log_date): r.n_files
+        for r in partition_file_stats(spark, out, ["log_date"]).collect()
+    }
+    target = sorted(stats)[0]
+    compact_partitioned(
+        spark,
+        out,
+        ["log_date"],
+        target_file_bytes=1 << 30,
+        partition_filter=F.col("log_date") == target,
+    )
+    after = {
+        str(r.log_date): r.n_files
+        for r in partition_file_stats(spark, out, ["log_date"]).collect()
+    }
+    assert after[target] == 1
+    untouched = {d: n for d, n in stats.items() if d != target}
+    assert {d: n for d, n in after.items() if d != target} == untouched
