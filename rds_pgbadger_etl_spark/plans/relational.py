@@ -709,9 +709,11 @@ USING (nationkey)
 
 # --------------------------------------------------------------------------
 # Pivot (crosstab): event counts per user bucket × event type. Spark's
-# pivot with an EXPLICIT value list compiles to one hash aggregate (no
-# second pass to discover values — at 100 TB the value-discovery scan is
-# the difference between one job and two).
+# pivot with an EXPLICIT value list stays one linear job — partial
+# (bucket, type) aggregate, then the pivotfirst rollup, both shuffling
+# only pre-aggregated rows. Without the value list Spark first runs an
+# eager collect-distinct over event_type: at 100 TB that is a second
+# full scan before the real job can even plan.
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

@@ -54,3 +54,38 @@ def test_minhash_aggregate_is_hash_not_sort(spark, sf_oracle):
     # a string min would silently fall back to SortAggregate over the
     # whole exploded shingle stream (~10x slower).
     assert "SortAggregate" not in plan
+
+
+def test_decontaminate_joins_broadcast(spark, sf_oracle):
+    plan = _formatted_plan(spark, E.queries()["decontaminate"](spark, sf_oracle))
+    # the benchmark gram set broadcasts (semi) and the corpus-side gram
+    # stream never sort-merge-joins
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pivot_is_single_linear_job(spark, sf_oracle):
+    import re
+
+    plan = _formatted_plan(spark, E.queries()["q24_pivot"](spark, sf_oracle))
+    # explicit value list => no eager value-discovery job; the plan is
+    # one linear pipeline: partial (bucket,type) aggregate, then the
+    # pivotfirst rollup — two narrow exchanges of pre-aggregated rows
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 2
+    assert "pivotfirst" in plan and "SortAggregate" not in plan
+
+
+def test_pack_sequences_single_shuffle_window(spark, sf_oracle):
+    import re
+
+    plan = _formatted_plan(spark, E.queries()["pack_sequences"](spark, sf_oracle))
+    # ONE exchange total: the cumsum window shuffles on source, and the
+    # downstream (source, bin) aggregate reuses that partitioning
+    # (source is a prefix of the grouping) — no second wide shuffle
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 1
+
+
+def test_training_order_is_topk(spark, sf_oracle):
+    plan = _formatted_plan(spark, E.queries()["training_order"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
