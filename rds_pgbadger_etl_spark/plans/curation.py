@@ -313,8 +313,45 @@ ORDER BY shuffle_key LIMIT {_SHUFFLE_TOPN}
 """
 
 
+# ---------------------------------------------------------------------------
+# Stratified exact-k sampling: exactly k docs per (lang, source) stratum,
+# chosen uniformly-at-random but deterministically (seeded-hash order) —
+# the eval-holdout / per-stratum mixing primitive. Same one-shuffle rank
+# shape as top-k-per-group; the hash order makes it a sample, not a top.
+
+_STRATUM_K = 2
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("skey")
+    return (
+        docs.select(
+            "lang", "source", "doc_id",
+            C.training_order_key("doc_id", seed="strat:").alias("skey"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _STRATUM_K)
+        .drop("skey")
+    )
+
+
+_STRATIFIED_SQL = f"""
+SELECT lang, source, doc_id, rk FROM (
+  SELECT lang, source, doc_id,
+         cast(row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY cast('0x' || substr(md5('strat:' || cast(doc_id AS varchar)),
+                                        1, 15) AS bigint)
+         ) AS int) AS rk
+  FROM documents
+) WHERE rk <= {_STRATUM_K}
+"""
+
+
 QUERIES = {
     "pii_redaction": (pii_redaction, _PII_SQL),
+    "stratified_sample": (stratified_sample, _STRATIFIED_SQL),
     "decontaminate": (decontaminate, _DECON_SQL),
     "repetition_filter": (repetition_filter, _REPETITION_SQL),
     "chunk_windows": (chunk_windows, _CHUNK_SQL),
