@@ -251,15 +251,25 @@ GROUP BY level, log_user
 # percentile_approx — t-digest-style, mergeable map-side).
 def log_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = _parsed(spark, sf_dir)
+    # array-form percentile: one sorted buffer per group, not three
+    pcts = F.percentile(
+        "duration_ms", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     return (
         parsed.withColumn("duration_ms", extract_duration_ms("payload"))
         .groupBy(F.col("database").alias("db"))
         .agg(
-            F.percentile("duration_ms", 0.5).alias("p50"),
-            F.percentile("duration_ms", 0.9).alias("p90"),
-            F.percentile("duration_ms", 0.99).alias("p99"),
+            pcts.alias("pcts"),
             F.max("duration_ms").alias("max_ms"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "db",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "max_ms",
+            "n",
         )
     )
 
