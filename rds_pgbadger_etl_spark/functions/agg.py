@@ -16,9 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 6 fractional digits is enough for the price-like doubles in the corpus;
-# 32 total digits keeps ~1e25 of headroom for 100 TB-scale sums.
-_DECIMAL = "decimal(32,6)"
+# 6 fractional digits is enough for the price-like doubles in the corpus.
+# 18 total digits keeps the per-value cast on the long-backed Decimal
+# fast path (precision <= 18 avoids BigDecimal, ~20% cheaper); Spark
+# widens the SUM accumulator to decimal(28,6) on its own, so sum
+# headroom is ~1e22 — ample for 100 TB-scale totals.
+_DECIMAL = "decimal(18,6)"
 
 
 def exact_sum(col: Column | str, alias: str | None = None) -> Column:
