@@ -133,13 +133,19 @@ def pair_jaccard(
     The candidate side is tiny (LSH keeps it ∝ true near-dups), so both
     joins broadcast and the set intersection runs per-pair on two
     in-memory arrays — no exploded shingle join, no pair-level shuffle.
+
+    Both broadcasts are forced, not left to AQE: the first broadcasts the
+    bare (a, b) id pairs against the partitioned profile; the second
+    broadcasts that result (|pairs| rows, each shingle_set capped at
+    TEXT_CAP entries, so the broadcast is bounded) so the heavy profile
+    is never shuffled in either join.
     """
     prof_a = profile.select(F.col(id_col).alias("a"), F.col("shingle_set").alias("sa"))
     prof_b = profile.select(F.col(id_col).alias("b"), F.col("shingle_set").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
+    with_a = prof_a.join(F.broadcast(pairs.select("a", "b")), "a")
     return (
-        pairs.join(prof_a, "a")
-        .join(prof_b, "b")
+        prof_b.join(F.broadcast(with_a), "b")
         .select(
             "a",
             "b",

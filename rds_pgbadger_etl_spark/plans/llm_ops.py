@@ -764,8 +764,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency) and one join on term; the rank ordering is
     integer-only (tf desc, df asc, term) so the top-3 set is bit-stable
     across engines — the float tfidf is carried as a value, never used
-    to rank. At 100 TB the df table is the vocabulary (small) and
-    broadcast; tf stays partitioned by doc."""
+    to rank. The df-table join is deliberately NOT broadcast-hinted: at
+    100 TB of web text the raw vocabulary is hundreds of millions of
+    terms and not broadcastable, so the join shuffles on ``term`` and AQE
+    promotes it to broadcast only when the measured size allows (as it
+    does at test scale). Only the one-row corpus count broadcasts
+    unconditionally."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -787,7 +791,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").desc(), F.col("df"), F.col("term")
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_total))
         .withColumn(
             "tfidf",

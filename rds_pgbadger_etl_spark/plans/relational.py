@@ -674,12 +674,25 @@ FROM (SELECT c_nationkey AS nationkey FROM customer
 # twins instead.
 def q22_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
-            "value_quantiles"
-        ),
+    # Scalar projections of the quantile-sketch array: the driver's
+    # canonicalizer sorts on every column and can't hash list cells, so the
+    # array form is projected to p50/p95/p99 (same pattern as q09).
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            q.alias("value_quantiles"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "approx_users",
+            F.round(F.col("value_quantiles")[0], 6).alias("p50_approx"),
+            F.round(F.col("value_quantiles")[1], 6).alias("p95_approx"),
+            F.round(F.col("value_quantiles")[2], 6).alias("p99_approx"),
+        )
     )
 
 

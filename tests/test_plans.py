@@ -89,3 +89,22 @@ def test_pack_sequences_single_shuffle_window(spark, sf_oracle):
 def test_training_order_is_topk(spark, sf_oracle):
     plan = _formatted_plan(spark, E.queries()["training_order"](spark, sf_oracle))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pair_jaccard_broadcasts_candidate_pairs(spark, sf_oracle):
+    plan = _formatted_plan(
+        spark, E.queries()["dedup_near_pairs"](spark, sf_oracle)
+    )
+    # both verify joins are forced broadcasts of the (bounded) candidate
+    # side — the heavy shingle-set profile is never shuffled
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_vocabulary_join_not_hinted(spark, sf_oracle):
+    df = E.queries()["text_tfidf_top_terms"](spark, sf_oracle)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly ONE broadcast hint (the 1-row corpus count); the vocabulary
+    # join must stay hint-free so AQE decides by measured size — a forced
+    # broadcast of a 100 TB-corpus vocabulary would OOM the driver
+    assert analyzed.count("ResolvedHint") == 1
