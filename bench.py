@@ -7,9 +7,11 @@ line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the ``noop`` sink (full computation,
 no driver-side collect — measures the engine, not result transfer). Each
-query runs twice and reports the better run: the first execution of a
-plan pays one-time JIT/codegen compilation that steady-state production
-runs don't, and single-shot numbers on a shared box carry ±2s noise.
+query runs twice; the headline per-query number is the better run (the
+first execution of a plan pays one-time JIT/codegen compilation that
+steady-state production runs don't, and single-shot numbers on a shared
+box carry ±2s noise), and the first-run times are ALSO reported under
+``"cold"`` so round-over-round comparisons can see both.
 """
 
 from __future__ import annotations
@@ -41,14 +43,16 @@ def main() -> None:
     spark.range(1_000).select(cosine_batch(arr, arr)).collect()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in sorted(entry_mod.queries().items()):
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 4)
+        timings[name] = round(min(runs), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -58,6 +62,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
+                "cold_total": round(sum(cold.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -266,18 +266,24 @@ def connected_components(
     converges to the smallest vertex id in its component.
 
     Iterative DataFrame algorithm (the one genuinely iterative operator in
-    the engine): per round, every vertex takes the min of its own label
-    and its neighbors' labels — one shuffle (the groupBy) per round, and
-    ``localCheckpoint`` truncates the lineage so round N's plan doesn't
-    replay rounds 1..N-1. Rounds needed = graph diameter, which for
-    near-dup clusters is small (tight cliques from LSH band collisions);
-    for adversarial long-chain graphs switch to the large-star/small-star
-    alternation (Kiveris et al., "Connected Components in MapReduce and
-    Beyond"), which converges in O(log n) rounds on the same primitive.
+    the engine): per round, every vertex takes (1) the min of its own
+    label and its neighbors' labels, then (2) a pointer-jump — its
+    label's own label (``component ← label(component)``, valid because a
+    label is always a vertex id in the same component). Step 1 alone
+    needs diameter rounds; the jump doubles the resolved pointer distance
+    per round, so long chains (the LSH-adversarial case: near-dup pairs
+    forming a path, not a clique) converge in O(log n) rounds — same
+    bound as the large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") with simpler per-
+    round plans: one groupBy + two joins, each shuffling (vertex, label)
+    pairs only. ``localCheckpoint`` truncates the lineage so round N's
+    plan doesn't replay rounds 1..N-1.
 
     Returns (vertex, component) for every vertex appearing in ``edges``;
     component = min vertex id of the component. Convergence is detected
-    by the (monotonically decreasing) sum of labels going stable.
+    by the (monotonically decreasing) sum of labels going stable: both
+    steps only ever lower a label, so a stable sum is a fixed point —
+    labels constant across every edge, i.e. per-component minima.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = e.union(
@@ -299,13 +305,26 @@ def connected_components(
             .groupBy("vertex")
             .agg(F.min("component").alias("nbr_min"))
         )
+        propagated = labels.join(nbr_min, "vertex", "left").select(
+            "vertex",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("component"),
+        )
+        # pointer jump: component <- label(component). Left join: a
+        # label is itself a vertex, so the lookup hits unless already
+        # the component min (then coalesce keeps it).
+        lookup = propagated.select(
+            F.col("vertex").alias("l_vertex"),
+            F.col("component").alias("l_component"),
+        )
         labels = (
-            labels.join(nbr_min, "vertex", "left")
+            propagated.join(
+                lookup, propagated.component == lookup.l_vertex, "left"
+            )
             .select(
                 "vertex",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
+                F.coalesce("l_component", "component").alias("component"),
             )
             .localCheckpoint()
         )

@@ -646,6 +646,37 @@ FROM documents
 """
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 decode, end-to-end REAL: synthesize BMP/WAV bytes per doc
+    (dims/rate are closed-form in the text length), then parse the
+    binary headers back with the native codecs. The oracle recomputes
+    the same metadata from the closed forms — so a hash match proves the
+    encoder and the header decoder agree byte-for-byte (incl. BMP row
+    padding and WAV chunk layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_media(M.attach_real_media(docs))
+
+
+_MULTIMODAL_DECODE_SQL = """
+WITH d AS (SELECT doc_id, length(text) AS ln FROM documents),
+bmp AS (SELECT doc_id, ln % 31 + 1 AS w, ln % 17 + 1 AS h FROM d WHERE doc_id % 2 = 0)
+SELECT doc_id, 'bmp' AS media_kind,
+       cast(w AS int) AS width, cast(h AS int) AS height,
+       cast(24 AS int) AS bit_depth, cast(3 AS int) AS channels,
+       cast(-1 AS int) AS sample_rate, cast(-1 AS bigint) AS n_samples,
+       cast(54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h AS bigint) AS byte_len
+FROM bmp
+UNION ALL
+SELECT doc_id, 'wav' AS media_kind,
+       cast(-1 AS int) AS width, cast(-1 AS int) AS height,
+       cast(16 AS int) AS bit_depth, cast(1 AS int) AS channels,
+       cast(8000 + (ln % 5) * 2000 AS int) AS sample_rate,
+       cast(ln % 1000 + 1 AS bigint) AS n_samples,
+       cast(44 + 2 * (ln % 1000 + 1) AS bigint) AS byte_len
+FROM d WHERE doc_id % 2 = 1
+"""
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.sample_frames(M.attach_binary(docs))
@@ -839,6 +870,7 @@ QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
     "embedding_near_dups": (embedding_near_dups, _EMB_NEAR_DUPS_SQL),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
+    "multimodal_decode": (multimodal_decode, _MULTIMODAL_DECODE_SQL),
     "multimodal_frames": (multimodal_frames, _MULTIMODAL_FRAMES_SQL),
     "pretrain_filter": (pretrain_filter, _PRETRAIN_FILTER_SQL),
     "sample_weighted_mix": (sample_weighted_mix, _SAMPLE_MIX_SQL),

@@ -203,6 +203,45 @@ ORDER BY calls DESC, normalized_query LIMIT 10
 """
 
 
+# P3/P5 (pgBadger "slowest individual queries"): top-K raw statements by
+# duration, with the un-normalized SQL text and its context — unlike
+# log_top_queries this keeps each statement as an individual example
+# rather than grouping by normalized form. Top-K compiles to
+# TakeOrderedAndProject (per-partition heap + driver merge of K rows),
+# never a global sort — the 100 TB shape. Ties break on the raw
+# statement text (unique per event), so the top-K set is deterministic.
+def log_slowest_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed(spark, sf_dir)
+    return (
+        parsed.withColumn("statement", extract_statement("payload"))
+        .withColumn("duration_ms", extract_duration_ms("payload").cast("bigint"))
+        .filter(F.col("statement").isNotNull() & F.col("duration_ms").isNotNull())
+        .select(
+            F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+            "log_user",
+            F.col("database").alias("db"),
+            "duration_ms",
+            "statement",
+        )
+        .orderBy(F.col("duration_ms").desc(), "statement")
+        .limit(25)
+    )
+
+
+_LOG_SLOWEST_SQL = f"""
+WITH lines AS ({_SYNTH_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT strftime(event_ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+       log_user, db,
+       cast(duration_ms AS bigint) AS duration_ms,
+       regexp_extract(payload, '{_STMT_RE_SQL}', 1) AS statement
+FROM parsed
+WHERE regexp_extract(payload, '{_STMT_RE_SQL}', 1) <> ''
+  AND duration_ms IS NOT NULL
+ORDER BY cast(duration_ms AS bigint) DESC, statement LIMIT 25
+"""
+
+
 # P6: hourly histogram over the parsed timestamp.
 def log_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = _parsed(spark, sf_dir)
@@ -536,6 +575,7 @@ GROUP BY class
 QUERIES = {
     "log_parse_fields": (log_parse_fields, _LOG_PARSE_FIELDS_SQL),
     "log_top_queries": (log_top_queries, _LOG_TOP_QUERIES_SQL),
+    "log_slowest_statements": (log_slowest_statements, _LOG_SLOWEST_SQL),
     "log_time_histogram": (log_time_histogram, _LOG_TIME_HISTOGRAM_SQL),
     "log_error_classes": (log_error_classes, _LOG_ERROR_CLASSES_SQL),
     "log_duration_percentiles": (log_duration_percentiles, _LOG_DURATION_PCTL_SQL),

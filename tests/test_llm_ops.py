@@ -60,13 +60,24 @@ def test_lsh_recall_vs_brute_force(spark, sf_oracle):
     assert hits >= 3
 
 
-def test_multimodal_decode_stub(spark, sf_smoke):
-    docs = load_table(spark, sf_smoke, "documents").limit(3)
-    binary = M.attach_binary(docs)
-    with pytest.raises(NotImplementedError):
-        M.decode_media(binary)
-    feats = M.extract_features(binary).collect()
-    assert len(feats) == 3
+def test_multimodal_decode_real_roundtrip(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(6)
+    decoded = M.decode_media(M.attach_real_media(docs)).collect()
+    assert len(decoded) == 6
+    for r in decoded:
+        if r.doc_id % 2 == 0:
+            assert r.media_kind == "bmp"
+            assert r.width >= 1 and r.height >= 1 and r.bit_depth == 24
+        else:
+            assert r.media_kind == "wav"
+            assert r.sample_rate >= 8000 and r.n_samples >= 1
+            assert r.byte_len == 44 + 2 * r.n_samples
+    # non-media payloads classify as unknown, never crash
+    fake = M.attach_binary(docs)
+    kinds = {r.media_kind for r in M.decode_media(fake).collect()}
+    assert kinds == {"unknown"}
+    feats = M.extract_features(fake).collect()
+    assert len(feats) == 6
     assert all(r.byte_len > 0 and 1 <= r.n_frames <= 7 for r in feats)
 
 
@@ -110,11 +121,18 @@ def test_ivf_recall_vs_brute_force(spark, sf_oracle):
     assert hits >= 3
 
 
-def test_resize_stub_and_frame_sampling(spark, sf_smoke):
+def test_resize_real_and_frame_sampling(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").limit(5)
+    # real nearest-neighbor resize: decoding the resized BMPs reports
+    # the requested dimensions; WAV payloads pass through untouched
+    resized = M.resize_media(M.attach_real_media(docs), 8, 6)
+    for r in M.decode_media(resized).collect():
+        if r.media_kind == "bmp":
+            assert (r.width, r.height) == (8, 6)
+        else:
+            assert r.media_kind == "wav"
+
     media = M.attach_binary(docs)
-    with pytest.raises(NotImplementedError):
-        M.resize_media(media, 64, 64)
     frames = M.sample_frames(media).collect()
     assert len(frames) >= 5  # at least one frame per doc
     by_doc: dict[int, list] = {}
@@ -136,6 +154,19 @@ def test_connected_components_chain_and_islands(spark):
     )
     comp = {r.vertex: r.component for r in D.connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_adversarial_long_chain(spark):
+    # A 10k-vertex path graph — diameter 9999, far beyond max_iters for
+    # pure min-label propagation. The pointer-jump step must make rounds
+    # O(log n), so convergence within the default max_iters=50 proves the
+    # log-round behavior (and the sum-stable stop criterion is only hit
+    # at a true fixed point).
+    n = 10_000
+    edges = spark.range(n - 1).selectExpr("id AS a", "id + 1 AS b")
+    comp = D.connected_components(edges, max_iters=50)
+    assert comp.filter("component != 0").count() == 0
+    assert comp.count() == n
 
 
 def test_dedup_cluster_assignments_covers_all_docs(spark, sf_oracle):
