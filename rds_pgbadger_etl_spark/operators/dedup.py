@@ -298,22 +298,47 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         nbr_min = (
             sym.join(labels, sym.src == labels.vertex)
             .select(F.col("dst").alias("vertex"), "component")
             .groupBy("vertex")
             .agg(F.min("component").alias("nbr_min"))
         )
-        propagated = labels.join(nbr_min, "vertex", "left").select(
-            "vertex",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", "component")
-            ).alias("component"),
+        # checkpointed: referenced twice by the jump self-join below —
+        # without materialization Catalyst would re-run the propagate
+        # join+aggregate once per reference
+        propagated = (
+            labels.join(nbr_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
         )
+        cur_sum = propagated.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            # propagate fixed point: labels constant across every edge,
+            # so the jump is provably a no-op — skip it and stop. The
+            # common LSH-clique case exits here after ~2 rounds having
+            # paid for zero jump joins beyond the converged rounds.
+            labels = propagated
+            break
+        if rnd < 2:
+            # LSH near-dup components are overwhelmingly pairs/cliques
+            # (diameter <= 2) that converge within two propagate rounds;
+            # don't pay the jump's extra self-join until propagation has
+            # demonstrably not finished the graph off.
+            labels = propagated
+            prev_sum = cur_sum
+            continue
         # pointer jump: component <- label(component). Left join: a
         # label is itself a vertex, so the lookup hits unless already
-        # the component min (then coalesce keeps it).
+        # the component min (then coalesce keeps it). Only runs while
+        # still converging — this is what turns diameter rounds into
+        # O(log n) on chain-shaped components.
         lookup = propagated.select(
             F.col("vertex").alias("l_vertex"),
             F.col("component").alias("l_component"),
@@ -328,10 +353,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     return labels
 
 

@@ -854,6 +854,151 @@ SELECT doc_id, term, tf, df, tfidf FROM (
 """
 
 
+_PROFILE_NUM = {
+    "o_orderkey": "o_orderkey",
+    "o_custkey": "o_custkey",
+    "o_totalprice": "o_totalprice",
+    "o_orderdate": "cast(o_orderdate AS double)",  # epoch seconds
+}
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+
+
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiler: per-column null count, distinct count and
+    min/max in ONE pass over the table (the profile-before-train step of
+    a data pipeline). All metrics come from a single aggregate (the
+    multiple count-distincts compile to one expand + hash aggregate —
+    still one scan), then ``stack`` unpivots the 1-row result into one
+    row per column. At 100 TB the same plan holds: one scan, one
+    shuffle of partial aggregates, driver gets n_cols rows."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, expr in _PROFILE_NUM.items():
+        x = F.expr(expr)
+        aggs += [
+            F.count(x).alias(f"{c}__nn"),
+            F.countDistinct(x).alias(f"{c}__nd"),
+            F.round(F.min(x).cast("double"), 6).alias(f"{c}__minn"),
+            F.round(F.max(x).cast("double"), 6).alias(f"{c}__maxn"),
+        ]
+    for c in _PROFILE_STR:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mins"),
+            F.max(c).alias(f"{c}__maxs"),
+        ]
+    one = o.agg(*aggs)
+    parts = [
+        f"'{c}', {c}__nn, {c}__nd, {c}__minn, {c}__maxn, "
+        "cast(null AS string), cast(null AS string)"
+        for c in _PROFILE_NUM
+    ] + [
+        f"'{c}', {c}__nn, {c}__nd, cast(null AS double), "
+        f"cast(null AS double), {c}__mins, {c}__maxs"
+        for c in _PROFILE_STR
+    ]
+    n = len(parts)
+    stacked = one.select(
+        "n_rows",
+        F.expr(
+            f"stack({n}, " + ", ".join(parts) + ") AS "
+            "(col_name, n_notnull, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_notnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
+def _profile_row_sql(c: str, expr: str | None) -> str:
+    if expr is not None:
+        return f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({expr}) AS n_nulls,
+       cast(count(DISTINCT {expr}) AS bigint) AS n_distinct,
+       round(cast(min({expr}) AS double), 6) AS min_num,
+       round(cast(max({expr}) AS double), 6) AS max_num,
+       cast(NULL AS varchar) AS min_str, cast(NULL AS varchar) AS max_str
+FROM orders"""
+    return f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       cast(count(DISTINCT {c}) AS bigint) AS n_distinct,
+       cast(NULL AS double) AS min_num, cast(NULL AS double) AS max_num,
+       min({c}) AS min_str, max({c}) AS max_str
+FROM orders"""
+
+
+_DATA_PROFILE_SQL = " UNION ALL ".join(
+    [
+        _profile_row_sql(c, "epoch(o_orderdate)" if c == "o_orderdate" else c)
+        for c in _PROFILE_NUM
+    ]
+    + [_profile_row_sql(c, None) for c in _PROFILE_STR]
+)
+
+
+INDEX_MIN_DF = 3
+INDEX_POSTINGS_CAP = 20
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency, collection
+    frequency, and the head of the (sorted) posting list. Two hash
+    aggregations — (doc, term) then term — both map-side combinable.
+    The postings head is capped (first {cap} doc ids) so result rows
+    stay bounded for the driver compare; the full-scale variant writes
+    the complete posting array to parquet partitioned by hash(term),
+    which is the same plan minus the slice. Frequency floor df >=
+    {min_df} drops the hapax tail (at web scale the floor is what keeps
+    the index build's output ∝ useful vocabulary, not corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")),
+                    1,
+                    INDEX_POSTINGS_CAP,
+                ),
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+    )
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term)
+SELECT term, count(*) AS df, cast(sum(tf) AS bigint) AS cf,
+       array_to_string(
+         list_slice(list_sort(list(doc_id)), 1, {INDEX_POSTINGS_CAP}), ','
+       ) AS postings_head
+FROM tf GROUP BY term HAVING count(*) >= {INDEX_MIN_DF}
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -877,4 +1022,6 @@ QUERIES = {
     "top_docs_per_lang": (top_docs_per_lang, _TOP_DOCS_SQL),
     "curriculum_buckets": (curriculum_buckets, _CURRICULUM_SQL),
     "text_tfidf_top_terms": (text_tfidf_top_terms, _TFIDF_SQL),
+    "data_profile": (data_profile, _DATA_PROFILE_SQL),
+    "inverted_index": (inverted_index, _INVERTED_INDEX_SQL),
 }

@@ -326,6 +326,61 @@ FROM parsed GROUP BY db
 """
 
 
+# P5/P7 (pgBadger "time consuming queries"): per-normalized-query time
+# distribution — calls, totals, min/max, exact p50/p95 — one hash
+# aggregate keyed on the normalized form. Normalization keeps table
+# names (t5 has no word boundary before the digit) while collapsing
+# literals, so each query shape gets its own distribution row. At 100 TB
+# swap F.percentile for percentile_approx (mergeable sketch) exactly as
+# log_duration_percentiles documents.
+def log_query_time_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed(spark, sf_dir)
+    pcts = F.percentile("duration_ms", F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        parsed.withColumn("nq", normalize_query(extract_statement("payload")))
+        .withColumn("duration_ms", extract_duration_ms("payload").cast("bigint"))
+        .groupBy(F.col("nq").alias("normalized_query"))
+        .agg(
+            F.count(F.lit(1)).alias("calls"),
+            F.sum("duration_ms").alias("total_ms"),
+            F.min("duration_ms").alias("min_ms"),
+            F.max("duration_ms").alias("max_ms"),
+            pcts.alias("pcts"),
+        )
+        .select(
+            "normalized_query",
+            "calls",
+            "total_ms",
+            "min_ms",
+            "max_ms",
+            F.round(F.col("total_ms") / F.col("calls"), 6).alias("avg_ms"),
+            F.col("pcts")[0].alias("p50_ms"),
+            F.col("pcts")[1].alias("p95_ms"),
+        )
+    )
+
+
+_LOG_QUERY_DIST_SQL = f"""
+WITH lines AS ({_SYNTH_SQL}),
+parsed AS ({_PARSE_SQL}),
+stmts AS (
+  SELECT {normalize_query_oracle_sql(f"regexp_extract(payload, '{_STMT_RE_SQL}', 1)")}
+           AS normalized_query,
+         cast(duration_ms AS bigint) AS duration_ms
+  FROM parsed
+)
+SELECT normalized_query,
+       count(*) AS calls,
+       cast(sum(duration_ms) AS bigint) AS total_ms,
+       min(duration_ms) AS min_ms,
+       max(duration_ms) AS max_ms,
+       round(cast(sum(duration_ms) AS double) / count(*), 6) AS avg_ms,
+       quantile_cont(duration_ms, 0.5) AS p50_ms,
+       quantile_cont(duration_ms, 0.95) AS p95_ms
+FROM stmts GROUP BY normalized_query
+"""
+
+
 # P9: pgBadger's per-user/db/host connection breakdowns — ONE cube pass
 # (GROUPING SETS) instead of three separate groupBys.
 def log_connections_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +631,10 @@ QUERIES = {
     "log_parse_fields": (log_parse_fields, _LOG_PARSE_FIELDS_SQL),
     "log_top_queries": (log_top_queries, _LOG_TOP_QUERIES_SQL),
     "log_slowest_statements": (log_slowest_statements, _LOG_SLOWEST_SQL),
+    "log_query_time_distribution": (
+        log_query_time_distribution,
+        _LOG_QUERY_DIST_SQL,
+    ),
     "log_time_histogram": (log_time_histogram, _LOG_TIME_HISTOGRAM_SQL),
     "log_error_classes": (log_error_classes, _LOG_ERROR_CLASSES_SQL),
     "log_duration_percentiles": (log_duration_percentiles, _LOG_DURATION_PCTL_SQL),

@@ -162,8 +162,50 @@ FROM events GROUP BY event_type
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs a REAL stream-stream interval join (two watermarked file
+    streams, availableNow, memory sink): error events joined to same-user
+    purchases within 10 minutes after. The oracle is the equivalent batch
+    self-join, so the hash only matches if the streaming join emitted
+    exactly the batch-join pairs — no drops from state expiry (inner
+    joins emit on arrival; the 1-hour watermark only bounds state), no
+    duplicates from the doubled state stores."""
+    import tempfile
+    import uuid
+
+    from rds_pgbadger_etl_spark.streaming.ingest import (
+        error_purchase_interval_join,
+        read_event_stream,
+        run_available_now,
+    )
+
+    errors = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    )
+    purchases = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = error_purchase_interval_join(errors, purchases).select(
+        "user_id", "err_id", "p_id"
+    )
+    name = f"interval_join_{uuid.uuid4().hex[:8]}"
+    run_available_now(joined, tempfile.mkdtemp(prefix="ckpt_ij_"), name)
+    return spark.table(name)
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+SELECT e.user_id AS user_id, e.event_id AS err_id, p.event_id AS p_id
+FROM events e
+JOIN events p
+  ON p.user_id = e.user_id
+ AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
+    "stream_interval_join": (stream_interval_join, _STREAM_INTERVAL_JOIN_SQL),
     "stream_dedup_counts": (stream_dedup_counts, _STREAM_DEDUP_SQL),
     "stream_session_windows": (stream_session_windows, _STREAM_SESSION_SQL),
     "stream_running_totals": (stream_running_totals, _STREAM_RUNNING_SQL),

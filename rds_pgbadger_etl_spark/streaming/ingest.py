@@ -154,6 +154,45 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def error_purchase_interval_join(
+    errors: DataFrame, purchases: DataFrame, horizon: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: for every error event, the purchase
+    events by the same user within ``horizon`` after it.
+
+    The canonical funnel/attribution shape. Both sides carry event-time
+    watermarks; the join condition is an equality key (user_id — this is
+    what the state store hashes on) plus a time-interval bound, which
+    lets the engine expire join state once the watermark passes
+    ``err_ts + horizon`` — state is bounded by events-per-horizon, not
+    stream history. Inner join, so results are emitted as soon as both
+    sides arrive (watermarks gate only state cleanup, not emission).
+    """
+    err = (
+        errors.select(
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+            F.col("event_id").alias("err_id"),
+        ).withWatermark("err_ts", "1 hour")
+    )
+    pur = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        ).withWatermark("p_ts", "1 hour")
+    )
+    return err.join(
+        pur,
+        (F.col("err_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("err_ts"))
+        & (F.col("p_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("err_user").alias("user_id"), "err_id", "p_id", "err_ts", "p_ts"
+    )
+
+
 def run_available_now(
     agg: DataFrame, checkpoint_dir: str, query_name: str,
     output_mode: str = "append",
