@@ -866,11 +866,15 @@ _PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
 def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiler: per-column null count, distinct count and
     min/max in ONE pass over the table (the profile-before-train step of
-    a data pipeline). All metrics come from a single aggregate (the
-    multiple count-distincts compile to one expand + hash aggregate —
-    still one scan), then ``stack`` unpivots the 1-row result into one
-    row per column. At 100 TB the same plan holds: one scan, one
-    shuffle of partial aggregates, driver gets n_cols rows."""
+    a data pipeline). All metrics come from a single aggregate — the
+    multiple exact count-distincts compile to one Expand over the scan
+    (plan-shape-tested: exactly one parquet scan, never a scan per
+    column) — then ``stack`` unpivots the 1-row result into one row per
+    column. At 100 TB swap the exact distincts for
+    ``approx_count_distinct`` (HLL sketch): that removes both the Expand
+    row-multiplication and the sort-based distinct buffers, leaving a
+    plain hash aggregate; exact distincts are what makes the DuckDB
+    oracle comparable here."""
     o = load_table(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, expr in _PROFILE_NUM.items():
@@ -999,6 +1003,146 @@ FROM tf GROUP BY term HAVING count(*) >= {INDEX_MIN_DF}
 """
 
 
+def quality_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gating: instead of one global threshold (which
+    over-filters low-resource languages), keep each doc scoring at or
+    above its OWN language's 25th percentile. Two passes over the corpus
+    — score+percentile, then score+filter — with the per-language
+    threshold table (tiny: one row per language) broadcast back. The
+    score is a pure map, so recomputing it on the second pass is the
+    100 TB choice (cheaper than materializing a scored copy of the
+    corpus); at scale the exact percentile becomes approx_percentile
+    (mergeable sketch, same plan otherwise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", X.quality_score("text"))
+    thresholds = scored.groupBy("lang").agg(
+        F.percentile("quality", 0.25).alias("q25")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("quality") >= F.col("q25"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_QUALITY_ADAPTIVE_SQL = f"""
+WITH scored AS (
+  SELECT lang, source, n_chars, {_QUALITY_SQL} AS quality FROM documents
+),
+thr AS (SELECT lang, quantile_cont(quality, 0.25) AS q25
+        FROM scored GROUP BY lang)
+SELECT s.lang, s.source, count(*) AS n_kept,
+       cast(sum(s.n_chars) AS bigint) AS sum_chars
+FROM scored s JOIN thr ON s.lang = thr.lang
+WHERE s.quality >= thr.q25
+GROUP BY s.lang, s.source
+"""
+
+
+CHAR_BUDGET_PER_SOURCE = 20_000
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-bounded corpus mixing: each source contributes documents —
+    in seeded-hash order, so the draw is uniform and re-run-stable —
+    until its running character budget is exhausted. One window cumsum
+    per source partition (single shuffle on source); the budget filter
+    is a pure predicate on the cumulative sum. This is how a pipeline
+    hits an exact per-source token budget without a global sort or a
+    driver-side loop; at 100 TB the window shuffles (source, doc_id,
+    n_chars) triples only — never the text."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rk = hex_hash64(F.col("doc_id").cast("string"), seed="budget:")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(rk.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("cum_chars", F.sum("n_chars").over(w))
+        .filter(F.col("cum_chars") <= CHAR_BUDGET_PER_SOURCE)
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+SELECT doc_id, source, n_chars, cum_chars FROM (
+  SELECT doc_id, source, n_chars,
+         cast(sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY cast('0x' || substr(md5('budget:' || cast(doc_id AS varchar)),
+                         1, 15) AS bigint), doc_id
+           ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_chars
+  FROM documents
+) WHERE cum_chars <= {CHAR_BUDGET_PER_SOURCE}
+"""
+
+
+EMB_DIMS = 64
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: distance of every vector to
+    its label's centroid, flagged against the label's own p90 — the
+    standard embedding-QA step before clustering or dedup (mislabeled /
+    corrupt vectors sit far from their centroid).
+
+    Centroids come from one posexplode + (label, dim) hash aggregate —
+    the dim-unpivoted shape shuffles (label, dim, partial-sum) triples,
+    never whole vectors, and the resulting centroid table (n_labels ×
+    dims) is tiny and broadcast back. Centroid components and distances
+    round to 6 decimals so the float reduction is engine-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cents = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("cent")
+    )
+    dist = (
+        dims.join(F.broadcast(cents), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("val") - F.col("cent"), 2))), 6
+            ).alias("dist")
+        )
+    )
+    thr = dist.groupBy("label").agg(F.percentile("dist", 0.9).alias("p90"))
+    return dist.join(F.broadcast(thr), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        (F.col("dist") > F.col("p90")).cast("int").alias("is_outlier"),
+    )
+
+
+_EMB_OUTLIERS_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, label, t.i AS dim, cast(embedding[t.i + 1] AS double) AS val
+  FROM embeddings, generate_series(0, {EMB_DIMS - 1}) t(i)
+  WHERE t.i < len(embedding)
+),
+cents AS (SELECT label, dim, round(avg(val), 6) AS cent
+          FROM dims GROUP BY label, dim),
+dist AS (
+  SELECT vec_id, d.label,
+         round(sqrt(sum(pow(d.val - c.cent, 2))), 6) AS dist
+  FROM dims d JOIN cents c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY vec_id, d.label
+),
+thr AS (SELECT label, quantile_cont(dist, 0.9) AS p90 FROM dist GROUP BY label)
+SELECT vec_id, dist.label, dist, cast(dist > p90 AS int) AS is_outlier
+FROM dist JOIN thr ON dist.label = thr.label
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -1024,4 +1168,7 @@ QUERIES = {
     "text_tfidf_top_terms": (text_tfidf_top_terms, _TFIDF_SQL),
     "data_profile": (data_profile, _DATA_PROFILE_SQL),
     "inverted_index": (inverted_index, _INVERTED_INDEX_SQL),
+    "quality_filter_adaptive": (quality_filter_adaptive, _QUALITY_ADAPTIVE_SQL),
+    "token_budget_mix": (token_budget_mix, _TOKEN_BUDGET_SQL),
+    "embedding_outliers": (embedding_outliers, _EMB_OUTLIERS_SQL),
 }

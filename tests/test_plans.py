@@ -108,3 +108,19 @@ def test_tfidf_vocabulary_join_not_hinted(spark, sf_oracle):
     # join must stay hint-free so AQE decides by measured size — a forced
     # broadcast of a 100 TB-corpus vocabulary would OOM the driver
     assert analyzed.count("ResolvedHint") == 1
+
+
+def test_data_profile_is_single_scan(spark, sf_oracle):
+    import re
+
+    plan = _formatted_plan(spark, E.queries()["data_profile"](spark, sf_oracle))
+    # one scan of orders feeding one (expanded) aggregate — profiling
+    # must never become a scan per column
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans == 1
+    assert "Expand" in plan  # the multi-count-distinct single pass
+
+
+def test_inverted_index_stays_hash_aggregated(spark, sf_oracle):
+    plan = _formatted_plan(spark, E.queries()["inverted_index"](spark, sf_oracle))
+    assert "SortAggregate" not in plan
