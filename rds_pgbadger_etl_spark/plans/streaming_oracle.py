@@ -98,6 +98,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="ckpt_running_"),
         name,
         output_mode="update",
+        state_partitions=8,
     )
     return spark.sql(
         f"""SELECT user_id, n_events, total_value, max_value FROM (
@@ -151,6 +152,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="ckpt_dedup_"),
         name,
         output_mode="complete",
+        state_partitions=8,
     )
     return spark.table(name)
 
@@ -189,7 +191,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "err_id", "p_id"
     )
     name = f"interval_join_{uuid.uuid4().hex[:8]}"
-    run_available_now(joined, tempfile.mkdtemp(prefix="ckpt_ij_"), name)
+    run_available_now(
+        joined, tempfile.mkdtemp(prefix="ckpt_ij_"), name, state_partitions=8
+    )
     return spark.table(name)
 
 

@@ -31,7 +31,11 @@ def get_spark(
     ``$SPARK_GRAFT_DRIVER_MEM`` or ``8g`` (local mode: driver == executor).
     """
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*")
-    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # 16g: local mode is driver == all executors, and a full bench/test
+    # session holds the persisted shared intermediates (parsed logs,
+    # shingle profiles) plus streaming state for 70+ queries — an 8g
+    # heap spends measurable time in GC by the back half of the run.
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
 

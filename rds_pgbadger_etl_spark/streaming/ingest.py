@@ -195,22 +195,38 @@ def error_purchase_interval_join(
 
 def run_available_now(
     agg: DataFrame, checkpoint_dir: str, query_name: str,
-    output_mode: str = "append",
+    output_mode: str = "append", state_partitions: int | None = None,
 ) -> None:
     """Drain all currently-available input into a memory sink and stop —
     the cron-shaped incremental run (P13), for tests/smoke. The memory
     sink cannot resume a checkpoint; use :func:`run_available_now_to_parquet`
     for the durable incremental path. Stateful update-mode operators
-    (e.g. :func:`running_user_totals`) pass ``output_mode="update"``."""
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    (e.g. :func:`running_user_totals`) pass ``output_mode="update"``.
+
+    ``state_partitions`` sizes the state store: the shuffle-partition
+    count at first start is baked into the checkpoint and each partition
+    carries its own state-store instance with per-batch commit I/O, so
+    it must track state VOLUME, not session default (a stream-stream
+    join at 32 partitions for kilobytes of state spends 4x longer in
+    store commits than in the join). Local runs want single digits; a
+    real cluster with TBs of state wants thousands. Restored after the
+    run so batch queries keep the session setting."""
+    spark = agg.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def run_available_now_to_parquet(

@@ -114,11 +114,13 @@ def test_data_profile_is_single_scan(spark, sf_oracle):
     import re
 
     plan = _formatted_plan(spark, E.queries()["data_profile"](spark, sf_oracle))
-    # one scan of orders feeding one (expanded) aggregate — profiling
-    # must never become a scan per column
+    # one scan of orders feeding the unpivot — profiling must never
+    # become a scan per column — and the per-(col, value) distinct
+    # collapse must be a HashAggregate (map-side combinable), not the
+    # sort-based valueSet fallback of agg(countDistinct x N)
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n_scans == 1
-    assert "Expand" in plan  # the multi-count-distinct single pass
+    assert "HashAggregate" in plan
 
 
 def test_inverted_index_stays_hash_aggregated(spark, sf_oracle):
