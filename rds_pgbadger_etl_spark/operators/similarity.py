@@ -285,6 +285,83 @@ def ivf_topk(
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def sqdist_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized squared euclidean distance over two array columns,
+    rounded to 6 decimals (engine-stable like :func:`cosine_batch`)."""
+    if len(a) == 0:
+        return pd.Series([], dtype=float)
+    x = np.vstack(a.to_numpy()).astype(np.float64)
+    y = np.vstack(b.to_numpy()).astype(np.float64)
+    d = x - y
+    return pd.Series(np.round(np.einsum("ij,ij->i", d, d), 6))
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast cross join against the
+    tiny centroid table + per-vector top-1 window. Rounded distances +
+    cell-id tie-break keep the argmin deterministic across engines."""
+    from rds_pgbadger_etl_spark.sources.tables import rebalance
+
+    scored = rebalance(emb).crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        sqdist_batch(
+            as_double(F.col("embedding")), F.col("c_emb")
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell", "dist")
+    )
+
+
+def kmeans_refine(
+    emb: DataFrame, k: int = KMEANS_K, n_iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: deterministic init
+    (the first ``k`` vectors by id), then ``n_iters`` rounds of
+    assign → recompute-centroid. Returns each vector's final
+    (cluster, dist).
+
+    This trains the IVF coarse quantizer (:func:`ivf_cells` documents
+    that production IVF k-means-refines its centroid table — this is
+    that refinement). Per iteration: assignment is a broadcast cross
+    join (the corpus never shuffles for it), and the centroid update
+    shuffles only (cell, dim, partial-sum) triples via the posexplode
+    hash aggregate — map-side combinable, so the shuffle is O(k × dims
+    × partitions), independent of corpus size. Centroid components
+    round to 6 decimals so both engines' fold orders agree. At 100 TB
+    run the update on a fixed-rate hash sample (mini-batch k-means) —
+    same plan, sampled input; iteration count stays a small constant,
+    so the whole refinement is ~n_iters corpus scans."""
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), as_double(F.col("embedding")).alias("c_emb")
+    )
+    for _ in range(n_iters - 1):
+        assigned = _assign_cells(emb, cents)
+        cents = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("dim", "val")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
+            .select("cell", F.transform("s", lambda x: x["c"]).alias("c_emb"))
+        )
+    return _assign_cells(emb, cents).select(
+        "vec_id", F.col("cell").alias("cluster"), "dist"
+    )
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """X2 embedding-cosine near-dup pairs via any-table LSH collision.
 

@@ -1128,6 +1128,55 @@ FROM dist JOIN thr ON dist.label = thr.label
 """
 
 
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 support: k-means refinement of the IVF coarse quantizer
+    (deterministic init, 2 Lloyd rounds — fixed so the DuckDB oracle can
+    unroll the identical iterations as CTEs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_refine(emb)
+
+
+_KMEANS_DIST = (
+    "round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}), 6)"
+)
+
+_KMEANS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS emb
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.KMEANS_K}),
+s1 AS (
+  SELECT e.vec_id, c0.cell,
+         {_KMEANS_DIST.format(a="e.emb", b="c0.c_emb")} AS dist,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_KMEANS_DIST.format(a="e.emb", b="c0.c_emb")}, c0.cell
+         ) AS rn
+  FROM e CROSS JOIN c0
+),
+a1 AS (SELECT vec_id, cell FROM s1 WHERE rn = 1),
+c1dim AS (
+  SELECT a1.cell, t.i AS dim, round(avg(e.emb[t.i + 1]), 6) AS c
+  FROM a1 JOIN e USING (vec_id), generate_series(0, {S.DIM - 1}) t(i)
+  WHERE t.i < len(e.emb)
+  GROUP BY a1.cell, t.i
+),
+c1 AS (SELECT cell, list(c ORDER BY dim) AS c_emb FROM c1dim GROUP BY cell),
+s2 AS (
+  SELECT e.vec_id, c1.cell,
+         {_KMEANS_DIST.format(a="e.emb", b="c1.c_emb")} AS dist,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_KMEANS_DIST.format(a="e.emb", b="c1.c_emb")}, c1.cell
+         ) AS rn
+  FROM e CROSS JOIN c1
+)
+SELECT vec_id, cell AS cluster, dist FROM s2 WHERE rn = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -1156,4 +1205,5 @@ QUERIES = {
     "quality_filter_adaptive": (quality_filter_adaptive, _QUALITY_ADAPTIVE_SQL),
     "token_budget_mix": (token_budget_mix, _TOKEN_BUDGET_SQL),
     "embedding_outliers": (embedding_outliers, _EMB_OUTLIERS_SQL),
+    "kmeans_refine": (kmeans_refine, _KMEANS_SQL),
 }

@@ -802,6 +802,80 @@ SELECT o_orderstatus, o_orderkey, o_totalprice, pr, cd FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Rolling time-range window: each customer's trailing-30-day order total
+# at every order — a RANGE frame over event time (not ROWS: multiple
+# orders per day must all enter the frame by time, not position). One
+# shuffle on custkey, then a per-partition ordered scan; the frame is
+# evaluated incrementally (running add/evict), never re-summed. At 100 TB
+# the partition key (customer) is high-cardinality so the window
+# parallelizes; a LOW-cardinality rolling metric would need the
+# pre-aggregate-by-day-then-window rewrite instead.
+def q26_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    epoch = F.col("o_orderdate").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+_Q26_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w, 2) AS trailing_30d,
+       count(*) OVER w AS n_orders_30d
+FROM orders WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (Spark 4 SQL surface): for each nation, the
+# top-2 customers by account balance via a correlated LATERAL — the
+# "top-N per group as a join" formulation. Catalyst decorrelates this
+# into the same window-rank plan as q07's explicit Window, which is the
+# point: the declarative form survives optimization instead of executing
+# a subquery per outer row.
+def q27_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """
+    )
+
+
+_Q27_SQL = """
+SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -828,4 +902,6 @@ QUERIES = {
     "q23_full_outer": (q23_full_outer, _Q23_SQL),
     "q24_pivot": (q24_pivot, _Q24_SQL),
     "q25_percent_rank": (q25_percent_rank, _Q25_SQL),
+    "q26_rolling_window": (q26_rolling_window, _Q26_SQL),
+    "q27_lateral_topn": (q27_lateral_topn, _Q27_SQL),
 }

@@ -146,6 +146,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """Register tables as temp views (for the SQL-surface queries)."""
+    for name in names or TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def rebalance(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition IFF the plan has fewer input partitions
     than the session's parallelism.

@@ -182,3 +182,16 @@ def test_dedup_cluster_assignments_covers_all_docs(spark, sf_oracle):
         canon = [r for r in members if r.is_canonical == 1]
         assert len(canon) == 1 and canon[0].doc_id == cid
     assert any(len(m) > 1 for m in by_comp.values())  # real clusters exist
+
+
+def test_kmeans_refine_improves_objective(spark, sf_oracle):
+    # one refined round must not worsen the within-cluster sum of
+    # squared distances vs assignment to the raw init centroids
+    emb = load_table(spark, sf_oracle, "embeddings")
+    init = S.kmeans_refine(emb, n_iters=1)  # assignment to init centroids
+    refined = S.kmeans_refine(emb, n_iters=2)
+    obj0 = init.agg(F.sum("dist")).collect()[0][0]
+    obj1 = refined.agg(F.sum("dist")).collect()[0][0]
+    assert obj1 <= obj0
+    assert refined.count() == emb.count()
+    assert refined.select("cluster").distinct().count() <= S.KMEANS_K
