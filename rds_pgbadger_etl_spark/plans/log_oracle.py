@@ -381,6 +381,55 @@ FROM stmts GROUP BY normalized_query
 """
 
 
+# P1 hardening, oracle-checked: malformed lines are ROUTED (level →
+# MALFORMED), never dropped — the corrupt stream injects a deterministic
+# 1-in-37 broken prefix and the level histogram must account for every
+# input line. tests/test_logparse.py covers the multi-line quarantine
+# runs; this covers the single-line classification end-to-end vs DuckDB.
+def log_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _synth_lines(spark, sf_dir)
+    corrupted = lines.withColumn(
+        "value",
+        F.when(
+            F.col("line_no") % 37 == 0,
+            F.concat(F.lit("##corrupt## "), F.col("value")),
+        ).otherwise(F.col("value")),
+    )
+    tok = tokenize(corrupted)
+    return tok.groupBy(
+        F.coalesce("level", F.lit("MALFORMED")).alias("level")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(
+            F.sum(extract_duration_ms("payload").cast("bigint")), F.lit(0)
+        ).alias("total_ms"),
+    )
+
+
+_SYNTH_WITH_ID_SQL = _SYNTH_SQL.replace(
+    "SELECT strftime", "SELECT event_id, strftime", 1
+)
+
+_LOG_QUARANTINE_SQL = f"""
+WITH lines AS ({_SYNTH_WITH_ID_SQL}),
+corrupted AS (
+  SELECT CASE WHEN event_id % 37 = 0 THEN '##corrupt## ' || value
+              ELSE value END AS value
+  FROM lines
+)
+SELECT CASE WHEN regexp_extract(value, '{PREFIX_RE}', 8) = ''
+            THEN 'MALFORMED'
+            ELSE regexp_extract(value, '{PREFIX_RE}', 8) END AS level,
+       count(*) AS n_lines,
+       cast(coalesce(sum(
+         CASE WHEN regexp_extract(value, '{PREFIX_RE}', 8) <> ''
+              THEN cast(regexp_extract(value, '{DURATION_RE}', 1) AS bigint)
+         END), 0) AS bigint) AS total_ms
+FROM corrupted
+GROUP BY 1
+"""
+
+
 # P9: pgBadger's per-user/db/host connection breakdowns — ONE cube pass
 # (GROUPING SETS) instead of three separate groupBys.
 def log_connections_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,6 +684,7 @@ QUERIES = {
         log_query_time_distribution,
         _LOG_QUERY_DIST_SQL,
     ),
+    "log_quarantine_stats": (log_quarantine_stats, _LOG_QUARANTINE_SQL),
     "log_time_histogram": (log_time_histogram, _LOG_TIME_HISTOGRAM_SQL),
     "log_error_classes": (log_error_classes, _LOG_ERROR_CLASSES_SQL),
     "log_duration_percentiles": (log_duration_percentiles, _LOG_DURATION_PCTL_SQL),

@@ -876,6 +876,30 @@ LATERAL (
 """
 
 
+# --------------------------------------------------------------------------
+# Skew-proof exact distinct: the two-stage salted aggregation from
+# functions/skew.py, oracle-checked against a plain COUNT(DISTINCT). A
+# plain per-group countDistinct keeps every distinct value of a hot
+# group in one reducer's hash set; hash-bucketing the values first
+# splits that state across n_salt reducers exactly (each value lands in
+# one bucket, bucket counts sum to the true total). Same answer, no
+# single-reducer hotspot — the form that survives a key holding 10% of
+# 100 TB.
+def q28_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.functions.skew import salted_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(
+        ev, ["event_type"], "user_id", n_salt=16, alias="n_users"
+    )
+
+
+_Q28_SQL = """
+SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -904,4 +928,5 @@ QUERIES = {
     "q25_percent_rank": (q25_percent_rank, _Q25_SQL),
     "q26_rolling_window": (q26_rolling_window, _Q26_SQL),
     "q27_lateral_topn": (q27_lateral_topn, _Q27_SQL),
+    "q28_salted_distinct": (q28_salted_distinct, _Q28_SQL),
 }
