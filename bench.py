@@ -7,11 +7,13 @@ line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the ``noop`` sink (full computation,
 no driver-side collect — measures the engine, not result transfer). Each
-query runs twice; the headline per-query number is the better run (the
-first execution of a plan pays one-time JIT/codegen compilation that
-steady-state production runs don't, and single-shot numbers on a shared
-box carry ±2s noise), and the first-run times are ALSO reported under
-``"cold"`` so round-over-round comparisons can see both.
+query runs three times; the headline per-query number is the best run
+(the first execution of a plan pays one-time JIT/codegen compilation
+that steady-state production runs don't, and single-shot numbers on a
+shared box carry multi-second noisy-neighbor spikes — observed 0.4s ->
+7s on an untouched query between consecutive runs), and the first-run
+times are ALSO reported under ``"cold"`` so round-over-round comparisons
+can see both.
 """
 
 from __future__ import annotations
@@ -46,7 +48,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name, fn in sorted(entry_mod.queries().items()):
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
