@@ -207,8 +207,54 @@ WHERE e.event_type = 'error' AND p.event_type = 'purchase'
 """
 
 
+def stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment join: the event stream joined to
+    the static nation dimension (25 rows — broadcast, re-resolved per
+    micro-batch, no state store involved: stream-static inner joins are
+    stateless by construction) and aggregated per nation. The oracle is
+    the equivalent batch join+aggregate. This is the third streaming
+    join shape next to stream-stream (stream_interval_join) and
+    stateful-agg (stream_running_totals): dimension enrichment costs no
+    watermark and no state."""
+    import tempfile
+    import uuid
+
+    from rds_pgbadger_etl_spark.streaming.ingest import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    ev = read_event_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    enriched = ev.withColumn("nkey", F.col("user_id") % 25).join(
+        F.broadcast(nation), F.col("nkey") == F.col("n_nationkey")
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        agg,
+        tempfile.mkdtemp(prefix="ckpt_enrich_"),
+        name,
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return spark.table(name)
+
+
+_STREAM_ENRICH_SQL = """
+SELECT n.n_name, count(*) AS n_events,
+       cast(sum(cast(round(e.value * 100) AS bigint)) AS bigint) AS sum_cents
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
+    "stream_enrich_counts": (stream_enrich_counts, _STREAM_ENRICH_SQL),
     "stream_interval_join": (stream_interval_join, _STREAM_INTERVAL_JOIN_SQL),
     "stream_dedup_counts": (stream_dedup_counts, _STREAM_DEDUP_SQL),
     "stream_session_windows": (stream_session_windows, _STREAM_SESSION_SQL),

@@ -195,3 +195,14 @@ def test_kmeans_refine_improves_objective(spark, sf_oracle):
     assert obj1 <= obj0
     assert refined.count() == emb.count()
     assert refined.select("cluster").distinct().count() <= S.KMEANS_K
+
+
+def test_dedup_operators_handle_empty_corpus(spark):
+    # empty inputs must produce empty (not crash): the incremental /
+    # per-partition paths hit genuinely empty batches in production
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.near_dup_pairs(empty_docs).count() == 0
+    assert D.simhash(empty_docs).count() == 0
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    assert D.connected_components(empty_edges).count() == 0
+    assert D.dedup_cluster_assignments(empty_docs).count() == 0
