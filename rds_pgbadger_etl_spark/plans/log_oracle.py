@@ -242,6 +242,47 @@ ORDER BY cast(duration_ms AS bigint) DESC, statement LIMIT 25
 """
 
 
+# Per-table workload rollup: extract the relation name from each
+# statement (FROM/JOIN target) and aggregate traffic per table — the
+# "which tables are hot" view a DBA reads next to pgBadger's per-query
+# tables. Same parse-once staging table; one extra regexp + one hash
+# aggregate.
+_TABLE_RE = r"(?i)\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)"
+
+
+def log_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed(spark, sf_dir)
+    table = F.regexp_extract(extract_statement("payload"), _TABLE_RE, 1)
+    return (
+        parsed.withColumn("tbl", F.lower(table))
+        .filter(F.col("tbl") != "")
+        .withColumn("duration_ms", extract_duration_ms("payload").cast("bigint"))
+        .groupBy(F.col("tbl").alias("table_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("duration_ms").alias("total_ms"),
+            F.max("duration_ms").alias("max_ms"),
+            F.countDistinct("log_user").alias("n_users"),
+        )
+    )
+
+
+_LOG_TABLE_STATS_SQL = f"""
+WITH lines AS ({_SYNTH_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT lower(regexp_extract(regexp_extract(payload, '{_STMT_RE_SQL}', 1),
+             '{_TABLE_RE}', 1)) AS table_name,
+       count(*) AS n_queries,
+       cast(sum(cast(duration_ms AS bigint)) AS bigint) AS total_ms,
+       cast(max(cast(duration_ms AS bigint)) AS bigint) AS max_ms,
+       cast(count(DISTINCT log_user) AS bigint) AS n_users
+FROM parsed
+WHERE regexp_extract(regexp_extract(payload, '{_STMT_RE_SQL}', 1),
+                     '{_TABLE_RE}', 1) <> ''
+GROUP BY 1
+"""
+
+
 # P6: hourly histogram over the parsed timestamp.
 def log_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = _parsed(spark, sf_dir)
@@ -685,6 +726,7 @@ QUERIES = {
         _LOG_QUERY_DIST_SQL,
     ),
     "log_quarantine_stats": (log_quarantine_stats, _LOG_QUARANTINE_SQL),
+    "log_table_stats": (log_table_stats, _LOG_TABLE_STATS_SQL),
     "log_time_histogram": (log_time_histogram, _LOG_TIME_HISTOGRAM_SQL),
     "log_error_classes": (log_error_classes, _LOG_ERROR_CLASSES_SQL),
     "log_duration_percentiles": (log_duration_percentiles, _LOG_DURATION_PCTL_SQL),

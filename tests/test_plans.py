@@ -126,3 +126,28 @@ def test_data_profile_is_single_scan(spark, sf_oracle):
 def test_inverted_index_stays_hash_aggregated(spark, sf_oracle):
     plan = _formatted_plan(spark, E.queries()["inverted_index"](spark, sf_oracle))
     assert "SortAggregate" not in plan
+
+
+def test_rolling_window_single_exchange(spark, sf_oracle):
+    import re
+
+    plan = _formatted_plan(
+        spark, E.queries()["q26_rolling_window"](spark, sf_oracle)
+    )
+    # one shuffle on the partition key, one running-frame Window — the
+    # RANGE frame must evaluate incrementally, never as a re-aggregation
+    # join
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 1
+    assert "Join" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_oracle):
+    plan = _formatted_plan(
+        spark, E.queries()["q27_lateral_topn"](spark, sf_oracle)
+    )
+    # Catalyst must rewrite the correlated LATERAL into a window-rank +
+    # join, not execute a subquery per outer row (no nested-loop over
+    # the correlated subplan, no cartesian product)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
