@@ -93,7 +93,70 @@ FROM catalog GROUP BY log_date
 """
 
 
+# ---------------------------------------------------------------------------
+# JSON-lines file source with corrupt-record quarantine (second source
+# format next to parquet; same route-don't-drop contract as the log
+# parser). The query round-trips events through a real on-disk JSONL
+# directory: to_json → text sink → schema-pinned json source in
+# PERMISSIVE mode with columnNameOfCorruptRecord, so a broken line
+# surfaces as one quarantined row, never an aborted scan (at 100 TB a
+# FAILFAST scan dies on the first bad line of a billion). A
+# deterministic 1-in-41 corruption is injected before the write; the
+# oracle reproduces the classification from the source table.
+
+
+def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    doc = F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 41 == 0, F.concat(F.lit("{broken "), doc)
+        )
+        .otherwise(doc)
+        .alias("value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="jsonl_src_")
+    lines.write.mode("overwrite").text(out_dir)
+    parsed = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, value double, "
+            "_corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out_dir)
+    )
+    return parsed.groupBy(
+        F.coalesce("event_type", F.lit("CORRUPT")).alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")), F.lit(0)
+        ).alias("sum_cents"),
+    )
+
+
+_JSONL_INGEST_SQL = """
+SELECT CASE WHEN event_id % 41 = 0 THEN 'CORRUPT' ELSE event_type END
+         AS event_type,
+       count(*) AS n_events,
+       cast(count(DISTINCT CASE WHEN event_id % 41 <> 0 THEN user_id END)
+            AS bigint) AS n_users,
+       cast(coalesce(sum(CASE WHEN event_id % 41 <> 0
+                              THEN cast(round(value * 100) AS bigint) END), 0)
+            AS bigint) AS sum_cents
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "catalog_select_files": (catalog_select_files, _CATALOG_SELECT_SQL),
     "catalog_dates": (catalog_dates, _CATALOG_DATES_SQL),
+    "jsonl_ingest_stats": (jsonl_ingest_stats, _JSONL_INGEST_SQL),
 }
