@@ -37,16 +37,26 @@ def asof_join(
     right_cols: list[str] | None = None,
     tiebreak: str | None = None,
     prefix: str = "prev_",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """Attach ``prefix+c`` for each ``c`` in ``right_cols`` (from the
     latest right row with ``right_ts <= left_ts``, same ``by`` key;
-    nulls when no prior right row exists)."""
+    nulls when no prior right row exists).
+
+    ``tolerance_sec`` bounds the lookback: a match older than the
+    tolerance yields nulls (the standard as-of tolerance semantics —
+    stale lookups are worse than missing ones). Implemented as a
+    post-filter on the matched timestamp carried in the packed struct,
+    so the plan is unchanged: still one union + one window pass."""
     right_ts = right_ts or left_ts
     right_cols = right_cols or [
         c for c in right.columns if c not in by and c != right_ts
     ]
 
-    r_struct = F.struct(*[F.col(c) for c in right_cols])
+    r_struct = F.struct(
+        *[F.col(c) for c in right_cols],
+        F.col(right_ts).cast("timestamp").alias("_rts"),
+    )
     l_struct = F.struct(*[F.col(c) for c in left.columns])
     r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
     l_type = left.select(l_struct.alias("_l")).schema["_l"].dataType
@@ -79,6 +89,13 @@ def asof_join(
         .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance_sec is not None:
+        in_tol = (
+            F.col("_t").cast("double") - F.col("_m._rts").cast("double")
+        ) <= F.lit(float(tolerance_sec))
+        matched = matched.withColumn(
+            "_m", F.when(in_tol, F.col("_m"))
+        )
     return matched.select(
         "_l.*",
         *[F.col(f"_m.{c}").alias(prefix + c) for c in right_cols],

@@ -900,6 +900,82 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# As-of join with tolerance, cross-checked against DuckDB's NATIVE
+# `ASOF LEFT JOIN` — two independent as-of implementations (our
+# union+window merge vs DuckDB's dedicated operator) must agree row for
+# row, including the 5-minute staleness cutoff. The right side is
+# pre-deduplicated to one row per (key, ts) so the pick at equal
+# timestamps is defined identically in both engines.
+def q29_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        pur,
+        err,
+        by=["user_id"],
+        left_ts="ts",
+        right_cols=["err_id"],
+        tolerance_sec=300,
+    )
+    return out.select("event_id", "user_id", "prev_err_id")
+
+
+_Q29_SQL = """
+WITH err AS (
+  SELECT user_id, ts, max(event_id) AS err_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+),
+pur AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       CASE WHEN e.ts IS NOT NULL AND epoch(p.ts) - epoch(e.ts) <= 300
+            THEN e.err_id END AS prev_err_id
+FROM pur p ASOF LEFT JOIN err e
+  ON p.user_id = e.user_id AND e.ts <= p.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC compaction: latest record per key ("upsert view" over an append
+# log). One shuffle on the key + rank window; ties at equal timestamps
+# break on event_id so the survivor is deterministic. At scale this is
+# the standard changelog → snapshot materialization; partition the sink
+# by bucket(key) and this becomes a per-partition window with no extra
+# shuffle.
+def q30_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+_Q30_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -929,4 +1005,6 @@ QUERIES = {
     "q26_rolling_window": (q26_rolling_window, _Q26_SQL),
     "q27_lateral_topn": (q27_lateral_topn, _Q27_SQL),
     "q28_salted_distinct": (q28_salted_distinct, _Q28_SQL),
+    "q29_asof_tolerance": (q29_asof_tolerance, _Q29_SQL),
+    "q30_latest_by_key": (q30_latest_by_key, _Q30_SQL),
 }
