@@ -976,6 +976,43 @@ SELECT user_id, event_id, event_type, value FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Regression aggregates: per-user linear trend (slope) of event value
+# over time — covar_pop/var_pop built-ins, one hash aggregate, no UDF
+# (the "fit a per-group trend" ask that tempts a Pandas UDF has an
+# exact closed form in codegen aggregates). Time is centered on a fixed
+# epoch so the covariance arithmetic never cancels 1.7e9-scale values;
+# the slope is rounded to 8 decimals (its engine fold-order noise is
+# ~1e-17) and groups need >= 10 points for a meaningful fit.
+def q31_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") - F.lit(1704067200.0)  # 2024-01-01
+    return (
+        ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.covar_pop("x", "y") / F.var_pop("x")).alias("_slope"),
+        )
+        .filter(F.col("n") >= 10)
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("_slope") * 1e6, 8).alias("slope_per_msec"),
+        )
+    )
+
+
+_Q31_SQL = """
+SELECT user_id, n, round(slope * 1e6, 8) AS slope_per_msec FROM (
+  SELECT user_id, count(*) AS n,
+         covar_pop(epoch(ts) - 1704067200.0, value)
+           / var_pop(epoch(ts) - 1704067200.0) AS slope
+  FROM events GROUP BY user_id
+) WHERE n >= 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1007,4 +1044,5 @@ QUERIES = {
     "q28_salted_distinct": (q28_salted_distinct, _Q28_SQL),
     "q29_asof_tolerance": (q29_asof_tolerance, _Q29_SQL),
     "q30_latest_by_key": (q30_latest_by_key, _Q30_SQL),
+    "q31_regression_trend": (q31_regression_trend, _Q31_SQL),
 }
