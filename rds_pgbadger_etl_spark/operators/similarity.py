@@ -170,6 +170,44 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Metadata-filtered vector search: exact cosine top-k restricted to
+    candidates sharing the query's label — the vector-database
+    "filtered search" pattern (predicate + similarity in one query).
+
+    The filter becomes part of the JOIN KEY (label equality) instead of
+    a post-scan predicate, so at scale a corpus partitioned by label
+    turns this into a partition-pruned scan of only the matching
+    label's vectors — the selectivity of the predicate directly prunes
+    I/O, which post-filtering after a global top-k cannot do (it also
+    under-fills k when the filter is selective)."""
+    from rds_pgbadger_etl_spark.sources.tables import rebalance
+
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    joined = (
+        rebalance(emb)
+        .join(F.broadcast(q), F.col("label") == F.col("q_label"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     """Approximate top-k: candidates share a bucket with the query in any
     of the hash tables; exact cosine is computed only on candidates.

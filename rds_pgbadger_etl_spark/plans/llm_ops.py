@@ -1177,6 +1177,87 @@ SELECT vec_id, cell AS cluster, dist FROM s2 WHERE rn = 1
 """
 
 
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: filtered vector search — top-k among same-label vectors
+    only (the predicate joins on label, it doesn't post-filter)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.filtered_topk(emb, _QUERY_IDS, _TOPK)
+
+
+_ANN_FILTERED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb FROM e
+      WHERE vec_id IN ({{qids}})),
+sims AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         round(list_dot_product(q.q_emb, e.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(e.emb, e.emb))), 6) AS sim
+  FROM e JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, label, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= {{k}}
+""".format(qids=", ".join(map(str, _QUERY_IDS)), k=_TOPK)
+
+
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination report: for every pair of sources, the
+    number of distinct 8-grams they share — the dataset-overlap matrix a
+    pipeline reads before mixing corpora (high overlap ⇒ dedup across
+    the pair before weighting them as independent sources).
+
+    Reuses the decontamination gram machinery: distinct (source, gram)
+    once, persisted, then a self-join on gram. Pair blowup per gram is
+    bounded by n_sources², and the join shuffles (source, gram) pairs
+    only — at 100 TB this is ~one narrow shuffle of the distinct-gram
+    table, not a doc-level cross join."""
+    from rds_pgbadger_etl_spark.operators.curation import word_ngram_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        word_ngram_grams(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "gram")
+        .distinct()
+        .persist()
+    )
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+_OVERLAP_SQL = """
+WITH ws AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), w -> w <> '')[1:256] AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(ws[i:i + 7], ' ') AS gram
+  FROM ws,
+       unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)
+),
+sg AS (SELECT DISTINCT source, gram FROM grams)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS shared_grams
+FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -1206,4 +1287,6 @@ QUERIES = {
     "token_budget_mix": (token_budget_mix, _TOKEN_BUDGET_SQL),
     "embedding_outliers": (embedding_outliers, _EMB_OUTLIERS_SQL),
     "kmeans_refine": (kmeans_refine, _KMEANS_SQL),
+    "ann_filtered_topk": (ann_filtered_topk, _ANN_FILTERED_SQL),
+    "corpus_overlap_matrix": (corpus_overlap_matrix, _OVERLAP_SQL),
 }
