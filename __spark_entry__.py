@@ -22,6 +22,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from rds_pgbadger_etl_spark.plans import (
+        behavior,
         catalog_oracle,
         curation,
         llm_ops,
@@ -38,6 +39,7 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         curation,
         catalog_oracle,
         streaming_oracle,
+        behavior,
     ):
         for name, entry_pair in mod.QUERIES.items():
             if name in merged:

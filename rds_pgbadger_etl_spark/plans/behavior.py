@@ -1,0 +1,161 @@
+"""Behavioral / product-analytics queries over the events stream: funnel
+conversion, retention cohorts, and the event-transition matrix. The
+standard event-analytics surface next to the relational spine — each is
+one or two hash aggregates plus at most one window, shuffling only
+(user, bucket)-grade tuples, so every plan scales with distinct users,
+not raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Funnel: signup → purchase within 24h of the user's FIRST signup. The
+# min-per-type aggregate collapses the event stream to one row per user
+# before any comparison — the funnel is computed on user-grain data, so
+# the only shuffle carries (user, first_signup, first_purchase_after).
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    # first purchase AT/AFTER the first signup: the conditional min
+    # needs the signup time, hence the join back — the signup side is
+    # user-grain and broadcast-eligible
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        purchases.join(signups, "user_id")
+        .filter(F.col("p_ts") >= F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    out = signups.join(conv, "user_id", "left")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_signed_up"),
+        F.count("first_purchase").alias("n_converted"),
+        F.count(
+            F.when(
+                F.col("first_purchase").cast("long")
+                - F.col("first_signup").cast("long")
+                <= 86400,
+                1,
+            )
+        ).alias("n_converted_24h"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH signups AS (
+  SELECT user_id, min(ts) AS first_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT p.user_id, min(p.ts) AS first_purchase
+  FROM events p JOIN signups s
+    ON p.user_id = s.user_id AND p.ts >= s.first_signup
+  WHERE p.event_type = 'purchase'
+  GROUP BY p.user_id
+)
+SELECT count(*) AS n_signed_up,
+       count(first_purchase) AS n_converted,
+       cast(count(CASE WHEN epoch(first_purchase) - epoch(first_signup)
+                            <= 86400 THEN 1 END) AS bigint)
+         AS n_converted_24h
+FROM signups s LEFT JOIN conv USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen week × weeks-since-
+# cohort in which they were active. Two aggregates: first-seen per user
+# (user-grain), then distinct users per (cohort_week, week_offset) —
+# the cohort matrix itself is tiny (weeks²).
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                (
+                    F.col("active_week").cast("long")
+                    - F.col("cohort_week").cast("long")
+                )
+                / (7 * 86400)
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       cast((epoch(a.active_week) - epoch(f.cohort_week))
+            / (7 * 86400) AS int) AS week_offset,
+       cast(count(DISTINCT a.user_id) AS bigint) AS n_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix: counts of (event_type → next event_type) per
+# user timeline — the Markov-chain view of user behavior. One window
+# (lead over the user's ordered events; ties broken by event_id for a
+# deterministic sequence) + one hash aggregate.
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+_TRANSITIONS_SQL = """
+SELECT from_type, to_type, count(*) AS n_transitions FROM (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+) WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+QUERIES = {
+    "funnel_conversion": (funnel_conversion, _FUNNEL_SQL),
+    "retention_cohorts": (retention_cohorts, _RETENTION_SQL),
+    "event_transitions": (event_transitions, _TRANSITIONS_SQL),
+}
