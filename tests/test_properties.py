@@ -54,3 +54,44 @@ def test_order_insensitive_hash_is_permutation_invariant(spark, perm):
         for r in df.groupBy("g").agg(order_insensitive_hash("v").alias("h")).collect()
     }
     assert hashes[1] == hashes[2]
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=50, deadline=None)
+def test_bmp_roundtrip_any_dims(w, h, seed):
+    from rds_pgbadger_etl_spark.operators.multimodal import (
+        _bmp_decode_header,
+        _bmp_encode,
+        _bmp_resize,
+    )
+
+    b = _bmp_encode(w, h, seed)
+    assert _bmp_decode_header(b) == (w, h, 24)
+    # declared file size matches actual byte length (header honesty)
+    import struct
+
+    assert struct.unpack_from("<I", b, 2)[0] == len(b)
+    r = _bmp_resize(b, 5, 4)
+    assert _bmp_decode_header(r) == (5, 4, 24)
+
+
+@given(
+    rate=st.integers(min_value=1000, max_value=48000),
+    n=st.integers(min_value=0, max_value=500),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_any_params(rate, n, seed):
+    from rds_pgbadger_etl_spark.operators.multimodal import (
+        _wav_decode_header,
+        _wav_encode,
+    )
+
+    b = _wav_encode(rate, n, seed)
+    channels, r, bits, samples = _wav_decode_header(b)
+    assert (channels, r, bits, samples) == (1, rate, 16, n)
+    assert len(b) == 44 + 2 * n
