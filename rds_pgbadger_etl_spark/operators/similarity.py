@@ -256,9 +256,10 @@ def ivf_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
 
     Centroids are the first ``n_centroids`` vectors by id — a
     deterministic sample both engines can reproduce; production IVF
-    would k-means-refine them, which changes only the centroid table,
-    never the plan shape. Assignment is a broadcast cross join against
-    the tiny centroid set + one per-vector top-1 window.
+    refines them with :func:`kmeans_refine` below, which changes only
+    the centroid table, never the plan shape. Assignment is a broadcast
+    cross join against the tiny centroid set + one per-vector top-1
+    window.
     """
     from rds_pgbadger_etl_spark.sources.tables import rebalance
 

@@ -151,3 +151,15 @@ def test_lateral_topn_decorrelates_to_window(spark, sf_oracle):
     # the correlated subplan, no cartesian product)
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_no_cartesian_or_row_python_udf_anywhere(spark, sf_smoke):
+    # fleet-wide anti-pattern sweep: no query may plan an unpinned
+    # cartesian product or a row-at-a-time Python UDF (BatchEvalPython;
+    # the sanctioned Pandas kernels compile to ArrowEvalPython)
+    for name, fn in sorted(E.queries().items()):
+        if name.startswith("stream_"):  # execute eagerly; covered elsewhere
+            continue
+        plan = _formatted_plan(spark, fn(spark, sf_smoke))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
