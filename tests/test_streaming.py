@@ -134,3 +134,38 @@ def test_stateful_running_totals_matches_batch(spark, sf_oracle, tmp_path):
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-4
         assert got[u][2] == want[u][2]
+
+
+def test_incremental_dedup_flags_across_batches(spark, tmp_path):
+    from rds_pgbadger_etl_spark.streaming.incremental_dedup import (
+        run_incremental_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    flags = str(tmp_path / "flags")
+    base = "the quick brown fox jumps over the lazy dog " * 8
+
+    def stream():
+        return spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    # batch 1: two distinct docs — nothing to duplicate yet
+    spark.createDataFrame(
+        [(1, base), (2, "completely different content here " * 10)],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run_incremental_dedup(stream(), store, ckpt, flags)
+    got1 = spark.read.parquet(flags)
+    assert got1.filter("doc_id IS NOT NULL").count() == 0
+
+    # batch 2: doc 3 near-duplicates doc 1 (from the PREVIOUS batch),
+    # doc 4 is novel — only the cross-batch dup must be flagged
+    spark.createDataFrame(
+        [(3, base + "tail"), (4, "yet another novel document " * 10)],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run_incremental_dedup(stream(), store, ckpt, flags)
+    rows = spark.read.parquet(flags).filter("doc_id IS NOT NULL").collect()
+    assert {(r.doc_id, r.dup_of) for r in rows} == {(3, 1)}
+    assert all(r.jaccard > 0.5 for r in rows)
