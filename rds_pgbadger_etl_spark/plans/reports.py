@@ -139,13 +139,52 @@ def maintenance_report(events: DataFrame) -> DataFrame:
     )
 
 
+def slowest_statements(events: DataFrame, n: int = 20) -> DataFrame:
+    """P5 companion (pgBadger "slowest individual queries"): top-N raw
+    statements with their context — individual examples, not normalized
+    groups. TakeOrderedAndProject, never a global sort."""
+    return (
+        events.filter(
+            F.col("query").isNotNull() & F.col("duration_ms").isNotNull()
+        )
+        .select(
+            "event_ts", "log_user", "database", "duration_ms", "query"
+        )
+        .orderBy(F.col("duration_ms").desc(), "query")
+        .limit(n)
+    )
+
+
+def table_workload(events: DataFrame, n: int = 50) -> DataFrame:
+    """Per-table workload (hot-table view): relation extracted from each
+    statement's FROM/JOIN target, one hash aggregate + top-N."""
+    tbl = F.lower(
+        F.regexp_extract("query", r"(?i)\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)", 1)
+    )
+    return (
+        events.withColumn("table_name", tbl)
+        .filter(F.col("table_name") != "")
+        .groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("duration_ms").alias("total_ms"),
+            F.max("duration_ms").alias("max_ms"),
+            F.countDistinct("log_user").alias("n_users"),
+        )
+        .orderBy(F.col("total_ms").desc(), "table_name")
+        .limit(n)
+    )
+
+
 REPORT_SECTIONS = {
     "top_queries": top_queries,
+    "slowest_statements": slowest_statements,
     "time_histogram": time_histogram,
     "error_report": error_report,
     "connection_breakdown": connection_breakdown,
     "session_stats": session_stats,
     "maintenance_report": maintenance_report,
+    "table_workload": table_workload,
 }
 
 
