@@ -203,8 +203,9 @@ ORDER BY calls DESC, normalized_query LIMIT 10
 """
 
 
-# P3/P5 (pgBadger "slowest individual queries"): top-K raw statements by
-# duration, with the un-normalized SQL text and its context — unlike
+# P3/P5 (pgBadger "slowest individual queries", produced by the report
+# the reference invokes at rds_pgbadger.py:51-63): top-K raw statements
+# by duration, with the un-normalized SQL text and its context — unlike
 # log_top_queries this keeps each statement as an individual example
 # rather than grouping by normalized form. Top-K compiles to
 # TakeOrderedAndProject (per-partition heap + driver merge of K rows),
@@ -367,7 +368,8 @@ FROM parsed GROUP BY db
 """
 
 
-# P5/P7 (pgBadger "time consuming queries"): per-normalized-query time
+# P5/P7 (pgBadger "time consuming queries", report surface invoked at
+# reference rds_pgbadger.py:51-63): per-normalized-query time
 # distribution — calls, totals, min/max, exact p50/p95 — one hash
 # aggregate keyed on the normalized form. Normalization keeps table
 # names (t5 has no word boundary before the digit) while collapsing
