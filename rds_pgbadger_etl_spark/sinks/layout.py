@@ -109,3 +109,49 @@ def compact_partitioned(
         .partitionBy(*partition_cols)
         .parquet(table_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional clustering (Z-order): single-column sorting makes
+# row-group stats selective for ONE filter column; interleaving the bits
+# of several columns yields an ordering where EVERY participating
+# column's min/max range shrinks per row group, so scans filtering on
+# any of them skip row groups. This is the layout trick behind
+# Delta/Iceberg OPTIMIZE ZORDER, expressed as a plain column so the
+# existing compaction path can sort by it.
+
+ZORDER_BITS = 16
+
+
+def scale_to_bits(
+    c: Column, lo: float, hi: float, bits: int = ZORDER_BITS
+) -> Column:
+    """Affine-scale a numeric column into [0, 2^bits) as a long (the
+    domain bounds come from table stats — partition_file_stats grade
+    metadata, or a prior aggregate)."""
+    span = float(hi) - float(lo)
+    scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(span or 1.0)
+    clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
+    return F.least(
+        (clamped * F.lit(float(1 << bits))).cast("long"),
+        F.lit((1 << bits) - 1),
+    )
+
+
+def zorder_key(*cols: Column, bits: int = ZORDER_BITS) -> Column:
+    """Bit-interleaved Z-value over pre-scaled [0, 2^bits) longs.
+
+    Pure codegen expression (bits x n_cols shifts/ors — no UDF), so it
+    rides inside the compaction shuffle for free: pass
+    ``sort_cols=["_z"]`` after ``withColumn("_z", zorder_key(...))`` to
+    :func:`compact_partitioned` and every participating column gets
+    row-group skipping, not just the leading sort key."""
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * n + i).cast("long")
+            )
+    return key

@@ -77,3 +77,38 @@ def test_partition_filter_limits_rewrite(spark, sf_smoke, tmp_path):
     assert after[target] == 1
     untouched = {d: n for d, n in stats.items() if d != target}
     assert {d: n for d, n in after.items() if d != target} == untouched
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    from rds_pgbadger_etl_spark.sinks.layout import scale_to_bits, zorder_key
+    from pyspark.sql import functions as F
+
+    # 64x64 grid; sort by z-key, cut into 16 contiguous chunks: BOTH
+    # x and y spans per chunk must shrink far below the domain (linear
+    # sort shrinks only its leading column — the trailing one spans the
+    # whole domain in every chunk)
+    n = 64
+    grid = spark.range(n * n).selectExpr(
+        "id % 64 AS x", "id DIV 64 AS y"
+    )
+    keyed = grid.withColumn(
+        "z",
+        zorder_key(
+            scale_to_bits(F.col("x"), 0, 63, 6),
+            scale_to_bits(F.col("y"), 0, 63, 6),
+            bits=6,
+        ),
+    )
+    rows = keyed.orderBy("z").collect()
+    chunk = len(rows) // 16
+    spans_x, spans_y = [], []
+    for i in range(16):
+        part = rows[i * chunk : (i + 1) * chunk]
+        spans_x.append(max(r.x for r in part) - min(r.x for r in part))
+        spans_y.append(max(r.y for r in part) - min(r.y for r in part))
+    # z-order: each 256-row chunk covers a ~16x16 tile, spans ~<=31;
+    # a linear sort on x would leave every y span at 63
+    assert max(spans_x) <= 32 and max(spans_y) <= 32
+    # determinism: the key is a pure expression
+    again = keyed.orderBy("z").collect()
+    assert [r.z for r in again] == [r.z for r in rows]
