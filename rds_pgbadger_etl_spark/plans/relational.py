@@ -1013,6 +1013,29 @@ SELECT user_id, n, round(slope * 1e6, 8) AS slope_per_msec FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Heavy hitters (functions/skew.py): the keys worth salting — more than
+# threshold_ratio of all rows. The total comes from a driver-side count
+# (two jobs), which is the deliberate diagnostic shape: the result
+# feeds a plan decision, not a data path.
+def q32_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.functions.skew import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["event_type"], threshold_ratio=0.01).select(
+        "event_type", "n_rows", F.round("ratio", 6).alias("ratio")
+    )
+
+
+_Q32_SQL = """
+SELECT event_type, n_rows, round(ratio, 6) AS ratio FROM (
+  SELECT event_type, count(*) AS n_rows,
+         count(*) / cast((SELECT count(*) FROM events) AS double) AS ratio
+  FROM events GROUP BY event_type
+) WHERE ratio > 0.01
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1045,4 +1068,5 @@ QUERIES = {
     "q29_asof_tolerance": (q29_asof_tolerance, _Q29_SQL),
     "q30_latest_by_key": (q30_latest_by_key, _Q30_SQL),
     "q31_regression_trend": (q31_regression_trend, _Q31_SQL),
+    "q32_heavy_hitters": (q32_heavy_hitters, _Q32_SQL),
 }
