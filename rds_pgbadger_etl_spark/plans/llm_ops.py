@@ -1258,6 +1258,54 @@ GROUP BY 1, 2
 """
 
 
+EDIT_BLOCK_PREFIX = 8
+EDIT_MAX_DIST = 10
+TITLE_LEN = 40
+
+
+def title_block_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: blocked edit-distance matching on doc
+    "titles" (first {len} chars). Candidate generation is a BLOCKING-KEY
+    equi-join (shared {p}-char prefix) — never an all-pairs levenshtein;
+    the quadratic verify runs only inside blocks, which at 100 TB is the
+    difference between a shuffle join on the block key and an
+    unrunnable corpus² cross join. Verification is the built-in
+    levenshtein (codegen), threshold {d}."""
+    docs = load_table(spark, sf_dir, "documents")
+    titled = docs.select(
+        "doc_id",
+        F.substring("text", 1, TITLE_LEN).alias("title"),
+        F.substring("text", 1, EDIT_BLOCK_PREFIX).alias("block"),
+    )
+    a = titled.select(
+        F.col("doc_id").alias("a"), F.col("title").alias("ta"), "block"
+    )
+    b = titled.select(
+        F.col("doc_id").alias("b"), F.col("title").alias("tb"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("edit_dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("edit_dist") <= EDIT_MAX_DIST)
+        .select("a", "b", "edit_dist")
+    )
+
+
+_TITLE_BLOCK_SQL = f"""
+WITH titled AS (
+  SELECT doc_id, substr(text, 1, {TITLE_LEN}) AS title,
+         substr(text, 1, {EDIT_BLOCK_PREFIX}) AS block
+  FROM documents
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       cast(levenshtein(x.title, y.title) AS int) AS edit_dist
+FROM titled x JOIN titled y
+  ON x.block = y.block AND x.doc_id < y.doc_id
+WHERE levenshtein(x.title, y.title) <= {EDIT_MAX_DIST}
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -1289,4 +1337,5 @@ QUERIES = {
     "kmeans_refine": (kmeans_refine, _KMEANS_SQL),
     "ann_filtered_topk": (ann_filtered_topk, _ANN_FILTERED_SQL),
     "corpus_overlap_matrix": (corpus_overlap_matrix, _OVERLAP_SQL),
+    "title_block_matches": (title_block_matches, _TITLE_BLOCK_SQL),
 }

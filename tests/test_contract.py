@@ -34,3 +34,30 @@ def test_every_query_has_oracle_or_documented_exception(spark):
     # whose exemption is deliberate (approx values differ by design)
     missing = set(E.queries()) - set(E.oracle_sql())
     assert missing == {"q22_sketch_profile"}
+
+
+def test_oracle_comparator_rejects_wrong_results(spark, sf_smoke):
+    # meta-test of the harness: the comparator must FAIL on a result
+    # that differs by one value, one row, or one column name — a
+    # comparator that can't fail proves nothing about the 93 greens
+    import pytest as _pytest
+
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from tests.oracle import compare
+
+    good = load_table(spark, sf_smoke, "nation").select("n_nationkey", "n_name")
+    sql = "SELECT n_nationkey, n_name FROM nation"
+    compare(good, sql, sf_smoke)  # sanity: identical passes
+    with _pytest.raises(AssertionError):
+        compare(good.limit(10), sql, sf_smoke)  # row count
+    with _pytest.raises(AssertionError):
+        compare(
+            good.withColumnRenamed("n_name", "name"), sql, sf_smoke
+        )  # column names
+    from pyspark.sql import functions as F
+
+    tweaked = good.withColumn(
+        "n_nationkey", F.col("n_nationkey") + (F.col("n_nationkey") == 3).cast("int")
+    )
+    with _pytest.raises(AssertionError):
+        compare(tweaked, sql, sf_smoke)  # one value off
