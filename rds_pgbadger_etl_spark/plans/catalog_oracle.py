@@ -106,6 +106,7 @@ FROM catalog GROUP BY log_date
 
 
 def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -119,7 +120,12 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(doc)
         .alias("value")
     )
-    out_dir = tempfile.mkdtemp(prefix="jsonl_src_")
+    # stable per-sf path + overwrite: repeated runs (bench does 3)
+    # rewrite in place instead of accumulating scratch directories
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"jsonl_src_{sf_tag}"
+    )
     lines.write.mode("overwrite").text(out_dir)
     parsed = (
         spark.read.schema(
