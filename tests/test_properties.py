@@ -95,3 +95,22 @@ def test_wav_roundtrip_any_params(rate, n, seed):
     channels, r, bits, samples = _wav_decode_header(b)
     assert (channels, r, bits, samples) == (1, rate, 16, n)
     assert len(b) == 44 + 2 * n
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=15),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=30, deadline=None)
+def test_bmp_identity_resize_is_lossless(w, h, seed):
+    # nearest-neighbor resize to the SAME dims must reproduce the
+    # image byte-for-byte — catches stride/padding/offset bugs in the
+    # pixel path that header checks can't see
+    from rds_pgbadger_etl_spark.operators.multimodal import (
+        _bmp_encode,
+        _bmp_resize,
+    )
+
+    b = _bmp_encode(w, h, seed)
+    assert _bmp_resize(b, w, h) == b
