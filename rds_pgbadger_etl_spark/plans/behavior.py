@@ -154,8 +154,63 @@ GROUP BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-user EWMA of event value — a true recurrence (y_t depends on
+# y_{t-1}), the one aggregation shape Spark's built-ins cannot express:
+# there is no recursive window frame. This is the engine's canonical
+# JUSTIFIED grouped-map Pandas UDF (policy: built-ins for everything
+# expressible; Arrow-batched pandas for genuine recurrences): one
+# shuffle on user_id, each group folds sequentially in C (pandas ewm),
+# state is O(1) per group. The closed form Σ v_i(1-α)^(n-i) / Σ(1-α)^(n-i)
+# IS SQL-expressible at bounded partition length — the oracle uses it —
+# but (1-α)^(-i) overflows for long partitions, so the recurrence is the
+# form that survives 100 TB timelines; the oracle cross-checks both.
+EWMA_ALPHA = 0.1
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=True).mean().iloc[-1]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_value": [round(float(y), 6)],
+            }
+        )
+
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma, "user_id long, n_events long, ewma_value double")
+    )
+
+
+# adjust=True EWMA closed form: weights (1-α)^(n-1-i) over the ordered
+# values, normalized. The per-user index comes from one row_number.
+_EWMA_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, n AS n_events,
+       round(sum(value * pow(1 - {EWMA_ALPHA}, n - i))
+             / sum(pow(1 - {EWMA_ALPHA}, n - i)), 6) AS ewma_value
+FROM ordered
+GROUP BY user_id, n
+"""
+
+
 QUERIES = {
     "funnel_conversion": (funnel_conversion, _FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, _RETENTION_SQL),
     "event_transitions": (event_transitions, _TRANSITIONS_SQL),
+    "user_value_ewma": (user_value_ewma, _EWMA_SQL),
 }
