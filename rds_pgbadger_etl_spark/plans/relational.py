@@ -1036,6 +1036,51 @@ SELECT event_type, n_rows, round(ratio, 6) AS ratio FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): rows bucketed by
+# a NULLABLE derived key must join null-to-null — plain = would silently
+# drop the null bucket (the classic missing-dimension join bug). Spark
+# plans <=> as a hash join key exactly like =, so the null bucket costs
+# nothing extra.
+def q33_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # nullable key: the json props' plan field (absent -> null)
+    key = F.get_json_object("props", "$.plan")
+    left = ev.select(key.alias("plan_key"), "value").groupBy("plan_key").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .select(key.alias("plan_key"))
+        .groupBy("plan_key")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return left.join(
+        right, left["plan_key"].eqNullSafe(right["plan_key"]), "left"
+    ).select(
+        left["plan_key"].alias("plan_key"),
+        "n_events",
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )
+
+
+_Q33_SQL = """
+WITH l AS (
+  SELECT json_extract_string(props, '$.plan') AS plan_key,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT json_extract_string(props, '$.plan') AS plan_key,
+         count(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT l.plan_key, l.n_events,
+       cast(coalesce(r.n_errors, 0) AS bigint) AS n_errors
+FROM l LEFT JOIN r ON l.plan_key IS NOT DISTINCT FROM r.plan_key
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1069,4 +1114,5 @@ QUERIES = {
     "q30_latest_by_key": (q30_latest_by_key, _Q30_SQL),
     "q31_regression_trend": (q31_regression_trend, _Q31_SQL),
     "q32_heavy_hitters": (q32_heavy_hitters, _Q32_SQL),
+    "q33_null_safe_join": (q33_null_safe_join, _Q33_SQL),
 }
