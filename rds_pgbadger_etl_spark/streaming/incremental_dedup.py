@@ -59,12 +59,16 @@ def flag_against_store(
     batch: DataFrame,
     store_dir: str,
     threshold: float = 0.5,
+    prof: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, dup_of, jaccard) for new docs near-duplicating any doc
     already in the store; empty on the first batch (empty store). The
     batch side is small by construction, so both joins broadcast it —
-    the store is only ever scanned, never shuffled."""
-    prof = _batch_profile(batch).persist()
+    the store is only ever scanned, never shuffled. Callers processing
+    a batch end-to-end pass the (persisted) ``prof`` so flagging and
+    acceptance share one profile computation."""
+    if prof is None:
+        prof = _batch_profile(batch)
     bands = lsh_bands(prof, "doc_id")
     try:
         store_bands = spark.read.parquet(_band_store_path(store_dir))
@@ -101,10 +105,13 @@ def flag_against_store(
     return verified
 
 
-def accept_into_store(batch: DataFrame, store_dir: str) -> None:
+def accept_into_store(
+    batch: DataFrame, store_dir: str, prof: DataFrame | None = None
+) -> None:
     """Append the batch's bands + profiles to the store (bucketed by
     band hash so future joins prune partitions)."""
-    prof = _batch_profile(batch)
+    if prof is None:
+        prof = _batch_profile(batch)
     bands = lsh_bands(prof, "doc_id").withColumn(
         "bucket", F.pmod(F.hash("band"), F.lit(N_STORE_BUCKETS))
     )
@@ -128,11 +135,18 @@ def run_incremental_dedup(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        flags = flag_against_store(spark, batch, store_dir, threshold)
-        flags.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(flags_out_dir)
-        accept_into_store(batch, store_dir)
+        # one profile per batch, shared by flagging and acceptance
+        prof = _batch_profile(batch).persist()
+        try:
+            flags = flag_against_store(
+                spark, batch, store_dir, threshold, prof=prof
+            )
+            flags.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(flags_out_dir)
+            accept_into_store(batch, store_dir, prof=prof)
+        finally:
+            prof.unpersist()
 
     q = (
         docs_stream.writeStream.foreachBatch(process)
