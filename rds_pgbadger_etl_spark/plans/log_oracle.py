@@ -473,6 +473,69 @@ GROUP BY 1
 """
 
 
+# P1 second input format: PostgreSQL csvlog (log_destination=csvlog —
+# pgBadger's other supported format next to the stderr prefix the
+# reference pins at rds_pgbadger.py:56-59). Same analytics, different
+# tokenizer: ``from_csv`` with a pinned column schema instead of the
+# prefix regex. Synthesis keeps fields quote-free so the Spark csv
+# parser and the DuckDB string_split twin agree byte-for-byte.
+_CSVLOG_SCHEMA = (
+    "log_time string, user_name string, database_name string, "
+    "process_id int, connection_from string, error_severity string, "
+    "duration_ms bigint, message string"
+)
+
+
+def _synth_csvlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = rebalance(load_table(spark, sf_dir, "events"))
+    sev = (
+        F.when(F.col("event_type") == "error", "ERROR")
+        .when(F.col("event_type") == "signup", "WARNING")
+        .otherwise("LOG")
+    )
+    line = F.concat_ws(
+        ",",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.concat(F.lit("u"), _s(F.col("user_id") % 10)),
+        F.concat(F.lit("db"), _s(F.col("user_id") % 5)),
+        _s(F.lit(1000) + F.col("user_id") % 100),
+        F.concat(F.lit("10.0."), _s(F.col("user_id") % 250), F.lit(".1")),
+        sev,
+        _s(F.abs(F.round(F.col("value") * 100)).cast("bigint")),
+        F.concat(F.lit("statement event "), _s(F.col("event_id"))),
+    )
+    return ev.select(line.alias("value"))
+
+
+def log_csvlog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _synth_csvlog(spark, sf_dir)
+    parsed = lines.select(
+        F.from_csv("value", _CSVLOG_SCHEMA).alias("r")
+    ).select("r.*")
+    return parsed.groupBy("error_severity", F.col("database_name").alias("db")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("duration_ms").alias("total_ms"),
+        F.countDistinct("process_id").alias("n_pids"),
+    )
+
+
+_LOG_CSVLOG_SQL = """
+WITH lines AS (
+  SELECT (CASE WHEN event_type = 'error' THEN 'ERROR'
+               WHEN event_type = 'signup' THEN 'WARNING'
+               ELSE 'LOG' END) AS error_severity,
+         'db' || cast(user_id % 5 AS varchar) AS db,
+         cast(abs(round(value * 100)) AS bigint) AS duration_ms,
+         1000 + user_id % 100 AS process_id
+  FROM events
+)
+SELECT error_severity, db, count(*) AS n_lines,
+       cast(sum(duration_ms) AS bigint) AS total_ms,
+       cast(count(DISTINCT process_id) AS bigint) AS n_pids
+FROM lines GROUP BY error_severity, db
+"""
+
+
 # P9: pgBadger's per-user/db/host connection breakdowns — ONE cube pass
 # (GROUPING SETS) instead of three separate groupBys.
 def log_connections_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,6 +792,7 @@ QUERIES = {
     ),
     "log_quarantine_stats": (log_quarantine_stats, _LOG_QUARANTINE_SQL),
     "log_table_stats": (log_table_stats, _LOG_TABLE_STATS_SQL),
+    "log_csvlog_stats": (log_csvlog_stats, _LOG_CSVLOG_SQL),
     "log_time_histogram": (log_time_histogram, _LOG_TIME_HISTOGRAM_SQL),
     "log_error_classes": (log_error_classes, _LOG_ERROR_CLASSES_SQL),
     "log_duration_percentiles": (log_duration_percentiles, _LOG_DURATION_PCTL_SQL),
