@@ -1081,6 +1081,30 @@ FROM l LEFT JOIN r ON l.plan_key IS NOT DISTINCT FROM r.plan_key
 """
 
 
+# --------------------------------------------------------------------------
+# Semi-structured profiling: which keys appear in the JSON props column
+# and how often — schema discovery over schemaless payloads (the first
+# question against any event stream with a freeform props bag). Parse
+# to MAP once, explode the keys, one hash aggregate.
+def q34_json_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keys = F.map_keys(
+        F.from_json("props", "map<string,string>")
+    )
+    return (
+        ev.select(F.explode(keys).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q34_SQL = """
+SELECT k.key, count(*) AS n_rows
+FROM events, unnest(json_keys(props)) AS k(key)
+GROUP BY k.key
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1115,4 +1139,5 @@ QUERIES = {
     "q31_regression_trend": (q31_regression_trend, _Q31_SQL),
     "q32_heavy_hitters": (q32_heavy_hitters, _Q32_SQL),
     "q33_null_safe_join": (q33_null_safe_join, _Q33_SQL),
+    "q34_json_key_histogram": (q34_json_key_histogram, _Q34_SQL),
 }

@@ -252,8 +252,41 @@ GROUP BY n.n_name
 """
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) event-time windows: 2-hour windows every
+    hour, so each event lands in exactly two windows — the smoothing
+    shape tumbling windows can't express. Spark's window() generates
+    the window set per row BEFORE the aggregate (a 2× row expansion,
+    then a normal hash aggregate); the oracle unions the two bucket
+    assignments explicitly. Same expression works under readStream with
+    a watermark — windows close 2h+watermark after their start."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, event_type
+  FROM events
+)
+SELECT win_start, event_type, count(*) AS n_events
+FROM assigned GROUP BY win_start, event_type
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
+    "sliding_window_counts": (sliding_window_counts, _SLIDING_SQL),
     "stream_enrich_counts": (stream_enrich_counts, _STREAM_ENRICH_SQL),
     "stream_interval_join": (stream_interval_join, _STREAM_INTERVAL_JOIN_SQL),
     "stream_dedup_counts": (stream_dedup_counts, _STREAM_DEDUP_SQL),
