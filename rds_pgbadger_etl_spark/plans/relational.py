@@ -1105,6 +1105,48 @@ GROUP BY k.key
 """
 
 
+# --------------------------------------------------------------------------
+# Ratio-to-parent: each nation's share of its region's customer count —
+# the percent-of-total report shape. Aggregate to the child grain first
+# (one shuffle), then a partition-window sum over the TINY aggregated
+# result computes the parent totals; dividing at the child grain never
+# re-scans the fact table.
+def q35_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        cu.join(F.broadcast(nation), cu.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "n_customers",
+        F.round(
+            F.col("n_customers") / F.sum("n_customers").over(w), 6
+        ).alias("share_of_region"),
+    )
+
+
+_Q35_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name, count(*) AS n_customers
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, n_customers,
+       round(n_customers / cast(sum(n_customers) OVER
+             (PARTITION BY r_name) AS double), 6) AS share_of_region
+FROM per_nation
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1140,4 +1182,5 @@ QUERIES = {
     "q32_heavy_hitters": (q32_heavy_hitters, _Q32_SQL),
     "q33_null_safe_join": (q33_null_safe_join, _Q33_SQL),
     "q34_json_key_histogram": (q34_json_key_histogram, _Q34_SQL),
+    "q35_ratio_to_parent": (q35_ratio_to_parent, _Q35_SQL),
 }
