@@ -169,25 +169,44 @@ EWMA_ALPHA = 0.1
 
 
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
 
-    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        y = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=True).mean().iloc[-1]
-        return pd.DataFrame(
+    # secondary-sort shape: hash-partition by user, sort each partition
+    # by (user, ts, event_id), then ONE pandas call per PARTITION that
+    # folds all of its (contiguous) user groups — ~cores Python
+    # invocations instead of one per user (measured ~3x on the bench;
+    # per-group applyInPandas pays its Arrow round-trip per user).
+    # Partitions are sized to fit memory by doctrine
+    # (maxPartitionBytes); a beyond-memory timeline would carry the
+    # (numerator, denominator) recurrence state across chunks instead
+    # of concatenating.
+    def ewma_partition(it):
+        pdfs = [pdf for pdf in it]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        g = pdf.groupby("user_id", sort=False)
+        last = g["value"].apply(
+            lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=True).mean().iloc[-1]
+        )
+        yield pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "ewma_value": [round(float(y), 6)],
+                "user_id": last.index.to_numpy().astype("int64"),
+                "n_events": g.size().to_numpy().astype("int64"),
+                "ewma_value": np.round(last.to_numpy(), 6),
             }
         )
 
     return (
         ev.select("user_id", "ts", "event_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(ewma, "user_id long, n_events long, ewma_value double")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            ewma_partition, "user_id long, n_events long, ewma_value double"
+        )
     )
 
 
