@@ -155,3 +155,48 @@ def zorder_key(*cols: Column, bits: int = ZORDER_BITS) -> Column:
                 F.shiftleft(bit, b * n + i).cast("long")
             )
     return key
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert for partitioned parquet (CDC apply without a
+# transactional table format): rewrite ONLY the partitions the update
+# batch touches — current rows whose key is superseded are dropped
+# (anti-join), update rows union in, and dynamic partition overwrite
+# swaps just those partition directories. Untouched partitions are
+# neither read fully nor rewritten (the semi join on partition values
+# prunes the scan).
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> None:
+    """Upsert ``updates`` into the parquet table at ``table_dir``.
+
+    Semantics: rows matching on ``key_cols`` are replaced, new keys
+    append — MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, the
+    changelog-apply step after :func:`~...plans.relational.q30_latest_by_key`
+    compacts the changelog itself. The update batch must carry the
+    partition columns; at scale batches touch few partitions, so the
+    rewrite cost tracks the update's partition footprint, not table
+    size. localCheckpoint detaches the rewrite from the files it
+    replaces (same safety note as compact_partitioned).
+    """
+    current = spark.read.parquet(table_dir)
+    touched = updates.select(*partition_cols).distinct()
+    in_touched = current.join(F.broadcast(touched), partition_cols, "leftsemi")
+    kept = in_touched.join(
+        updates.select(*key_cols), key_cols, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*current.columns)).localCheckpoint(
+        eager=True
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(table_dir)
+    )

@@ -112,3 +112,46 @@ def test_zorder_clusters_both_dimensions(spark):
     # determinism: the key is a pure expression
     again = keyed.orderBy("z").collect()
     assert [r.z for r in again] == [r.z for r in rows]
+
+
+def test_merge_upsert_replaces_and_inserts_only_touched_partitions(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.sinks.layout import merge_upsert
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, part string, v double",
+    )
+    base.write.partitionBy("part").parquet(table)
+    untouched_files = set(os.listdir(os.path.join(table, "part=c")))
+
+    # update id=2 (partition a), insert id=5 (partition b); c untouched
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0), (5, "b", 50.0)], "id long, part string, v double"
+    )
+    merge_upsert(spark, table, updates, ["id"], ["part"])
+
+    got = {
+        (r.id, r.part): r.v
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {
+        (1, "a"): 10.0,
+        (2, "a"): 99.0,  # replaced
+        (3, "b"): 30.0,
+        (5, "b"): 50.0,  # inserted
+        (4, "c"): 40.0,  # untouched
+    }
+    # dynamic overwrite must not have rewritten partition c
+    assert set(os.listdir(os.path.join(table, "part=c"))) == untouched_files
+
+    # idempotence: re-applying the same batch is a no-op
+    merge_upsert(spark, table, updates, ["id"], ["part"])
+    again = {
+        (r.id, r.part): r.v for r in spark.read.parquet(table).collect()
+    }
+    assert again == got
