@@ -1147,6 +1147,51 @@ FROM per_nation
 """
 
 
+# --------------------------------------------------------------------------
+# SCD Type-2 history build: turn the event changelog into validity
+# intervals per user — collapse consecutive repeats of the same state
+# (lag compare), then each surviving change row's interval runs to the
+# next change (lead), open-ended for the current state. Two windows
+# over ONE shuffle on user_id (same partitioning, Catalyst reuses the
+# exchange). The warehouse dimension-history shape.
+def q36_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+_Q36_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to
+FROM changes
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1183,4 +1228,5 @@ QUERIES = {
     "q33_null_safe_join": (q33_null_safe_join, _Q33_SQL),
     "q34_json_key_histogram": (q34_json_key_histogram, _Q34_SQL),
     "q35_ratio_to_parent": (q35_ratio_to_parent, _Q35_SQL),
+    "q36_scd2_intervals": (q36_scd2_intervals, _Q36_SQL),
 }
