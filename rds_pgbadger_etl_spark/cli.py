@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cron mode: process every closed-hour file not yet "
                         "in the out-dir manifest (idempotent re-runs)")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    p.add_argument("--list-queries", action="store_true",
+                   help="list every registered analytics query and exit")
+    p.add_argument("--query", default=None, metavar="NAME",
+                   help="run one registered query (see --list-queries) "
+                        "against --sf-dir and print its rows as JSON lines")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR"),
+                   help="table directory for --query (parquet tables)")
+    p.add_argument("--limit", type=int, default=50,
+                   help="max rows to print for --query (default 50)")
     return p
 
 
@@ -160,8 +169,38 @@ def run_incremental(
     return {"files": len(todo), "skipped": len(closed) - len(todo)}
 
 
+def run_query(args) -> None:
+    """Direct access to the analytics registry: every query a reference
+    user gets from the report, plus the full extension surface, runnable
+    by name from the shell."""
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    registry = entry_mod.queries()
+    if args.list_queries:
+        for name in sorted(registry):
+            print(name)
+        return
+    if args.query not in registry:
+        raise SystemExit(
+            f"unknown query {args.query!r}; see --list-queries"
+        )
+    if not args.sf_dir:
+        raise SystemExit("--sf-dir is required with --query (or env var)")
+    spark = get_spark(app_name=f"query:{args.query}", cpus=args.cpus)
+    df = registry[args.query](spark, args.sf_dir)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+
+
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.list_queries or args.query:
+        run_query(args)
+        return
     if not args.log_dir or not args.out_dir:
         raise SystemExit("--log-dir and --out-dir are required (or env vars)")
 

@@ -84,3 +84,24 @@ def test_run_incremental_manifest_semantics(spark, tmp_path):
     events = spark.read.parquet(f"{out_dir}/events")
     hours = {str(r.log_hour) for r in events.select("log_hour").distinct().collect()}
     assert hours == {"9", "10"}
+
+
+def test_cli_query_registry_access(capsys, spark):
+    from rds_pgbadger_etl_spark import cli
+
+    cli.main(["--list-queries"])
+    names = capsys.readouterr().out.split()
+    assert "q01_pricing_summary" in names and len(names) >= 100
+
+    cli.main(
+        [
+            "--query", "q03_distinct",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--limit", "5", "--cpus", "8",
+        ]
+    )
+    import json
+
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert 1 <= len(rows) <= 5
+    assert set(rows[0]) == {"c_mktsegment", "c_nationkey"}
