@@ -1306,6 +1306,64 @@ WHERE levenshtein(x.title, y.title) <= {EDIT_MAX_DIST}
 """
 
 
+CANONICAL_SAMPLE_K = 20
+
+
+def canonical_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: dedup-aware sampling — draw the per-source
+    sample from CANONICAL docs only (one survivor per near-dup cluster),
+    so duplicates can never be sampled twice under different ids. This
+    is the dedup → sample order every pretraining pipeline runs; the
+    oracle recomputes the full chain (LSH pairs → recursive-CTE
+    components → canonical filter → seeded-hash rank)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    assign = D.dedup_cluster_assignments(
+        docs, threshold=0.5, pairs=_near_pairs(spark, sf_dir)
+    )
+    canon = docs.join(
+        assign.filter(F.col("is_canonical") == 1).select("doc_id"), "doc_id"
+    )
+    rk = hex_hash64(F.col("doc_id").cast("string"), seed="canon:")
+    w = Window.partitionBy("source").orderBy(rk.asc(), F.col("doc_id").asc())
+    return (
+        canon.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CANONICAL_SAMPLE_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+_CANONICAL_SAMPLE_SQL = f"""
+WITH RECURSIVE {{ctes}},
+pairs AS ({{final}}),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src),
+canon AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+  WHERE coalesce(least(c.doc_id, c.min_reach), d.doc_id) = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY cast('0x' || substr(md5('canon:' || cast(doc_id AS varchar)),
+                         1, 15) AS bigint), doc_id
+         ) AS rn
+  FROM canon
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rn <= {CANONICAL_SAMPLE_K}
+""".format(ctes=_NEAR_PAIRS_CTES, final=_NEAR_PAIRS_FINAL)
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -1338,4 +1396,5 @@ QUERIES = {
     "ann_filtered_topk": (ann_filtered_topk, _ANN_FILTERED_SQL),
     "corpus_overlap_matrix": (corpus_overlap_matrix, _OVERLAP_SQL),
     "title_block_matches": (title_block_matches, _TITLE_BLOCK_SQL),
+    "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
 }
