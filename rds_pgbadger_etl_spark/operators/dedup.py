@@ -179,6 +179,42 @@ def near_dup_pairs(
     return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Containment scoring over LSH candidate pairs: |A∩B| / min(|A|,|B|)
+    — catches subset duplication (one doc quoting/excerpting another)
+    that symmetric Jaccard under-scores when sizes differ. Same plan
+    shape as :func:`near_dup_pairs` (profile → bands → candidates →
+    broadcast verify). Caveat, documented on purpose: MinHash bands
+    collide by RESEMBLANCE, so a tiny doc fully contained in a huge one
+    may not become a candidate; a dedicated containment pipeline bands
+    on the smaller side's shingles (prefix bands) to recover that
+    recall — the verify math here is the same either way.
+    """
+    prof = shingle_profile(char_shingles(df, id_col, text_col), id_col).persist()
+    cands = candidate_pairs(lsh_bands(prof, id_col), id_col)
+    prof_a = prof.select(F.col(id_col).alias("a"), F.col("shingle_set").alias("sa"))
+    prof_b = prof.select(F.col(id_col).alias("b"), F.col("shingle_set").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    with_a = prof_a.join(F.broadcast(cands.select("a", "b")), "a")
+    return (
+        prof_b.join(F.broadcast(with_a), "b")
+        .select(
+            "a",
+            "b",
+            (
+                inter.cast("double")
+                / F.least(F.size("sa"), F.size("sb")).cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 WORD_NGRAM_N = 3
 WORD_CAP = 256  # n-gram at most this many words per doc (cost bound)
 

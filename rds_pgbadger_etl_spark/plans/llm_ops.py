@@ -1306,6 +1306,26 @@ WHERE levenshtein(x.title, y.title) <= {EDIT_MAX_DIST}
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 companion: containment (|A∩B| / min set size) over the same
+    LSH candidates — subset-duplication (quotes/excerpts) that symmetric
+    Jaccard under-scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.8)
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_NEAR_PAIRS_CTES}
+SELECT i.a, i.b,
+       cast(i.inter AS double) / cast(least(na.n, nb.n) AS double)
+         AS containment
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a
+JOIN sizes nb ON nb.doc_id = i.b
+WHERE cast(i.inter AS double) / cast(least(na.n, nb.n) AS double) >= 0.8
+"""
+
+
 CANONICAL_SAMPLE_K = 20
 
 
@@ -1397,4 +1417,5 @@ QUERIES = {
     "corpus_overlap_matrix": (corpus_overlap_matrix, _OVERLAP_SQL),
     "title_block_matches": (title_block_matches, _TITLE_BLOCK_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
+    "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
 }
