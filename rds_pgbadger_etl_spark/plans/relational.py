@@ -1192,6 +1192,48 @@ FROM changes
 """
 
 
+# --------------------------------------------------------------------------
+# Anomaly surfacing: the 5 most extreme values per event type by
+# z-score. Group stats via one window over the aggregate-free partition
+# (avg/stddev computed per type, broadcast back by the same window —
+# no join), then rank on the ROUNDED |z| so float fold-order can't
+# reorder near-ties; tie-break on event_id keeps the top-5 set exact.
+def q37_extreme_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wstats = Window.partitionBy("event_type")
+    z = F.round(
+        (F.col("value") - F.avg("value").over(wstats))
+        / F.stddev_samp("value").over(wstats),
+        6,
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("z")).desc(), F.col("event_id")
+    )
+    return (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("z", z)
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "event_id", "value", "z", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_Q37_SQL = """
+SELECT event_type, event_id, value, z, cast(rnk AS int) AS rnk FROM (
+  SELECT event_type, event_id, value, z,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(z) DESC, event_id) AS rnk
+  FROM (
+    SELECT event_type, event_id, value,
+           round((value - avg(value) OVER w)
+                 / stddev_samp(value) OVER w, 6) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+  )
+) WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1229,4 +1271,5 @@ QUERIES = {
     "q34_json_key_histogram": (q34_json_key_histogram, _Q34_SQL),
     "q35_ratio_to_parent": (q35_ratio_to_parent, _Q35_SQL),
     "q36_scd2_intervals": (q36_scd2_intervals, _Q36_SQL),
+    "q37_extreme_zscores": (q37_extreme_zscores, _Q37_SQL),
 }
