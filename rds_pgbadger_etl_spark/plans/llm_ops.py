@@ -1306,6 +1306,58 @@ WHERE levenshtein(x.title, y.title) <= {EDIT_MAX_DIST}
 """
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Flesch-style readability per language — words/sentence and a
+    vowel-group syllable proxy, all regexp_count built-ins (codegen).
+    Per-doc scores round to 6 before the decimal-exact average so the
+    cross-engine sum is bit-stable (same shape as text_stats'
+    avg_quality)."""
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    words = F.regexp_count("text", F.lit(r"\S+")).cast("double")
+    sentences = (F.regexp_count("text", F.lit(r"[.!?]")) + 1).cast("double")
+    syllables = F.regexp_count(F.lower("text"), F.lit("[aeiou]+")).cast(
+        "double"
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words),
+        6,
+    )
+    return (
+        docs.withColumn("flesch", flesch)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("flesch").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_flesch"),
+        )
+    )
+
+
+_READABILITY_SQL = r"""
+WITH scored AS (
+  SELECT lang,
+         round(206.835
+               - 1.015 * (cast(len(regexp_extract_all(text, '\S+')) AS double)
+                          / cast(len(regexp_extract_all(text, '[.!?]')) + 1
+                                 AS double))
+               - 84.6 * (cast(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                              AS double)
+                         / cast(len(regexp_extract_all(text, '\S+'))
+                                AS double)),
+               6) AS flesch
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       cast(sum(cast(flesch AS decimal(20,6))) AS double) / count(*)
+         AS avg_flesch
+FROM scored GROUP BY lang
+"""
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 companion: containment (|A∩B| / min set size) over the same
     LSH candidates — subset-duplication (quotes/excerpts) that symmetric
@@ -1418,4 +1470,5 @@ QUERIES = {
     "title_block_matches": (title_block_matches, _TITLE_BLOCK_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
+    "text_readability": (text_readability, _READABILITY_SQL),
 }

@@ -536,6 +536,37 @@ FROM lines GROUP BY error_severity, db
 """
 
 
+# P6 companion (pgBadger's day-of-week × hour activity heatmap): the
+# weekly traffic profile — one hash aggregate over two derived keys.
+def log_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed(spark, sf_dir)
+    return (
+        parsed.filter(F.col("event_ts").isNotNull())
+        .groupBy(
+            F.date_format("event_ts", "EEEE").alias("day_name"),
+            F.hour("event_ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(extract_duration_ms("payload").cast("bigint")).alias(
+                "total_ms"
+            ),
+        )
+    )
+
+
+_LOG_WEEKLY_SQL = f"""
+WITH lines AS ({_SYNTH_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT dayname(event_ts) AS day_name,
+       cast(hour(event_ts) AS int) AS hour_of_day,
+       count(*) AS n_events,
+       cast(sum(cast(duration_ms AS bigint)) AS bigint) AS total_ms
+FROM parsed WHERE event_ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # P9: pgBadger's per-user/db/host connection breakdowns — ONE cube pass
 # (GROUPING SETS) instead of three separate groupBys.
 def log_connections_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,6 +824,7 @@ QUERIES = {
     "log_quarantine_stats": (log_quarantine_stats, _LOG_QUARANTINE_SQL),
     "log_table_stats": (log_table_stats, _LOG_TABLE_STATS_SQL),
     "log_csvlog_stats": (log_csvlog_stats, _LOG_CSVLOG_SQL),
+    "log_weekly_profile": (log_weekly_profile, _LOG_WEEKLY_SQL),
     "log_time_histogram": (log_time_histogram, _LOG_TIME_HISTOGRAM_SQL),
     "log_error_classes": (log_error_classes, _LOG_ERROR_CLASSES_SQL),
     "log_duration_percentiles": (log_duration_percentiles, _LOG_DURATION_PCTL_SQL),
