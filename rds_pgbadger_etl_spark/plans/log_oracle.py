@@ -536,6 +536,46 @@ FROM lines GROUP BY error_severity, db
 """
 
 
+# P8 companion (pgBadger shows example messages under each error
+# class): the 3 most recent payloads per level — per-group top-K via
+# one rank window; ties at equal timestamps break on the payload text
+# for a deterministic example set.
+def log_error_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    parsed = _parsed(spark, sf_dir)
+    w = Window.partitionBy("level").orderBy(
+        F.col("event_ts").desc(), F.col("payload").asc()
+    )
+    return (
+        parsed.filter(F.col("level").isin("ERROR", "WARNING"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "level",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "event_time"
+            ),
+            "payload",
+        )
+    )
+
+
+_LOG_ERROR_EXAMPLES_SQL = f"""
+WITH lines AS ({_SYNTH_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT level, cast(rnk AS int) AS rnk,
+       strftime(event_ts, '%Y-%m-%d %H:%M:%S') AS event_time, payload
+FROM (
+  SELECT level, event_ts, payload,
+         row_number() OVER (PARTITION BY level
+                            ORDER BY event_ts DESC, payload) AS rnk
+  FROM parsed WHERE level IN ('ERROR', 'WARNING')
+) WHERE rnk <= 3
+"""
+
+
 # P6 companion (pgBadger's day-of-week × hour activity heatmap): the
 # weekly traffic profile — one hash aggregate over two derived keys.
 def log_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,6 +865,7 @@ QUERIES = {
     "log_table_stats": (log_table_stats, _LOG_TABLE_STATS_SQL),
     "log_csvlog_stats": (log_csvlog_stats, _LOG_CSVLOG_SQL),
     "log_weekly_profile": (log_weekly_profile, _LOG_WEEKLY_SQL),
+    "log_error_examples": (log_error_examples, _LOG_ERROR_EXAMPLES_SQL),
     "log_time_histogram": (log_time_histogram, _LOG_TIME_HISTOGRAM_SQL),
     "log_error_classes": (log_error_classes, _LOG_ERROR_CLASSES_SQL),
     "log_duration_percentiles": (log_duration_percentiles, _LOG_DURATION_PCTL_SQL),
