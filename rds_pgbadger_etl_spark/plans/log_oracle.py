@@ -795,6 +795,46 @@ GROUP BY log_user, db
 """
 
 
+# pgBadger "sessions per duration range": bucket each disconnect's
+# session time into fixed ranges — one CASE + one hash aggregate over
+# the same parsed sys stream.
+def log_session_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed_sys(spark, sf_dir)
+    p = F.col("payload")
+    part = lambda i: F.regexp_extract(p, _SESSION_RE, i).cast("bigint")  # noqa: E731
+    session_ms = (
+        (part(1) * 3600 + part(2) * 60 + part(3)) * 1000 + part(4)
+    )
+    bucket = (
+        F.when(session_ms < 1_000, "lt_1s")
+        .when(session_ms < 60_000, "1s_to_1m")
+        .when(session_ms < 3_600_000, "1m_to_1h")
+        .otherwise("ge_1h")
+    )
+    return (
+        parsed.filter(p.contains("disconnection:"))
+        .groupBy(bucket.alias("duration_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(session_ms).alias("total_ms"),
+        )
+    )
+
+
+_LOG_SESSION_HIST_SQL = f"""
+WITH lines AS ({_SYNTH_SYS_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT CASE WHEN {_SESSION_MS_SQL} < 1000 THEN 'lt_1s'
+            WHEN {_SESSION_MS_SQL} < 60000 THEN '1s_to_1m'
+            WHEN {_SESSION_MS_SQL} < 3600000 THEN '1m_to_1h'
+            ELSE 'ge_1h' END AS duration_bucket,
+       count(*) AS n_sessions,
+       cast(sum({_SESSION_MS_SQL}) AS bigint) AS total_ms
+FROM parsed WHERE payload LIKE '%disconnection:%'
+GROUP BY 1
+"""
+
+
 # P11: temp-file / lock / autovacuum classification + per-class stats.
 # Lock wait "M.mmm ms" is summed as exact integer microseconds, never
 # floats (map-side sum order would change a float total).
@@ -866,6 +906,7 @@ QUERIES = {
     "log_csvlog_stats": (log_csvlog_stats, _LOG_CSVLOG_SQL),
     "log_weekly_profile": (log_weekly_profile, _LOG_WEEKLY_SQL),
     "log_error_examples": (log_error_examples, _LOG_ERROR_EXAMPLES_SQL),
+    "log_session_histogram": (log_session_histogram, _LOG_SESSION_HIST_SQL),
     "log_time_histogram": (log_time_histogram, _LOG_TIME_HISTOGRAM_SQL),
     "log_error_classes": (log_error_classes, _LOG_ERROR_CLASSES_SQL),
     "log_duration_percentiles": (log_duration_percentiles, _LOG_DURATION_PCTL_SQL),
