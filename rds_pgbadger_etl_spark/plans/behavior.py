@@ -106,11 +106,14 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETENTION_SQL = """
 WITH first_seen AS (
-  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  -- cast: DuckDB date_trunc('week') yields DATE; Spark yields TIMESTAMP
+  SELECT user_id, cast(date_trunc('week', min(ts)) AS timestamp)
+           AS cohort_week
   FROM events GROUP BY user_id
 ),
 activity AS (
-  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS timestamp)
+           AS active_week
   FROM events
 )
 SELECT f.cohort_week,

@@ -1436,6 +1436,210 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rn <= {CANONICAL_SAMPLE_K}
 """.format(ctes=_NEAR_PAIRS_CTES, final=_NEAR_PAIRS_FINAL)
 
 
+# ---------------------------------------------------------------------------
+# Boilerplate mining: token 5-grams shared across documents (the
+# C4/RefinedWeb boilerplate-removal primitive). Per-doc DISTINCT before
+# the corpus count kills within-doc repeats early (map-side), so the
+# final aggregate is over (doc, gram) pairs, ∝ corpus size — one explode
+# + two hash aggregates + top-K; no self-join anywhere.
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    tk = F.split("text", " ")
+    grams = F.when(
+        F.size(tk) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 4),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(20)
+    )
+
+
+_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(len(tk) - 3, 1))) AS t(i)
+  WHERE len(tk) >= 5
+)
+SELECT gram, count(*) AS doc_freq
+FROM grams GROUP BY gram HAVING count(*) >= 2
+ORDER BY doc_freq DESC, gram LIMIT 20
+"""
+
+
+# Unigram language-model scoring (perplexity proxy): corpus token
+# frequencies → per-doc mean negative log-likelihood; the 20 most
+# "surprising" docs. The token→frequency join is a shuffle join on the
+# token (the vocabulary is NOT broadcast — same scale rule as
+# text_tfidf_top_terms: at web scale the vocabulary is huge; AQE may
+# still pick broadcast when it measures small). Ranking is on the
+# 6-rounded score with doc_id tiebreak, so the top-K set is exact.
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("n").cast("double") / F.col("tot"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy(F.col("avg_neg_logprob").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS tot FROM toks)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(-ln(cast(f.n AS double) / tot)), 6) AS avg_neg_logprob
+FROM toks t JOIN freq f USING (tok) CROSS JOIN total
+GROUP BY t.doc_id
+ORDER BY avg_neg_logprob DESC, t.doc_id LIMIT 20
+"""
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken MOSS): per-doc char-8-gram
+# hashes, a gram is selected as a fingerprint when it is the minimum of
+# its forward window of 4 — the local-min simplification of winnowing
+# (guarantees ≥1 selection per window; deterministic, no rightmost-tie
+# rule needed since the 60-bit hashes are effectively collision-free
+# within a doc). One explode + one per-doc window + one aggregate.
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    head = F.substring("text", 1, D.TEXT_CAP)
+    n_pos = F.greatest(F.length(head) - 7, F.lit(1))
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("i"),
+        head.alias("head"),
+    ).select(
+        "doc_id",
+        "i",
+        hex_hash64(F.substring(F.col("head"), F.col("i"), 8)).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    sel = pos.withColumn("wmin", F.min("h").over(w))
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("h") == F.col("wmin"), 1).otherwise(0)).alias(
+            "n_selected"
+        ),
+        F.countDistinct(
+            F.when(F.col("h") == F.col("wmin"), F.col("h"))
+        ).alias("n_distinct_fps"),
+    )
+
+
+_WINNOWING_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, i,
+         cast('0x' || substr(md5(substr(substr(text, 1, {D.TEXT_CAP}), i, 8)),
+              1, 15) AS bigint) AS h
+  FROM documents,
+       unnest(range(1, greatest(length(substr(text, 1, {D.TEXT_CAP})) - 7, 1)
+                       + 1)) AS t(i)
+),
+sel AS (
+  SELECT doc_id, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM pos
+)
+SELECT doc_id, count(*) AS n_grams,
+       cast(sum(CASE WHEN h = wmin THEN 1 ELSE 0 END) AS bigint)
+         AS n_selected,
+       cast(count(DISTINCT CASE WHEN h = wmin THEN h END) AS bigint)
+         AS n_distinct_fps
+FROM sel GROUP BY doc_id
+"""
+
+
+# Scalar (per-dimension int8) embedding quantization — the 4× memory
+# lever for ANN at scale: explode to (vec, dim, x), per-dim global
+# min/max (64-row aggregate, broadcast back), code = round(255·(x−min)/
+# (max−min)), report per-dim reconstruction error. Element-wise double
+# math — no reordering — so codes are bit-identical across engines.
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = e.groupBy("dim").agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax")
+    )
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    code = F.round((F.col("x") - F.col("vmin")) / scale).cast("int")
+    err = F.abs(F.col("x") - (F.col("vmin") + code.cast("double") * scale))
+    return (
+        e.join(F.broadcast(stats), "dim")
+        .select("dim", "vmin", "vmax", code.alias("code"), err.alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.max("vmin"), 6).alias("vmin"),
+            F.round(F.max("vmax"), 6).alias("vmax"),
+            F.countDistinct("code").alias("n_codes"),
+            F.round(F.avg("err"), 9).alias("avg_abs_err"),
+        )
+    )
+
+
+_EMBEDDING_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, i AS dim, cast(embedding[i] AS double) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+stats AS (
+  SELECT dim, min(x) AS vmin, max(x) AS vmax FROM e GROUP BY dim
+),
+q AS (
+  SELECT e.dim, s.vmin, s.vmax,
+         cast(round((e.x - s.vmin) / ((s.vmax - s.vmin) / 255.0))
+              AS int) AS code,
+         abs(e.x - (s.vmin
+             + cast(round((e.x - s.vmin) / ((s.vmax - s.vmin) / 255.0))
+                    AS int) * ((s.vmax - s.vmin) / 255.0))) AS err
+  FROM e JOIN stats s USING (dim)
+)
+SELECT dim, round(max(vmin), 6) AS vmin, round(max(vmax), 6) AS vmax,
+       cast(count(DISTINCT code) AS bigint) AS n_codes,
+       round(avg(err), 9) AS avg_abs_err
+FROM q GROUP BY dim
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -1468,6 +1672,10 @@ QUERIES = {
     "ann_filtered_topk": (ann_filtered_topk, _ANN_FILTERED_SQL),
     "corpus_overlap_matrix": (corpus_overlap_matrix, _OVERLAP_SQL),
     "title_block_matches": (title_block_matches, _TITLE_BLOCK_SQL),
+    "boilerplate_ngrams": (boilerplate_ngrams, _BOILERPLATE_SQL),
+    "unigram_logprob": (unigram_logprob, _UNIGRAM_LOGPROB_SQL),
+    "winnowing_fingerprints": (winnowing_fingerprints, _WINNOWING_SQL),
+    "embedding_quantize": (embedding_quantize, _EMBEDDING_QUANTIZE_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "text_readability": (text_readability, _READABILITY_SQL),

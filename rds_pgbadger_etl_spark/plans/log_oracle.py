@@ -17,7 +17,7 @@ single-line events.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rds_pgbadger_etl_spark.functions.normalize import (
@@ -893,6 +893,250 @@ GROUP BY class
 """
 
 
+# ---------------------------------------------------------------------------
+# pgBadger "Queries generating the most temporary files" / "Most frequent
+# waiting queries" (report sections of the tool the reference invokes at
+# rds_pgbadger.py:51-63). A temp-file or lock-wait line carries only a
+# pid — the responsible query is the *most recent statement on the same
+# backend*. Rather than an as-of join (two shuffles + range probe), both
+# streams are unioned and a single `last(stmt) ignore nulls` window per
+# pid propagates the statement forward — one shuffle on pid, linear scan,
+# the P2 header-propagation pattern applied across files. At 100 TB this
+# is the cheapest possible attribution: no join, no skew amplification
+# (pid cardinality ~ backend count), and the window is pipelined.
+#
+# Determinism under second-granularity timestamp ties: ORDER BY
+# (event_ts, kind, stmt) — statements (kind 0) sort before system lines
+# (kind 1) of the same second, so an event's own statement is visible to
+# its system line; ties among statements resolve on the normalized text.
+# Peer order among kind-1 rows is irrelevant (their stmt is null, so
+# they never change `last(stmt, ignorenulls)`).
+def _attributed_sys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    def build() -> DataFrame:
+        q = _parsed(spark, sf_dir).select(
+            "pid",
+            "event_ts",
+            F.lit(0).alias("kind"),
+            normalize_query(extract_statement("payload")).alias("stmt"),
+            F.lit(None).cast("string").alias("payload"),
+        )
+        s = _parsed_sys(spark, sf_dir).select(
+            "pid",
+            "event_ts",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("string").alias("stmt"),
+            "payload",
+        )
+        w = (
+            Window.partitionBy("pid")
+            .orderBy("event_ts", "kind", "stmt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            q.unionByName(s)
+            .withColumn("attr_query", F.last("stmt", ignorenulls=True).over(w))
+            .filter(F.col("kind") == 1)
+            .select("pid", "event_ts", "payload", "attr_query")
+        )
+
+    return shared_df(spark, "attributed_sys", sf_dir, build)
+
+
+_PARSE_Q_SQL = _PARSE_SQL.replace("FROM lines", "FROM qlines")
+_PARSE_S_SQL = _PARSE_SQL.replace("FROM lines", "FROM slines")
+
+_ATTRIBUTED_SQL = f"""
+qlines AS ({_SYNTH_SQL}),
+slines AS ({_SYNTH_SYS_SQL}),
+qp AS ({_PARSE_Q_SQL}),
+sp AS ({_PARSE_S_SQL}),
+unioned AS (
+  SELECT pid, event_ts, 0 AS kind,
+         {normalize_query_oracle_sql(f"regexp_extract(payload, '{_STMT_RE_SQL}', 1)")}
+           AS stmt,
+         cast(NULL AS varchar) AS payload
+  FROM qp
+  UNION ALL
+  SELECT pid, event_ts, 1 AS kind, cast(NULL AS varchar) AS stmt, payload
+  FROM sp
+),
+attributed AS (
+  SELECT pid, event_ts, payload,
+         last_value(stmt IGNORE NULLS) OVER (
+           PARTITION BY pid ORDER BY event_ts, kind, stmt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_query
+  FROM unioned
+)
+"""
+
+
+def log_tempfile_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgBadger "queries generating the most temporary files": temp-file
+    events attributed to the last statement on the same pid, top-10 by
+    total bytes spilled. Top-K compiles to TakeOrderedAndProject."""
+    attr = _attributed_sys(spark, sf_dir)
+    size = F.nullif(
+        F.regexp_extract("payload", r'", size (\d+)', 1), F.lit("")
+    ).cast("bigint")
+    return (
+        attr.filter(F.col("payload").contains("temporary file:"))
+        .withColumn("temp_b", size)
+        .groupBy(F.col("attr_query").alias("query"))
+        .agg(
+            F.count(F.lit(1)).alias("n_temp_files"),
+            F.sum("temp_b").alias("temp_bytes"),
+            F.max("temp_b").alias("max_temp_bytes"),
+        )
+        .orderBy(F.col("temp_bytes").desc(), "query")
+        .limit(10)
+    )
+
+
+_LOG_TEMPFILE_SQL = f"""
+WITH {_ATTRIBUTED_SQL}
+SELECT attr_query AS query, count(*) AS n_temp_files,
+       cast(sum(cast(nullif(regexp_extract(payload, '", size (\\d+)', 1),
+                     '') AS bigint)) AS bigint) AS temp_bytes,
+       cast(max(cast(nullif(regexp_extract(payload, '", size (\\d+)', 1),
+                     '') AS bigint)) AS bigint) AS max_temp_bytes
+FROM attributed
+WHERE payload LIKE '%temporary file:%'
+GROUP BY query
+ORDER BY temp_bytes DESC, query
+LIMIT 10
+"""
+
+
+def log_lock_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgBadger "most frequent waiting queries": lock-wait events
+    attributed to the responsible statement; wait time kept exact as
+    bigint microseconds, divided once at the end."""
+    attr = _attributed_sys(spark, sf_dir)
+    ext = lambda i: F.nullif(  # noqa: E731
+        F.regexp_extract("payload", r"after (\d+)\.(\d{3}) ms", i), F.lit("")
+    ).cast("bigint")
+    wait_us = ext(1) * 1000 + ext(2)
+    return (
+        attr.filter(F.col("payload").contains("still waiting for"))
+        .withColumn("wait_us", wait_us)
+        .withColumn(
+            "lock_type",
+            F.regexp_extract("payload", r"waiting for (\w+) on", 1),
+        )
+        .groupBy(F.col("attr_query").alias("query"), "lock_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_waits"),
+            F.sum("wait_us").alias("total_wait_us"),
+            F.max("wait_us").alias("max_wait_us"),
+        )
+        .orderBy(F.col("total_wait_us").desc(), "query", "lock_type")
+        .limit(10)
+    )
+
+
+_WAIT_US_SQL = (
+    "(cast(nullif(regexp_extract(payload, 'after (\\d+)\\.(\\d{3}) ms', 1),"
+    " '') AS bigint) * 1000"
+    " + cast(nullif(regexp_extract(payload, 'after (\\d+)\\.(\\d{3}) ms', 2),"
+    " '') AS bigint))"
+)
+
+_LOG_LOCK_WAITS_SQL = f"""
+WITH {_ATTRIBUTED_SQL}
+SELECT attr_query AS query,
+       regexp_extract(payload, 'waiting for (\\w+) on', 1) AS lock_type,
+       count(*) AS n_waits,
+       cast(sum({_WAIT_US_SQL}) AS bigint) AS total_wait_us,
+       cast(max({_WAIT_US_SQL}) AS bigint) AS max_wait_us
+FROM attributed
+WHERE payload LIKE '%still waiting for%'
+GROUP BY query, lock_type
+ORDER BY total_wait_us DESC, query, lock_type
+LIMIT 10
+"""
+
+
+# pgBadger "Overall statistics" page: one per-hour row combining both
+# log streams — query traffic, error counts, spill volume, lock waits,
+# session closes, autovacuum runs. A single union + one hash aggregate
+# on the hour key (conditional sums, map-side combinable); never one
+# pass per metric.
+def log_hourly_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.col("payload")
+    q = _parsed(spark, sf_dir).select(
+        "event_ts",
+        "level",
+        "payload",
+        extract_duration_ms("payload").alias("duration_ms"),
+        F.lit(0).alias("kind"),
+    )
+    s = _parsed_sys(spark, sf_dir).select(
+        "event_ts",
+        "level",
+        "payload",
+        F.lit(None).cast("double").alias("duration_ms"),
+        F.lit(1).alias("kind"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    size = F.nullif(
+        F.regexp_extract(p, r'", size (\d+)', 1), F.lit("")
+    ).cast("bigint")
+    return (
+        q.unionByName(s)
+        .groupBy(F.date_trunc("hour", "event_ts").alias("hour"))
+        .agg(
+            cnt(F.col("kind") == 0).alias("n_queries"),
+            F.sum(
+                F.when(F.col("kind") == 0, F.col("duration_ms").cast("bigint"))
+                .otherwise(0)
+            ).alias("total_duration_ms"),
+            cnt(F.col("level") == "ERROR").alias("n_errors"),
+            cnt(F.col("level") == "WARNING").alias("n_warnings"),
+            cnt(p.contains("temporary file:")).alias("n_temp_files"),
+            F.sum(F.coalesce(size, F.lit(0))).alias("temp_bytes"),
+            cnt(p.contains("still waiting for")).alias("n_lock_waits"),
+            cnt(p.contains("disconnection:")).alias("n_sessions"),
+            cnt(p.contains("automatic vacuum")).alias("n_autovacuum"),
+        )
+    )
+
+
+_LOG_HOURLY_OVERVIEW_SQL = f"""
+WITH qlines AS ({_SYNTH_SQL}),
+slines AS ({_SYNTH_SYS_SQL}),
+qp AS ({_PARSE_Q_SQL}),
+sp AS ({_PARSE_S_SQL}),
+unioned AS (
+  SELECT event_ts, level, payload, duration_ms, 0 AS kind FROM qp
+  UNION ALL
+  SELECT event_ts, level, payload, cast(NULL AS double), 1 AS kind FROM sp
+)
+SELECT date_trunc('hour', event_ts) AS hour,
+       cast(sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS bigint) AS n_queries,
+       cast(sum(CASE WHEN kind = 0 THEN cast(duration_ms AS bigint)
+                ELSE 0 END) AS bigint) AS total_duration_ms,
+       cast(sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS bigint)
+         AS n_errors,
+       cast(sum(CASE WHEN level = 'WARNING' THEN 1 ELSE 0 END) AS bigint)
+         AS n_warnings,
+       cast(sum(CASE WHEN payload LIKE '%temporary file:%' THEN 1 ELSE 0 END)
+            AS bigint) AS n_temp_files,
+       cast(sum(coalesce(cast(nullif(regexp_extract(payload,
+                '", size (\\d+)', 1), '') AS bigint), 0)) AS bigint)
+         AS temp_bytes,
+       cast(sum(CASE WHEN payload LIKE '%still waiting for%' THEN 1 ELSE 0 END)
+            AS bigint) AS n_lock_waits,
+       cast(sum(CASE WHEN payload LIKE '%disconnection:%' THEN 1 ELSE 0 END)
+            AS bigint) AS n_sessions,
+       cast(sum(CASE WHEN payload LIKE '%automatic vacuum%' THEN 1 ELSE 0 END)
+            AS bigint) AS n_autovacuum
+FROM unioned
+GROUP BY hour
+"""
+
+
 QUERIES = {
     "log_parse_fields": (log_parse_fields, _LOG_PARSE_FIELDS_SQL),
     "log_top_queries": (log_top_queries, _LOG_TOP_QUERIES_SQL),
@@ -913,4 +1157,7 @@ QUERIES = {
     "log_connections_cube": (log_connections_cube, _LOG_CONNECTIONS_CUBE_SQL),
     "log_sessions": (log_sessions, _LOG_SESSIONS_SQL),
     "log_maintenance": (log_maintenance, _LOG_MAINTENANCE_SQL),
+    "log_tempfile_queries": (log_tempfile_queries, _LOG_TEMPFILE_SQL),
+    "log_lock_waits": (log_lock_waits, _LOG_LOCK_WAITS_SQL),
+    "log_hourly_overview": (log_hourly_overview, _LOG_HOURLY_OVERVIEW_SQL),
 }

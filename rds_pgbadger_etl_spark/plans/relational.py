@@ -1234,6 +1234,296 @@ SELECT event_type, event_id, value, z, cast(rnk AS int) AS rnk FROM (
 """
 
 
+# Explicit GROUPING SETS with grouping_id: the generalization of q08's
+# cube / q20's rollup — only the requested set combinations are computed
+# (cube at 100 TB over 2 keys = 4 combos; explicit sets prune to 3),
+# still a single Expand + one hash aggregate, one shuffle.
+def q38_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("gid").cast("bigint").alias("gid"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_Q38_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       cast(grouping(o_orderstatus, o_orderpriority) AS bigint) AS gid,
+       count(*) AS n_orders,
+       {oracle_exact_sum("o_totalprice")} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# Exact median + median-absolute-deviation per group: two median passes
+# (the second over |x - med|), med joined back via a broadcast of the
+# per-group medians (group cardinality = #event types, tiny at any
+# scale). F.median is the exact interpolated median on both engines.
+def q39_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(
+                F.median(F.abs(F.col("value") - F.col("med"))), 6
+            ).alias("mad_value"),
+        )
+    )
+
+
+_Q39_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(max(m.med), 6) AS median_value,
+       round(median(abs(e.value - m.med)), 6) AS mad_value
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# Unpivot/melt (wide→long): lineitem's four measure columns become
+# (measure, val) rows — Spark's native DataFrame.unpivot (an Expand,
+# no shuffle) feeding one hash aggregate on the measure name.
+def q40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (
+        li.unpivot([], measures, "measure", "val")
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("val", "total"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    )
+
+
+_Q40_SQL = f"""
+SELECT measure, count(*) AS n,
+       {oracle_exact_sum("val")} AS total,
+       min(val) AS min_val, max(val) AS max_val
+FROM (
+  UNPIVOT lineitem
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE val
+)
+GROUP BY measure
+"""
+
+
+# Gaps-and-islands: merge each user's overlapping activity intervals
+# [ts, ts+5min) into maximal islands. One shuffle on user_id; the
+# island id is a running conditional sum over the same window — the
+# standard O(n log n / partition) formulation (never a self-join).
+# Timestamps are compared as bigint microseconds so both engines do
+# integer arithmetic.
+def q41_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = 300_000_000  # 5 min in microseconds
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.unix_micros("ts") + iv).alias("end_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev_max_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col("us") > prev_max_end), 1
+    ).otherwise(0)
+    islands = (
+        ev.withColumn("new_island", new_island)
+        .withColumn(
+            "island_id",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "island_id")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("end_us").alias("island_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_events").alias("n_events"),
+        F.sum(F.col("island_end") - F.col("start_us")).alias("covered_us"),
+        F.max(F.col("island_end") - F.col("start_us")).alias("max_island_us"),
+    )
+
+
+_Q41_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) + 300000000 AS end_us
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN max(end_us) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR us > max(end_us) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id,
+         us, end_us
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island_id, min(us) AS start_us,
+         max(end_us) AS island_end, count(*) AS n_events
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id, count(*) AS n_islands,
+       cast(sum(n_events) AS bigint) AS n_events,
+       cast(sum(island_end - start_us) AS bigint) AS covered_us,
+       cast(max(island_end - start_us) AS bigint) AS max_island_us
+FROM merged GROUP BY user_id
+"""
+
+
+# Date-spine gap fill: generate the full hour spine from the data's own
+# bounds (sequence + explode — generated, not scanned), cross it with
+# the (tiny, broadcast) distinct event types, left-join the observed
+# hourly counts, and report coverage per type. The spine is generated
+# rows — at 100 TB the spine is still only hours × types, so the join
+# is a broadcast of the grid against the aggregated (not raw) counts.
+def q42_hour_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = spine.join(F.broadcast(types))
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("n").isNotNull(), 1).otherwise(0)).alias(
+                "n_active_hours"
+            ),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias(
+                "n_gap_hours"
+            ),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("total_events"),
+        )
+    )
+
+
+_Q42_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (SELECT s.hour, t.event_type FROM spine s CROSS JOIN types t)
+SELECT g.event_type,
+       count(*) AS n_hours,
+       cast(sum(CASE WHEN h.n IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_active_hours,
+       cast(sum(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_gap_hours,
+       cast(sum(coalesce(h.n, 0)) AS bigint) AS total_events
+FROM grid g LEFT JOIN hourly h USING (hour, event_type)
+GROUP BY g.event_type
+"""
+
+
+# Array higher-order functions (transform/aggregate/filter/exists) over
+# the embedding column — all JVM-side codegen lambdas, no UDF, no
+# explode: the per-vector kernels run inside the scan's project. The
+# fold accumulates in double, sequentially, so both engines produce the
+# same bit pattern before the final round.
+def q43_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    sq_sum = F.aggregate(
+        F.transform(x, lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pos_frac = F.size(F.filter(x, lambda v: v > 0)).cast("double") / F.size(
+        x
+    ).cast("double")
+    has_big = F.exists(x, lambda v: F.abs(v) > F.lit(0.4))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(exact_avg(F.sqrt(sq_sum)), 6).alias("avg_l2_norm"),
+        F.round(exact_avg(pos_frac), 6).alias("avg_pos_frac"),
+        F.sum(F.when(has_big, 1).otherwise(0)).alias("n_with_big_component"),
+    )
+
+
+_Q43_SQL = f"""
+SELECT label, count(*) AS n_vectors,
+       round({oracle_exact_avg(
+           "sqrt(list_aggregate(list_transform(embedding,"
+           " x -> cast(x AS double) * cast(x AS double)), 'sum'))"
+       )}, 6) AS avg_l2_norm,
+       round({oracle_exact_avg(
+           "cast(len(list_filter(embedding, x -> x > 0)) AS double)"
+           " / cast(len(embedding) AS double)"
+       )}, 6) AS avg_pos_frac,
+       cast(sum(CASE WHEN len(list_filter(embedding, x -> abs(x) > 0.4)) > 0
+                THEN 1 ELSE 0 END) AS bigint) AS n_with_big_component
+FROM embeddings
+GROUP BY label
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1272,4 +1562,10 @@ QUERIES = {
     "q35_ratio_to_parent": (q35_ratio_to_parent, _Q35_SQL),
     "q36_scd2_intervals": (q36_scd2_intervals, _Q36_SQL),
     "q37_extreme_zscores": (q37_extreme_zscores, _Q37_SQL),
+    "q38_grouping_sets": (q38_grouping_sets, _Q38_SQL),
+    "q39_median_mad": (q39_median_mad, _Q39_SQL),
+    "q40_unpivot": (q40_unpivot, _Q40_SQL),
+    "q41_interval_merge": (q41_interval_merge, _Q41_SQL),
+    "q42_hour_gapfill": (q42_hour_gapfill, _Q42_SQL),
+    "q43_array_hof": (q43_array_hof, _Q43_SQL),
 }

@@ -163,3 +163,28 @@ def test_no_cartesian_or_row_python_udf_anywhere(spark, sf_smoke):
         plan = _formatted_plan(spark, fn(spark, sf_smoke))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_tempfile_attribution_is_one_shuffle_no_join(
+    spark, sf_oracle, monkeypatch
+):
+    import re
+
+    from rds_pgbadger_etl_spark.plans import _shared
+
+    # bypass the persist cache so the explain shows the full build plan:
+    # Spark's CacheManager substitutes cached subtrees by canonicalized
+    # plan match, so the module cache AND the session cache must go
+    monkeypatch.setattr(
+        _shared, "shared_df", lambda spark, name, sf_dir, build: build()
+    )
+    _shared._CACHE.clear()
+    spark.catalog.clearCache()
+    plan = _formatted_plan(
+        spark, E.queries()["log_tempfile_queries"](spark, sf_oracle)
+    )
+    # temp-file → query attribution must be the union + per-pid window
+    # (header-propagation pattern), never an as-of join: no Join operator
+    # at all, and exactly one Window over the pid partition
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 1
