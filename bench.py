@@ -11,9 +11,13 @@ query runs three times; the headline per-query number is the best run
 (the first execution of a plan pays one-time JIT/codegen compilation
 that steady-state production runs don't, and single-shot numbers on a
 shared box carry multi-second noisy-neighbor spikes — observed 0.4s ->
-7s on an untouched query between consecutive runs), and the first-run
-times are ALSO reported under ``"cold"`` so round-over-round comparisons
-can see both.
+7s on an untouched query between consecutive runs).
+
+The stdout line is kept deliberately small (compact separators, 2-decimal
+per-query times, no per-query cold dict) because the driver's capture
+buffer truncated round 2's ~9 KB line to an unparseable tail. Full
+per-query detail — all three runs plus the cold first run — goes to
+``.benchmarks/bench_detail.json`` instead.
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ def main() -> None:
     spark.range(1_000).select(cosine_batch(arr, arr)).collect()
 
     timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name, fn in sorted(entry_mod.queries().items()):
         runs = []
         for _ in range(3):
@@ -53,10 +57,23 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        cold[name] = round(runs[0], 4)
-        timings[name] = round(min(runs), 4)
+        timings[name] = round(min(runs), 2)
+        detail[name] = {
+            "runs": [round(r, 4) for r in runs],
+            "cold": round(runs[0], 4),
+            "warm": round(min(runs), 4),
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cold_total = round(sum(d["cold"] for d in detail.values()), 4)
+    os.makedirs(".benchmarks", exist_ok=True)
+    with open(".benchmarks/bench_detail.json", "w") as f:
+        json.dump(
+            {"sf_dir": sf_dir, "cpus": cpus, "cold_total": cold_total,
+             "queries": detail},
+            f,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -64,10 +81,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "cold": cold,
-                "cold_total": round(sum(cold.values()), 4),
+                "cold_total": cold_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -69,3 +69,42 @@ def extract_statement(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     x = F.regexp_extract(c, STATEMENT_RE, 1)
     return F.when(x == "", None).otherwise(x)
+
+
+# pgBadger "Queries by type" buckets (the report section the reference
+# produces via its pgbadger invocation, rds_pgbadger.py:51-63): the four
+# DML verbs get their own bucket, DDL and transaction-control verbs are
+# grouped, everything else (COPY, VACUUM, SET, ...) is OTHER. Kept as
+# data so the DuckDB oracle CASE is generated from the same table.
+_HEAD_RE = r"^\s*([A-Za-z]+)"
+STATEMENT_CLASSES: list[tuple[tuple[str, ...], str]] = [
+    (("select",), "SELECT"),
+    (("insert",), "INSERT"),
+    (("update",), "UPDATE"),
+    (("delete",), "DELETE"),
+    (("create", "alter", "drop", "truncate"), "DDL"),
+    (("begin", "commit", "rollback", "savepoint", "start", "end"), "TCL"),
+]
+
+
+def classify_statement(col: Column | str) -> Column:
+    """Statement class (SELECT/INSERT/UPDATE/DELETE/DDL/TCL/OTHER) from
+    the first keyword; null statements stay null."""
+    c = F.col(col) if isinstance(col, str) else col
+    head = F.lower(F.regexp_extract(c, _HEAD_RE, 1))
+    out = F.lit("OTHER")
+    for verbs, label in reversed(STATEMENT_CLASSES):
+        out = F.when(head.isin(*verbs), label).otherwise(out)
+    return F.when(c.isNull(), None).otherwise(out)
+
+
+def classify_statement_oracle_sql(expr: str) -> str:
+    """DuckDB twin of :func:`classify_statement`."""
+    head = f"lower(regexp_extract({expr}, '{_HEAD_RE}', 1))"
+    whens = "\n".join(
+        f"WHEN {head} IN ({', '.join(repr(v) for v in verbs)}) THEN '{label}'"
+        for verbs, label in STATEMENT_CLASSES
+    )
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL\n{whens}\nELSE 'OTHER' END"
+    )

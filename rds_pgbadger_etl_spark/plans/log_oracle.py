@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from rds_pgbadger_etl_spark.functions.normalize import (
     DURATION_RE,
+    classify_statement,
+    classify_statement_oracle_sql,
     extract_duration_ms,
     extract_statement,
     normalize_query,
@@ -1137,6 +1139,191 @@ GROUP BY hour
 """
 
 
+# ---------------------------------------------------------------------------
+# pgBadger "Queries by type" (SELECT/INSERT/UPDATE/DELETE/DDL/TCL/OTHER —
+# a standard section of the report the reference produces via its
+# pgbadger invocation, rds_pgbadger.py:51-63). The shared corpus above is
+# all-SELECT by construction, so this section synthesizes a typed corpus:
+# the statement verb cycles with event_id % 8 across all seven classes.
+
+
+def _synth_typed_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = rebalance(load_table(spark, sf_dir, "events"))
+    k = F.col("event_id") % 8
+    tbl = F.concat(F.lit("t"), _s(F.col("event_id") % 20))
+    uid = _s(F.col("user_id"))
+    stmt = (
+        F.when(
+            k == 0,
+            F.concat(F.lit("SELECT * FROM "), tbl, F.lit(" WHERE user_id = "), uid),
+        )
+        .when(
+            k == 1,
+            F.concat(
+                F.lit("INSERT INTO "), tbl, F.lit(" (user_id) VALUES ("), uid,
+                F.lit(")"),
+            ),
+        )
+        .when(
+            k == 2,
+            F.concat(
+                F.lit("UPDATE "), tbl, F.lit(" SET v = v + 1 WHERE user_id = "),
+                uid,
+            ),
+        )
+        .when(
+            k == 3,
+            F.concat(F.lit("DELETE FROM "), tbl, F.lit(" WHERE user_id = "), uid),
+        )
+        .when(
+            k == 4,
+            F.concat(
+                F.lit("CREATE INDEX idx_"), uid, F.lit(" ON "), tbl,
+                F.lit(" (user_id)"),
+            ),
+        )
+        .when(k == 5, F.lit("BEGIN"))
+        .when(k == 6, F.concat(F.lit("COPY "), tbl, F.lit(" FROM STDIN")))
+        .otherwise(F.concat(F.lit("VACUUM ANALYZE "), tbl))
+    )
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" UTC:10.0."),
+        _s(F.col("user_id") % 250),
+        F.lit(".1("),
+        _s(F.lit(50000) + F.col("event_id") % 1000),
+        F.lit("):u"),
+        _s(F.col("user_id") % 10),
+        F.lit("@db"),
+        _s(F.col("user_id") % 5),
+        F.lit(":["),
+        _s(F.lit(1000) + F.col("user_id") % 100),
+        F.lit("]:LOG:  duration: "),
+        _s(F.abs(F.round(F.col("value") * 100)).cast("bigint")),
+        F.lit(" ms  statement: "),
+        stmt,
+    )
+    return ev.select(
+        F.lit("typed.log").alias("source_file"),
+        F.col("event_id").alias("line_no"),
+        line.alias("value"),
+    )
+
+
+_SYNTH_TYPED_SQL = """
+  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S')
+         || ' UTC:10.0.' || cast(user_id % 250 AS varchar)
+         || '.1(' || cast(50000 + event_id % 1000 AS varchar)
+         || '):u' || cast(user_id % 10 AS varchar)
+         || '@db' || cast(user_id % 5 AS varchar)
+         || ':[' || cast(1000 + user_id % 100 AS varchar)
+         || ']:LOG:  duration: '
+         || cast(cast(abs(round(value * 100)) AS bigint) AS varchar)
+         || ' ms  statement: '
+         || (CASE event_id % 8
+             WHEN 0 THEN 'SELECT * FROM t' || cast(event_id % 20 AS varchar)
+                  || ' WHERE user_id = ' || cast(user_id AS varchar)
+             WHEN 1 THEN 'INSERT INTO t' || cast(event_id % 20 AS varchar)
+                  || ' (user_id) VALUES (' || cast(user_id AS varchar) || ')'
+             WHEN 2 THEN 'UPDATE t' || cast(event_id % 20 AS varchar)
+                  || ' SET v = v + 1 WHERE user_id = ' || cast(user_id AS varchar)
+             WHEN 3 THEN 'DELETE FROM t' || cast(event_id % 20 AS varchar)
+                  || ' WHERE user_id = ' || cast(user_id AS varchar)
+             WHEN 4 THEN 'CREATE INDEX idx_' || cast(user_id AS varchar)
+                  || ' ON t' || cast(event_id % 20 AS varchar) || ' (user_id)'
+             WHEN 5 THEN 'BEGIN'
+             WHEN 6 THEN 'COPY t' || cast(event_id % 20 AS varchar)
+                  || ' FROM STDIN'
+             ELSE 'VACUUM ANALYZE t' || cast(event_id % 20 AS varchar)
+             END) AS value
+  FROM events
+"""
+
+
+def _parsed_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "parsed_typed_logs",
+        sf_dir,
+        lambda: tokenize(_synth_typed_lines(spark, sf_dir)),
+    )
+
+
+def log_query_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class call count + total/mean duration — one hash-agg over the
+    parsed corpus; the classifier is a single codegen'd regexp_extract +
+    CASE, so at 100 TB this is a map-side-combinable 7-group aggregate."""
+    parsed = _parsed_typed(spark, sf_dir)
+    return (
+        parsed.select(
+            classify_statement(extract_statement("payload")).alias("query_type"),
+            extract_duration_ms("payload").alias("duration_ms"),
+        )
+        .groupBy("query_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum(F.col("duration_ms").cast("bigint")).alias("total_ms"),
+            F.avg(F.col("duration_ms").cast("bigint")).alias("mean_ms"),
+        )
+    )
+
+
+_TYPED_STMT_SQL = f"nullif(regexp_extract(payload, '{_STMT_RE_SQL}', 1), '')"
+_LOG_QUERY_TYPES_SQL = f"""
+WITH lines AS ({_SYNTH_TYPED_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT {classify_statement_oracle_sql(_TYPED_STMT_SQL)} AS query_type,
+       count(*) AS n_calls,
+       cast(sum(cast(duration_ms AS bigint)) AS bigint) AS total_ms,
+       avg(cast(duration_ms AS bigint)) AS mean_ms
+FROM parsed
+GROUP BY query_type
+"""
+
+
+_QUERY_TYPE_LABELS = ["SELECT", "INSERT", "UPDATE", "DELETE", "DDL", "TCL", "OTHER"]
+
+
+def log_query_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour × type pivot (pgBadger's per-hour queries-by-type graph).
+    Fixed label set → conditional sums instead of DataFrame.pivot: no
+    distinct-values pre-scan, one shuffle, map-side partial aggregation."""
+    parsed = _parsed_typed(spark, sf_dir)
+    qt = classify_statement(extract_statement("payload"))
+    aggs = [
+        F.sum(F.when(F.col("qt") == label, 1).otherwise(0)).alias(
+            f"n_{label.lower()}"
+        )
+        for label in _QUERY_TYPE_LABELS
+    ]
+    return (
+        parsed.select(F.date_trunc("hour", "event_ts").alias("hour"), qt.alias("qt"))
+        .groupBy("hour")
+        .agg(*aggs)
+    )
+
+
+_LOG_QUERY_TYPES_HOURLY_SQL = f"""
+WITH lines AS ({_SYNTH_TYPED_SQL}),
+parsed AS ({_PARSE_SQL}),
+typed AS (
+  SELECT date_trunc('hour', event_ts) AS hour,
+         {classify_statement_oracle_sql(_TYPED_STMT_SQL)} AS qt
+  FROM parsed
+)
+SELECT hour,
+       {",".join(
+           f"cast(sum(CASE WHEN qt = '{label}' THEN 1 ELSE 0 END) AS bigint)"
+           f" AS n_{label.lower()}"
+           for label in _QUERY_TYPE_LABELS
+       )}
+FROM typed
+GROUP BY hour
+"""
+
+
 QUERIES = {
     "log_parse_fields": (log_parse_fields, _LOG_PARSE_FIELDS_SQL),
     "log_top_queries": (log_top_queries, _LOG_TOP_QUERIES_SQL),
@@ -1160,4 +1347,9 @@ QUERIES = {
     "log_tempfile_queries": (log_tempfile_queries, _LOG_TEMPFILE_SQL),
     "log_lock_waits": (log_lock_waits, _LOG_LOCK_WAITS_SQL),
     "log_hourly_overview": (log_hourly_overview, _LOG_HOURLY_OVERVIEW_SQL),
+    "log_query_types": (log_query_types, _LOG_QUERY_TYPES_SQL),
+    "log_query_types_hourly": (
+        log_query_types_hourly,
+        _LOG_QUERY_TYPES_HOURLY_SQL,
+    ),
 }

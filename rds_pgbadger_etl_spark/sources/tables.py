@@ -97,13 +97,16 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is physically INT64 TIMESTAMP(NANOS); Spark has no ns timestamp, so
-    # it is read as long (spark.sql.legacy.parquet.nanosAsLong) and converted
-    # to TimestampType (µs) in load_table. The corpus has no sub-µs values.
+    # ts: the testdata has shipped BOTH parquet TIMESTAMP(MICROS) and
+    # INT64 TIMESTAMP(NANOS) across rounds, so load_table sniffs the
+    # footer type and branches (see events_ts_is_native_timestamp). This
+    # declared schema is the native-timestamp variant; _EVENTS_NS_SCHEMA
+    # is the nanos-as-long one (needs spark.sql.legacy.parquet.nanosAsLong
+    # plus a ns→µs conversion because Spark has no ns timestamp).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -129,16 +132,81 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+_EVENTS_NS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw int64 nanoseconds
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# Footer-sniff / era-guard caches, keyed by parquet path. Driver-side only;
+# one footer read + one single-column min scan per path per process.
+_EVENTS_TS_NATIVE: dict[str, bool] = {}
+_EVENTS_ERA_OK: set[str] = set()
+
+# The corpus era is 2024-01; anything outside [2000, 2100) means a unit bug
+# (e.g. µs interpreted as ns compresses 30 days into ~2.6 s of 1970).
+_ERA_MIN = "2000-01-01"
+_ERA_MAX = "2100-01-01"
+
+
+def events_ts_is_native_timestamp(spark: SparkSession, path: str) -> bool:
+    """True if the parquet footer types ``ts`` as a logical timestamp that
+    Spark can read natively (µs/ms); False for int64-nanoseconds (which,
+    under ``spark.sql.legacy.parquet.nanosAsLong``, infers as LongType and
+    needs an explicit ns→µs conversion).
+
+    The testdata's physical type for events.ts has changed between rounds
+    (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)); sniffing the footer instead of
+    assuming a unit keeps either variant correct.
+    """
+    if path not in _EVENTS_TS_NATIVE:
+        inferred = spark.read.parquet(path).schema["ts"].dataType
+        _EVENTS_TS_NATIVE[path] = isinstance(
+            inferred, (T.TimestampType, T.TimestampNTZType)
+        )
+    return _EVENTS_TS_NATIVE[path]
+
+
+def _assert_events_era(df: DataFrame, path: str) -> None:
+    """Loud schema-drift guard: fail at first read if timestamps land
+    outside the corpus era — a silent unit mix-up (ns↔µs is a 1000×
+    compression into 1970) must never ship as "green with weird results"."""
+    if path in _EVENTS_ERA_OK:
+        return
+    from pyspark.sql import functions as F
+
+    row = df.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is not None and not (_ERA_MIN <= str(lo) and str(hi) < _ERA_MAX):
+        raise ValueError(
+            f"events.ts era guard: min={lo} max={hi} outside "
+            f"[{_ERA_MIN}, {_ERA_MAX}) for {path} — parquet timestamp unit "
+            "mismatch (ns vs µs)? Check events_ts_is_native_timestamp."
+        )
+    _EVENTS_ERA_OK.add(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; know {TABLE_NAMES}")
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        from pyspark.sql import functions as F
+        if events_ts_is_native_timestamp(spark, path):
+            df = spark.read.schema(SCHEMAS["events"]).parquet(path)
+        else:
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+            df = spark.read.schema(_EVENTS_NS_SCHEMA).parquet(path)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _assert_events_era(df, path)
+        return df
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

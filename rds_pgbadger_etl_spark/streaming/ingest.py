@@ -22,10 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Kept for back-compat; the live schema is chosen per-path by the same
+# footer sniff as the batch loader (sources/tables.py).
 EVENT_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns (nanosAsLong), as in tables.py
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -35,10 +37,25 @@ EVENT_STREAM_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """File-source stream of events (same ns→µs conversion as the batch
-    loader)."""
+    """File-source stream of events.
+
+    Streaming schemas are fixed at start, so the parquet footer type of
+    ``ts`` (native µs timestamp vs int64 nanoseconds — both have shipped
+    in the testdata) is sniffed with a one-off batch footer read and the
+    matching schema/conversion applied, exactly as in the batch loader
+    (sources/tables.py:events_ts_is_native_timestamp).
+    """
+    from ..sources.tables import _EVENTS_NS_SCHEMA, events_ts_is_native_timestamp
+
+    path = f"{src_dir}/events.parquet"
+    if events_ts_is_native_timestamp(spark, path):
+        return (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(src_dir)
+        )
     raw = (
-        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        spark.readStream.schema(_EVENTS_NS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(src_dir)
     )

@@ -117,3 +117,30 @@ def test_report_sink_roundtrip(spark, tmp_path):
     write_report(sections, out)
     back = spark.read.parquet(f"{out}/top_queries")
     assert back.count() > 0
+
+
+def test_classify_statement(spark):
+    from rds_pgbadger_etl_spark.functions.normalize import classify_statement
+
+    cases = [
+        ("SELECT 1", "SELECT"),
+        ("  select * from t", "SELECT"),
+        ("Insert into t values (1)", "INSERT"),
+        ("UPDATE t SET x = 1", "UPDATE"),
+        ("delete from t", "DELETE"),
+        ("CREATE TABLE t (x int)", "DDL"),
+        ("ALTER TABLE t ADD y int", "DDL"),
+        ("DROP INDEX i", "DDL"),
+        ("TRUNCATE t", "DDL"),
+        ("BEGIN", "TCL"),
+        ("commit", "TCL"),
+        ("ROLLBACK", "TCL"),
+        ("COPY t FROM STDIN", "OTHER"),
+        ("VACUUM ANALYZE t", "OTHER"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s, _ in cases], "stmt string"
+    ).withColumn("cls", classify_statement("stmt"))
+    got = [r["cls"] for r in df.collect()]
+    assert got == [want for _, want in cases]
