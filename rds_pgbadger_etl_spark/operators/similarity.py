@@ -430,3 +430,117 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         .select("a", "b", cosine_batch(F.col("emb_a"), F.col("emb_b")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN path. A 64-dim
+# float32 vector (256 B) is encoded as PQ_M sub-codes of log2(PQ_K) bits
+# (here 4 × 4 bits = 2 B, 128× smaller), and search runs against a
+# per-query lookup table (ADC: asymmetric distance computation) instead
+# of the raw vectors. Complements the IVF path above: production systems
+# compose them as IVF-PQ (probe cells coarsely, rank within cells by ADC).
+#
+# Determinism contract: all distances are computed in the INTEGER domain
+# (components quantized as round(x * PQ_INT_SCALE), squared-distance sums
+# are exact bigints), so codes, histograms and ADC rankings are
+# bit-identical across engines — no float fold-order tolerance needed
+# anywhere. Codebook = the first PQ_K vectors' subvectors (same
+# deterministic-sample convention as ivf_cells; kmeans_refine is the
+# production refinement).
+
+PQ_M = 4           # subspaces
+PQ_K = 16          # centroids per subspace (4-bit codes)
+PQ_SUB = DIM // PQ_M
+PQ_INT_SCALE = 1000
+
+
+def pq_long_form(emb: DataFrame) -> DataFrame:
+    """(vec_id, subspace, dim, iv): integer-quantized components in long
+    form. Stays entirely in whole-stage codegen (posexplode + arithmetic,
+    no higher-order functions)."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") / PQ_SUB).cast("int").alias("subspace"),
+        (F.col("pos") % PQ_SUB).alias("dim"),
+        F.round(F.col("xf").cast("double") * PQ_INT_SCALE).cast("long").alias("iv"),
+    )
+
+
+def pq_distances(emb: DataFrame, ids: DataFrame | None = None) -> DataFrame:
+    """Exact integer squared distance of every (vector, centroid) pair per
+    subspace: (vec_id, subspace, cell, sq).
+
+    Scale shape: centroids are PQ_M × PQ_K rows — always broadcast; the
+    ×PQ_K fan-out happens map-side and collapses in one partial-agg'd
+    hash aggregate, so the only shuffle is the (vec_id, subspace) agg.
+    For production-size codebooks (m=16, k=256 ⇒ ×4096 fan-out) swap the
+    inner product for a Pandas-UDF batch kernel like cosine_batch; this
+    long form is the oracle-checkable reference path.
+    """
+    lf = pq_long_form(emb)
+    cents = (
+        lf.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cell"),
+            "subspace",
+            "dim",
+            F.col("iv").alias("ic"),
+        )
+    )
+    src = lf if ids is None else lf.join(F.broadcast(ids), "vec_id")
+    d = F.col("iv") - F.col("ic")
+    return (
+        src.join(F.broadcast(cents), ["subspace", "dim"])
+        .groupBy("vec_id", "subspace", "cell")
+        .agg(F.sum(d * d).alias("sq"))
+    )
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """Encode: per (vector, subspace) the nearest centroid id and its
+    distortion — (vec_id, subspace, code, sq). Ties break on the lower
+    centroid id via the struct min (exact: integer distances)."""
+    best = (
+        pq_distances(emb)
+        .groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("sq", "cell")).alias("m"))
+    )
+    return best.select(
+        "vec_id",
+        "subspace",
+        F.col("m.cell").alias("code"),
+        F.col("m.sq").alias("sq"),
+    )
+
+
+def pq_adc_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """ADC search: approximate distance(query, v) = Σ_s LUT[s][code_s(v)]
+    where LUT holds the query's exact sub-distances to each centroid.
+
+    The corpus is touched only through its codes (PQ_M small ints per
+    vector) — at 100 TB that's the difference between scanning 256 B and
+    2 B per vector; the LUT (queries × PQ_M × PQ_K rows) broadcasts.
+    Output ranking is exact-deterministic (integer sums, vec_id
+    tie-break).
+    """
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select("vec_id")
+    lut = pq_distances(emb, ids=q).select(
+        F.col("vec_id").alias("q_id"),
+        "subspace",
+        F.col("cell").alias("code"),
+        F.col("sq").alias("d"),
+    )
+    codes = pq_codes(emb).select("vec_id", "subspace", "code")
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -349,6 +349,51 @@ SELECT lang, source, doc_id, rk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: assignment is a pure function of
+# doc_id (seeded md5 bucket in [0,100): <90 train, <95 val, else test),
+# so re-running on grown or re-partitioned data never moves an existing
+# document between splits — the property that keeps eval sets
+# uncontaminated across pipeline re-runs. Map-side expression + one
+# hash-agg; no shuffle beyond the small rollup.
+
+_SPLIT_SEED = "split:"
+
+
+def _split_bucket(col) -> "F.Column":
+    return C.training_order_key(col, seed=_SPLIT_SEED) % 100
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket("doc_id")
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    f"cast('0x' || substr(md5('{_SPLIT_SEED}' || cast(doc_id AS varchar)),"
+    f" 1, 15) AS bigint) % 100"
+)
+_TRAIN_VAL_TEST_SQL = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS sum_chars,
+       cast(min(doc_id) AS bigint) AS first_doc
+FROM documents
+GROUP BY split, lang
+"""
+
+
 QUERIES = {
     "pii_redaction": (pii_redaction, _PII_SQL),
     "stratified_sample": (stratified_sample, _STRATIFIED_SQL),
@@ -357,4 +402,5 @@ QUERIES = {
     "chunk_windows": (chunk_windows, _CHUNK_SQL),
     "pack_sequences": (pack_sequences, _PACK_SQL),
     "training_order": (training_order, _TRAINING_ORDER_SQL),
+    "train_val_test_split": (train_val_test_split, _TRAIN_VAL_TEST_SQL),
 }

@@ -1640,6 +1640,94 @@ FROM q GROUP BY dim
 """
 
 
+# ---------------------------------------------------------------------------
+# X3 scale path 2: product quantization. Integer-domain distances (see
+# operators/similarity.py) make codes and ADC rankings bit-identical
+# across engines, so BOTH queries are full hash-checked oracles — no
+# rounding tolerance anywhere.
+
+_PQ_LF_SQL = f"""
+  SELECT vec_id,
+         cast((i - 1) // {S.PQ_SUB} AS int) AS subspace,
+         (i - 1) % {S.PQ_SUB} AS dim,
+         cast(round(cast(embedding[i] AS double) * {S.PQ_INT_SCALE})
+              AS bigint) AS iv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+"""
+
+_PQ_DIST_SQL = f"""
+  SELECT v.vec_id, v.subspace, c.cell, sum((v.iv - c.ic) * (v.iv - c.ic)) AS sq
+  FROM lf v
+  JOIN (SELECT vec_id AS cell, subspace, dim, iv AS ic
+        FROM lf WHERE vec_id < {S.PQ_K}) c
+    ON c.subspace = v.subspace AND c.dim = v.dim
+  GROUP BY v.vec_id, v.subspace, c.cell
+"""
+
+_PQ_CODES_SQL = """
+  SELECT vec_id, subspace, cell AS code, sq FROM (
+    SELECT vec_id, subspace, cell, sq,
+           row_number() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY sq, cell) AS rn
+    FROM dist) WHERE rn = 1
+"""
+
+
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook utilization + distortion per (subspace, centroid): the
+    diagnostic that tells you whether a codebook needs re-training
+    (empty/overloaded cells) before you spend a 100 TB encode pass."""
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    return (
+        S.pq_codes(emb)
+        .groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("sq").alias("total_sq"),
+        )
+    )
+
+
+_PQ_CODE_HISTOGRAM_SQL = f"""
+WITH lf AS ({_PQ_LF_SQL}),
+dist AS ({_PQ_DIST_SQL}),
+codes AS ({_PQ_CODES_SQL})
+SELECT cast(subspace AS int) AS subspace, cast(code AS int) AS code,
+       count(*) AS n_vectors, cast(sum(sq) AS bigint) AS total_sq
+FROM codes GROUP BY subspace, code
+"""
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    return S.pq_adc_topk(emb, _QUERY_IDS, _TOPK)
+
+
+_PQ_ADC_SQL = f"""
+WITH lf AS ({_PQ_LF_SQL}),
+dist AS ({_PQ_DIST_SQL}),
+codes AS ({_PQ_CODES_SQL}),
+lut AS (
+  SELECT vec_id AS q_id, subspace, cell AS code, sq AS d
+  FROM dist WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+scored AS (
+  SELECT l.q_id, c.vec_id, sum(l.d) AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+  WHERE c.vec_id <> l.q_id
+  GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id, vec_id, cast(adc_dist AS bigint) AS adc_dist, cast(rank AS int) AS rank
+FROM (
+  SELECT q_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {_TOPK}
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -1676,6 +1764,8 @@ QUERIES = {
     "unigram_logprob": (unigram_logprob, _UNIGRAM_LOGPROB_SQL),
     "winnowing_fingerprints": (winnowing_fingerprints, _WINNOWING_SQL),
     "embedding_quantize": (embedding_quantize, _EMBEDDING_QUANTIZE_SQL),
+    "pq_code_histogram": (pq_code_histogram, _PQ_CODE_HISTOGRAM_SQL),
+    "pq_adc_topk": (pq_adc_topk, _PQ_ADC_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "text_readability": (text_readability, _READABILITY_SQL),

@@ -87,3 +87,34 @@ def test_training_order_is_permutation_stable(spark, sf_smoke):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     # keys are collision-free over the corpus
     assert a.select("k").distinct().count() == docs.count()
+
+
+def test_train_val_test_split_stable_and_proportional(spark, sf_oracle):
+    from rds_pgbadger_etl_spark.plans.curation import (
+        _split_bucket,
+        train_val_test_split,
+    )
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    agg = train_val_test_split(spark, sf_oracle).collect()
+    n = {s: 0 for s in ("train", "val", "test")}
+    for r in agg:
+        n[r.split] += r.n_docs
+    total = sum(n.values())
+    assert 0.85 <= n["train"] / total <= 0.95
+    assert n["val"] > 0 and n["test"] > 0
+
+    # assignment is a pure function of doc_id: dropping half the corpus
+    # must not move any surviving document between splits
+    docs = load_table(spark, sf_oracle, "documents")
+    bucket = _split_bucket("doc_id")
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    full = {r.doc_id: r.s for r in docs.select("doc_id", split.alias("s")).collect()}
+    half = {
+        r.doc_id: r.s
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert all(full[d] == s for d, s in half.items())

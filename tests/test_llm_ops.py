@@ -206,3 +206,44 @@ def test_dedup_operators_handle_empty_corpus(spark):
     empty_edges = spark.createDataFrame([], "a long, b long")
     assert D.connected_components(empty_edges).count() == 0
     assert D.dedup_cluster_assignments(empty_docs).count() == 0
+
+
+def test_pq_codes_structure_and_self_centroids(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count()
+    codes = S.pq_codes(emb).collect()
+    # every vector gets exactly PQ_M sub-codes, all in [0, PQ_K)
+    assert len(codes) == n * S.PQ_M
+    assert all(0 <= r.code < S.PQ_K for r in codes)
+    # a codebook member is its own nearest centroid with zero distortion
+    for r in codes:
+        if r.vec_id < S.PQ_K:
+            assert r.code == r.vec_id and r.sq == 0
+
+
+def test_pq_adc_overlaps_exact_l2(spark, sf_oracle):
+    import numpy as np
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    rows = emb.collect()
+    V = {
+        r.vec_id: np.round(
+            np.array(r.embedding, dtype=np.float64) * S.PQ_INT_SCALE
+        ).astype(np.int64)
+        for r in rows
+    }
+    qids = [0, 1, 2, 3, 4]
+    adc = S.pq_adc_topk(emb, qids, 5).collect()
+    assert all(1 <= r.rank <= 5 for r in adc)
+    by_q = {}
+    for r in adc:
+        by_q.setdefault(r.q_id, []).append(r.vec_id)
+    overlaps = 0
+    for q in qids:
+        d = {v: int(((V[q] - V[v]) ** 2).sum()) for v in V if v != q}
+        exact5 = set(sorted(d, key=lambda v: (d[v], v))[:5])
+        if exact5 & set(by_q[q]):
+            overlaps += 1
+    # 4x16 codebook on random data is coarse; require agreement signal,
+    # not perfection (refined codebooks via kmeans_refine do better)
+    assert overlaps >= 3
