@@ -143,15 +143,23 @@ _EVENTS_NS_SCHEMA = T.StructType(
     ]
 )
 
-# Footer-sniff / era-guard caches, keyed by parquet path. Driver-side only;
-# one footer read + one single-column min scan per path per process.
+# Footer-sniff / era-guard caches, keyed by parquet path (+ column).
+# Driver-side only; one footer read + one single-column min/max scan per
+# key per process.
 _EVENTS_TS_NATIVE: dict[str, bool] = {}
-_EVENTS_ERA_OK: set[str] = set()
+_ERA_OK: set[tuple[str, str]] = set()
 
-# The corpus era is 2024-01; anything outside [2000, 2100) means a unit bug
-# (e.g. µs interpreted as ns compresses 30 days into ~2.6 s of 1970).
+# The events corpus era is 2024-01; anything outside [2000, 2100) means a
+# unit bug (e.g. µs interpreted as ns compresses 30 days into ~2.6 s of
+# 1970). Other timestamp columns (orders/lineitem, 1995–2001 era) get a
+# wider floor that still catches the 1000×-into-1970 compression class.
 _ERA_MIN = "2000-01-01"
 _ERA_MAX = "2100-01-01"
+_TS_GUARDS: dict[str, tuple[str, str, str]] = {
+    "events": ("ts", _ERA_MIN, _ERA_MAX),
+    "orders": ("o_orderdate", "1980-01-01", _ERA_MAX),
+    "lineitem": ("l_shipdate", "1980-01-01", _ERA_MAX),
+}
 
 
 def events_ts_is_native_timestamp(spark: SparkSession, path: str) -> bool:
@@ -172,23 +180,23 @@ def events_ts_is_native_timestamp(spark: SparkSession, path: str) -> bool:
     return _EVENTS_TS_NATIVE[path]
 
 
-def _assert_events_era(df: DataFrame, path: str) -> None:
+def _assert_ts_era(df: DataFrame, path: str, col: str, lo_min: str, hi_max: str) -> None:
     """Loud schema-drift guard: fail at first read if timestamps land
     outside the corpus era — a silent unit mix-up (ns↔µs is a 1000×
     compression into 1970) must never ship as "green with weird results"."""
-    if path in _EVENTS_ERA_OK:
+    if (path, col) in _ERA_OK:
         return
     from pyspark.sql import functions as F
 
-    row = df.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    row = df.select(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
     lo, hi = row["lo"], row["hi"]
-    if lo is not None and not (_ERA_MIN <= str(lo) and str(hi) < _ERA_MAX):
+    if lo is not None and not (lo_min <= str(lo) and str(hi) < hi_max):
         raise ValueError(
-            f"events.ts era guard: min={lo} max={hi} outside "
-            f"[{_ERA_MIN}, {_ERA_MAX}) for {path} — parquet timestamp unit "
+            f"{col} era guard: min={lo} max={hi} outside "
+            f"[{lo_min}, {hi_max}) for {path} — parquet timestamp unit "
             "mismatch (ns vs µs)? Check events_ts_is_native_timestamp."
         )
-    _EVENTS_ERA_OK.add(path)
+    _ERA_OK.add((path, col))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -204,9 +212,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
             df = spark.read.schema(_EVENTS_NS_SCHEMA).parquet(path)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        _assert_events_era(df, path)
-        return df
-    return spark.read.schema(SCHEMAS[name]).parquet(path)
+    else:
+        df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    if name in _TS_GUARDS:
+        _assert_ts_era(df, path, *_TS_GUARDS[name])
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
