@@ -544,3 +544,64 @@ def pq_adc_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-PQ: the production-scale composition — probe the coarse
+    quantizer's nearest cells (IVF, cosine), then rank ONLY the members
+    of probed cells by PQ-ADC distance. At 100 TB the scan cost is
+    (n_probe / n_centroids) of the corpus × 2 bytes-of-codes per vector:
+    both pruning axes at once. Ranking determinism comes from the
+    integer ADC domain + vec_id tie-break; cell assignment reuses the
+    round-6 cosine convention proven by ann_ivf_topk.
+    """
+    cells = ivf_cells(emb, n_centroids)
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "cell",
+            cosine_batch(F.col("q_emb"), F.col("c_emb")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cell")
+    )
+    member = (
+        cells.select("vec_id", "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    lut = pq_distances(
+        emb, ids=emb.filter(F.col("vec_id").isin(query_ids)).select("vec_id")
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        "subspace",
+        F.col("cell").alias("code"),
+        F.col("sq").alias("d"),
+    )
+    codes = pq_codes(emb).select("vec_id", "subspace", "code")
+    scored = (
+        member.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "subspace", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

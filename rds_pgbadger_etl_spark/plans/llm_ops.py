@@ -1703,6 +1703,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(emb, _QUERY_IDS, _TOPK)
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    return S.ivfpq_topk(emb, _QUERY_IDS, _TOPK)
+
+
 _PQ_ADC_SQL = f"""
 WITH lf AS ({_PQ_LF_SQL}),
 dist AS ({_PQ_DIST_SQL}),
@@ -1717,6 +1722,60 @@ scored AS (
   JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
   WHERE c.vec_id <> l.q_id
   GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id, vec_id, cast(adc_dist AS bigint) AS adc_dist, cast(rank AS int) AS rank
+FROM (
+  SELECT q_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {_TOPK}
+"""
+
+
+_ANN_IVFPQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+member AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN asgn a ON a.cell = p.cell
+  WHERE a.vec_id <> p.q_id
+),
+lf AS ({_PQ_LF_SQL}),
+dist AS ({_PQ_DIST_SQL}),
+codes AS ({_PQ_CODES_SQL}),
+lut AS (
+  SELECT vec_id AS q_id, subspace, cell AS code, sq AS d
+  FROM dist WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+scored AS (
+  SELECT m.q_id, m.vec_id, sum(l.d) AS adc_dist
+  FROM member m
+  JOIN codes cd ON cd.vec_id = m.vec_id
+  JOIN lut l ON l.q_id = m.q_id AND l.subspace = cd.subspace
+            AND l.code = cd.code
+  GROUP BY m.q_id, m.vec_id
 )
 SELECT q_id, vec_id, cast(adc_dist AS bigint) AS adc_dist, cast(rank AS int) AS rank
 FROM (
@@ -1766,6 +1825,7 @@ QUERIES = {
     "embedding_quantize": (embedding_quantize, _EMBEDDING_QUANTIZE_SQL),
     "pq_code_histogram": (pq_code_histogram, _PQ_CODE_HISTOGRAM_SQL),
     "pq_adc_topk": (pq_adc_topk, _PQ_ADC_SQL),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, _ANN_IVFPQ_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "text_readability": (text_readability, _READABILITY_SQL),

@@ -247,3 +247,16 @@ def test_pq_adc_overlaps_exact_l2(spark, sf_oracle):
     # 4x16 codebook on random data is coarse; require agreement signal,
     # not perfection (refined codebooks via kmeans_refine do better)
     assert overlaps >= 3
+
+
+def test_ivfpq_consistent_with_full_adc(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    full = {(r.q_id, r.vec_id): r.adc_dist for r in S.pq_adc_topk(emb, qids, 50).collect()}
+    ivfpq = S.ivfpq_topk(emb, qids, 5).collect()
+    assert all(1 <= r.rank <= 5 for r in ivfpq)
+    # where the probed search surfaces a pair the full ADC also ranked,
+    # the distances must agree exactly (same integer LUT)
+    agree = [r for r in ivfpq if (r.q_id, r.vec_id) in full]
+    assert agree, "probed results should overlap the full ADC ranking"
+    assert all(full[(r.q_id, r.vec_id)] == r.adc_dist for r in agree)
