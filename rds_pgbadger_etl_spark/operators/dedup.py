@@ -283,10 +283,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """X2 token-level near-dup: word n-grams → MinHash → LSH bands →
     exact n-gram Jaccard on candidates → pairs above threshold.
-    Profile persisted for the same diamond-DAG reason as
-    :func:`near_dup_pairs`."""
-    prof = shingle_profile(word_ngrams(df, id_col, text_col, n), id_col).persist()
-    cands = candidate_pairs(lsh_bands(prof, id_col), id_col)
+    Same two-pass shape as :func:`near_dup_pairs`: numeric sigs for the
+    whole corpus, n-gram sets only for LSH survivors."""
+    sigs = minhash_signatures(word_ngrams(df, id_col, text_col, n), id_col).persist()
+    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col)
+    ids = (
+        cands.select(F.col("a").alias(id_col))
+        .union(cands.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sub = word_ngrams(df.join(F.broadcast(ids), id_col), id_col, text_col, n)
+    prof = sub.groupBy(id_col).agg(F.collect_set("shingle").alias("shingle_set"))
     return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
 
 

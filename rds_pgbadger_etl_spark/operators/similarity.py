@@ -501,17 +501,21 @@ def pq_distances(emb: DataFrame, ids: DataFrame | None = None) -> DataFrame:
 def pq_codes(emb: DataFrame) -> DataFrame:
     """Encode: per (vector, subspace) the nearest centroid id and its
     distortion — (vec_id, subspace, code, sq). Ties break on the lower
-    centroid id via the struct min (exact: integer distances)."""
+    centroid id. The argmin is a single bigint ``min(sq * PQ_K + cell)``
+    rather than ``min(struct(sq, cell))``: struct mins fall back to
+    SortAggregate, the packed integer stays in codegen HashAggregate
+    with map-side partial aggregation (exact: integer distances, and
+    sq * PQ_K never overflows — |iv| ≤ PQ_INT_SCALE ⇒ sq ≤ 6.4e7)."""
     best = (
         pq_distances(emb)
         .groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("sq", "cell")).alias("m"))
+        .agg(F.min(F.col("sq") * PQ_K + F.col("cell")).alias("packed"))
     )
     return best.select(
         "vec_id",
         "subspace",
-        F.col("m.cell").alias("code"),
-        F.col("m.sq").alias("sq"),
+        (F.col("packed") % PQ_K).cast("int").alias("code"),
+        F.expr(f"packed div {PQ_K}").alias("sq"),
     )
 
 
