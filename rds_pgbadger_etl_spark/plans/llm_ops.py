@@ -9,7 +9,7 @@ drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rds_pgbadger_etl_spark.operators import dedup as D
@@ -1641,6 +1641,103 @@ FROM q GROUP BY dim
 
 
 # ---------------------------------------------------------------------------
+# Exact substring overlap (the exact-match complement to MinHash: find
+# doc pairs sharing a run of ≥ MIN_RUN consecutive tokens, the
+# "deduplicate exact substrings" primitive for training corpora). Plan:
+# positional token 8-grams → doc-frequency floor+cap blocking (grams in
+# one doc or in > DF_CAP docs never join, so boilerplate can't go
+# quadratic) → equi-join on gram hash → gaps-and-islands over matching
+# positions per (a, b, offset): a run of m consecutive matching 8-grams
+# is m+7 shared tokens. Everything is equi-join + window — no scan×scan.
+# Recall caveat (documented on purpose): runs made entirely of
+# ultra-common grams are dropped by the DF_CAP block.
+
+_OVL_N = 8          # tokens per gram
+_OVL_CAP = 512      # max tokens considered per doc (cost bound)
+_OVL_DF_CAP = 50    # grams in more docs than this are boilerplate-blocked
+_OVL_MIN_TOKENS = 20  # report runs of at least this many shared tokens
+
+
+def exact_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    tk = F.slice(F.split(F.col("text"), " "), 1, _OVL_CAP)
+    grams_arr = F.when(
+        F.size(tk) >= _OVL_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (_OVL_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, _OVL_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.posexplode(grams_arr).alias("p0", "gram")
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("h")
+    )
+    joinable = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _OVL_DF_CAP))
+        .select("h")
+    )
+    gg = g.join(joinable, "h")
+    pairs = (
+        gg.select(F.col("doc_id").alias("a"), F.col("pos").alias("pa"), "h")
+        .join(
+            gg.select(F.col("doc_id").alias("b"), F.col("pos").alias("pb"), "h"),
+            "h",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "pa", (F.col("pb") - F.col("pa")).alias("diff"))
+    )
+    w = Window.partitionBy("a", "b", "diff").orderBy("pa")
+    runs = (
+        pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("a", "b", "diff", "grp")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn("run_tokens", F.col("m") + F.lit(_OVL_N - 1))
+        .filter(F.col("run_tokens") >= _OVL_MIN_TOKENS)
+    )
+    return runs.groupBy("a", "b").agg(
+        F.max("run_tokens").alias("max_overlap_tokens"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )
+
+
+_EXACT_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ')[1:{_OVL_CAP}] AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(tk[i:i + {_OVL_N - 1}], ' ')) AS h
+  FROM toks, unnest(range(1, greatest(len(tk) - {_OVL_N - 2}, 1))) AS t(i)
+  WHERE len(tk) >= {_OVL_N}
+),
+joinable AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM g GROUP BY h)
+  WHERE df >= 2 AND df <= {_OVL_DF_CAP}
+),
+gg AS (SELECT g.* FROM g JOIN joinable USING (h)),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos - x.pos AS diff
+  FROM gg x JOIN gg y ON y.h = x.h AND x.doc_id < y.doc_id
+),
+runs AS (
+  SELECT a, b, diff, grp, count(*) + {_OVL_N - 1} AS run_tokens
+  FROM (
+    SELECT a, b, diff, pa,
+           pa - row_number() OVER (PARTITION BY a, b, diff ORDER BY pa) AS grp
+    FROM pairs)
+  GROUP BY a, b, diff, grp
+  HAVING count(*) + {_OVL_N - 1} >= {_OVL_MIN_TOKENS}
+)
+SELECT a, b, cast(max(run_tokens) AS bigint) AS max_overlap_tokens,
+       count(*) AS n_runs
+FROM runs GROUP BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
 # X3 scale path 2: product quantization. Integer-domain distances (see
 # operators/similarity.py) make codes and ADC rankings bit-identical
 # across engines, so BOTH queries are full hash-checked oracles — no
@@ -1826,6 +1923,7 @@ QUERIES = {
     "pq_code_histogram": (pq_code_histogram, _PQ_CODE_HISTOGRAM_SQL),
     "pq_adc_topk": (pq_adc_topk, _PQ_ADC_SQL),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ANN_IVFPQ_SQL),
+    "exact_substring_overlap": (exact_substring_overlap, _EXACT_OVERLAP_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "text_readability": (text_readability, _READABILITY_SQL),

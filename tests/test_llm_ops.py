@@ -260,3 +260,33 @@ def test_ivfpq_consistent_with_full_adc(spark, sf_oracle):
     agree = [r for r in ivfpq if (r.q_id, r.vec_id) in full]
     assert agree, "probed results should overlap the full ADC ranking"
     assert all(full[(r.q_id, r.vec_id)] == r.adc_dist for r in agree)
+
+
+def test_exact_substring_overlap_run_semantics(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rds_pgbadger_etl_spark.plans.llm_ops import exact_substring_overlap
+
+    run = " ".join(f"w{i}" for i in range(25))          # 25-token shared run
+    filler_a = " ".join(f"a{i}" for i in range(30))
+    filler_b = " ".join(f"b{i}" for i in range(30))
+    scattered = " ".join(f"w{i % 8} c{i}" for i in range(40))  # no long run
+    texts = [
+        (0, f"{filler_a} {run} tail0"),
+        (1, f"{filler_b} {run} tail1"),
+        (2, scattered),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+            "text": pa.array([t[1] for t in texts]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t[1]) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = exact_substring_overlap(spark, str(tmp_path)).collect()
+    got = {(r.a, r.b): r.max_overlap_tokens for r in rows}
+    assert (0, 1) in got and got[(0, 1)] == 25
+    assert all(k == (0, 1) for k in got)
