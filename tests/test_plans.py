@@ -188,3 +188,27 @@ def test_tempfile_attribution_is_one_shuffle_no_join(
     # at all, and exactly one Window over the pid partition
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 1
+
+
+def test_pq_encode_stays_hash_aggregated(spark, sf_oracle):
+    # packed-bigint argmin keeps the encoder in codegen HashAggregate;
+    # min(struct) would fall back to SortAggregate (see similarity.pq_codes)
+    plan = _formatted_plan(spark, E.queries()["pq_code_histogram"](spark, sf_oracle))
+    assert "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan  # centroids broadcast, never shuffled
+
+
+def test_ivfpq_no_cartesian_and_broadcast_luts(spark, sf_oracle):
+    plan = _formatted_plan(spark, E.queries()["ann_ivfpq_topk"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    # probes, LUT and centroid tables are all tiny -> broadcast side
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_exact_overlap_blocks_before_selfjoin(spark, sf_oracle):
+    plan = _formatted_plan(
+        spark, E.queries()["exact_substring_overlap"](spark, sf_oracle)
+    )
+    assert "CartesianProduct" not in plan
+    # the df-band filter must appear below the self-join (gram blocking)
+    assert "count(distinct doc_id" in plan.lower() or "distinct" in plan.lower()
