@@ -286,13 +286,16 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """X3 scale path: probe the ``n_probe`` nearest cells per query and
     compute exact cosine only inside them — the search touches
     ~n_probe/n_centroids of the corpus. At 100 TB, partition the
     assignment table BY cell so a probe is a partition-pruned scan.
+    ``cells`` lets callers pass a materialized assignment (the staging
+    table at scale; a shared persist() locally) instead of recomputing.
     """
-    cells = ivf_cells(emb, n_centroids)
+    cells = ivf_cells(emb, n_centroids) if cells is None else cells
     cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
@@ -519,7 +522,12 @@ def pq_codes(emb: DataFrame) -> DataFrame:
     )
 
 
-def pq_adc_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    codes: DataFrame | None = None,
+) -> DataFrame:
     """ADC search: approximate distance(query, v) = Σ_s LUT[s][code_s(v)]
     where LUT holds the query's exact sub-distances to each centroid.
 
@@ -536,7 +544,9 @@ def pq_adc_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
         F.col("cell").alias("code"),
         F.col("sq").alias("d"),
     )
-    codes = pq_codes(emb).select("vec_id", "subspace", "code")
+    codes = (pq_codes(emb) if codes is None else codes).select(
+        "vec_id", "subspace", "code"
+    )
     scored = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -556,6 +566,8 @@ def ivfpq_topk(
     k: int = 5,
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
+    cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production-scale composition — probe the coarse
     quantizer's nearest cells (IVF, cosine), then rank ONLY the members
@@ -565,7 +577,7 @@ def ivfpq_topk(
     integer ADC domain + vec_id tie-break; cell assignment reuses the
     round-6 cosine convention proven by ann_ivf_topk.
     """
-    cells = ivf_cells(emb, n_centroids)
+    cells = ivf_cells(emb, n_centroids) if cells is None else cells
     cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
@@ -597,7 +609,9 @@ def ivfpq_topk(
         F.col("cell").alias("code"),
         F.col("sq").alias("d"),
     )
-    codes = pq_codes(emb).select("vec_id", "subspace", "code")
+    codes = (pq_codes(emb) if codes is None else codes).select(
+        "vec_id", "subspace", "code"
+    )
     scored = (
         member.join(codes, "vec_id")
         .join(F.broadcast(lut), ["q_id", "subspace", "code"])

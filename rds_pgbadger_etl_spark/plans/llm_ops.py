@@ -558,7 +558,9 @@ def _cos_sql(a: str, b: str) -> str:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, _QUERY_IDS, _TOPK)
+    return S.ivf_topk(
+        emb, _QUERY_IDS, _TOPK, cells=_ivf_cells_shared(spark, sf_dir)
+    )
 
 
 _ANN_IVF_SQL = f"""
@@ -1770,13 +1772,40 @@ _PQ_CODES_SQL = """
 """
 
 
+def _pq_codes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes materialized once per process — the staging-table
+    pattern: at 100 TB the encode pass is written to a table and every
+    ADC consumer reads codes, never raw vectors. Shared by
+    pq_code_histogram / pq_adc_topk / ann_ivfpq_topk."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "pq_codes",
+        sf_dir,
+        lambda: S.pq_codes(rebalance(load_table(spark, sf_dir, "embeddings"))),
+    )
+
+
+def _ivf_cells_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment materialized once per process (same staging
+    rationale; shared by ann_ivf_topk / ann_ivfpq_topk)."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "ivf_cells",
+        sf_dir,
+        lambda: S.ivf_cells(rebalance(load_table(spark, sf_dir, "embeddings"))),
+    )
+
+
 def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook utilization + distortion per (subspace, centroid): the
     diagnostic that tells you whether a codebook needs re-training
     (empty/overloaded cells) before you spend a 100 TB encode pass."""
-    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
     return (
-        S.pq_codes(emb)
+        _pq_codes_shared(spark, sf_dir)
         .groupBy("subspace", "code")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -1797,12 +1826,20 @@ FROM codes GROUP BY subspace, code
 
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = rebalance(load_table(spark, sf_dir, "embeddings"))
-    return S.pq_adc_topk(emb, _QUERY_IDS, _TOPK)
+    return S.pq_adc_topk(
+        emb, _QUERY_IDS, _TOPK, codes=_pq_codes_shared(spark, sf_dir)
+    )
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = rebalance(load_table(spark, sf_dir, "embeddings"))
-    return S.ivfpq_topk(emb, _QUERY_IDS, _TOPK)
+    return S.ivfpq_topk(
+        emb,
+        _QUERY_IDS,
+        _TOPK,
+        cells=_ivf_cells_shared(spark, sf_dir),
+        codes=_pq_codes_shared(spark, sf_dir),
+    )
 
 
 _PQ_ADC_SQL = f"""
