@@ -230,9 +230,67 @@ GROUP BY user_id, n
 """
 
 
+# ---------------------------------------------------------------------------
+# 7-day rolling distinct active users. Distinct counts don't sum across
+# days, so the window can't be a running total over daily aggregates.
+# Plan: distinct (user, day) → map-side ×7 explode of the days each
+# activity covers → one count-distinct per covered day, restricted to
+# days that exist in the corpus. Two shuffles total, no self-join, no
+# per-day re-scan — at scale the explode factor is the window length,
+# independent of corpus size. (The approximate alternative at 100 TB is
+# per-day HLL sketches merged over the window — q22 shows that path.)
+
+_ROLLING_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    covered = du.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_ROLLING_DAYS - 1)),
+                lambda i: F.date_add(F.col("d"), i),
+            )
+        ).alias("day"),
+    )
+    days = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    return (
+        covered.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("day").cast("timestamp").alias("day"), "active_7d")
+    )
+
+
+_ROLLING_ACTIVE_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS date) AS d
+  FROM events
+),
+covered AS (
+  SELECT user_id, d + cast(i AS int) AS day
+  FROM du, unnest(range(0, {_ROLLING_DAYS})) AS t(i)
+),
+days AS (
+  SELECT DISTINCT cast(date_trunc('day', ts) AS date) AS day FROM events
+)
+SELECT cast(day AS timestamp) AS day,
+       cast(count(DISTINCT user_id) AS bigint) AS active_7d
+FROM covered JOIN days USING (day)
+GROUP BY day
+"""
+
+
 QUERIES = {
     "funnel_conversion": (funnel_conversion, _FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, _RETENTION_SQL),
     "event_transitions": (event_transitions, _TRANSITIONS_SQL),
     "user_value_ewma": (user_value_ewma, _EWMA_SQL),
+    "rolling_active_users": (rolling_active_users, _ROLLING_ACTIVE_SQL),
 }
