@@ -1643,6 +1643,49 @@ FROM q GROUP BY dim
 
 
 # ---------------------------------------------------------------------------
+# Quality-decile stratification: ntile(10) over (quality, doc_id) — the
+# primitive behind quality-stratified mixing ("sample 3x from the top
+# decile"). One global sort bounded by doc-grain data (score + id only);
+# at 100 TB swap the exact ntile for percentile_approx cut points
+# broadcast back — same downstream contract, no total order needed.
+
+
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    scored = docs.select(
+        "doc_id",
+        X.quality_score("text").alias("q"),
+        X.n_tokens("text").alias("toks"),
+    )
+    dec = F.ntile(10).over(W.orderBy("q", "doc_id"))
+    return (
+        scored.withColumn("decile", dec)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+            F.sum("toks").alias("sum_tokens"),
+        )
+    )
+
+
+_QUALITY_DECILES_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, {_QUALITY_SQL} AS q, {_TOKS_SQL} AS toks FROM documents
+)
+SELECT cast(decile AS int) AS decile, count(*) AS n_docs,
+       round(min(q), 6) AS min_q, round(max(q), 6) AS max_q,
+       cast(sum(toks) AS bigint) AS sum_tokens
+FROM (SELECT doc_id, q, toks, ntile(10) OVER (ORDER BY q, doc_id) AS decile
+      FROM scored)
+GROUP BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact substring overlap (the exact-match complement to MinHash: find
 # doc pairs sharing a run of ≥ MIN_RUN consecutive tokens, the
 # "deduplicate exact substrings" primitive for training corpora). Plan:
@@ -1961,6 +2004,7 @@ QUERIES = {
     "pq_adc_topk": (pq_adc_topk, _PQ_ADC_SQL),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ANN_IVFPQ_SQL),
     "exact_substring_overlap": (exact_substring_overlap, _EXACT_OVERLAP_SQL),
+    "quality_deciles": (quality_deciles, _QUALITY_DECILES_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "text_readability": (text_readability, _READABILITY_SQL),
