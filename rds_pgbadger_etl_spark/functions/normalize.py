@@ -34,8 +34,16 @@ NORMALIZE_STEPS: list[tuple[str, str]] = [
 ]
 
 DURATION_RE = r"duration: ([0-9.]+) ms"
-# (?s): a reassembled multi-line statement must match across newlines
-STATEMENT_RE = r"(?s)(?:statement|execute [^:]*): (.*)"
+# (?s): a reassembled multi-line statement must match across newlines.
+# The extended-protocol phases (parse/bind/execute <stmt-name>:) carry
+# the statement text too — pgBadger splits prepare/bind/execute timing
+# in its report (the reference gets that section via rds_pgbadger.py:51-63),
+# so dropping them would under-attribute prepared-statement workloads.
+STATEMENT_RE = r"(?s)(?:statement|parse [^:]*|bind [^:]*|execute [^:]*): (.*)"
+# Protocol phase of a duration/statement payload. Anchored at payload
+# start (optionally after the 'duration: X ms' prefix) so phase keywords
+# inside the SQL text itself can never match.
+PHASE_RE = r"(?s)^\s*(?:duration: [0-9.]+ ms\s+)?(statement|parse|bind|execute)\b"
 
 
 def normalize_query(col: Column | str) -> Column:
@@ -65,9 +73,20 @@ def extract_duration_ms(col: Column | str) -> Column:
 
 
 def extract_statement(col: Column | str) -> Column:
-    """The SQL text after ``statement:`` / ``execute <name>:``, else null."""
+    """The SQL text after ``statement:`` / ``parse|bind|execute <name>:``,
+    else null."""
     c = F.col(col) if isinstance(col, str) else col
     x = F.regexp_extract(c, STATEMENT_RE, 1)
+    return F.when(x == "", None).otherwise(x)
+
+
+def extract_phase(col: Column | str) -> Column:
+    """Protocol phase (``statement``/``parse``/``bind``/``execute``) of a
+    payload, else null. ``statement`` is the simple protocol; the other
+    three are the extended (prepared-statement) protocol whose per-phase
+    timing pgBadger reports separately."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_extract(c, PHASE_RE, 1)
     return F.when(x == "", None).otherwise(x)
 
 

@@ -162,6 +162,7 @@ def candidate_shingle_sets(
     cands: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingler=None,
 ) -> DataFrame:
     """Distinct shingle sets for ONLY the docs appearing in candidate
     pairs: (id, shingle_set). Verification needs full sets, but only for
@@ -172,13 +173,19 @@ def candidate_shingle_sets(
     broadcast-semi-join-pruned second pass over a tiny subset instead.
     Measured at sf0.1: full-corpus profile 7.4 s vs 3.8 s sigs-only +
     2.2 s candidate sets (598 of 5000 docs).
+
+    ``shingler`` picks the tokenization (default :func:`char_shingles`;
+    pass a :func:`word_ngrams` closure for token-level dedup) — the
+    candidate-pruned second pass is identical either way.
     """
+    if shingler is None:
+        shingler = char_shingles
     ids = (
         cands.select(F.col("a").alias(id_col))
         .union(cands.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    sub = char_shingles(df.join(F.broadcast(ids), id_col), id_col, text_col)
+    sub = shingler(df.join(F.broadcast(ids), id_col), id_col, text_col)
     return sub.groupBy(id_col).agg(F.collect_set("shingle").alias("shingle_set"))
 
 
@@ -201,7 +208,9 @@ def near_dup_pairs(
     MEMORY_AND_DISK persistence is the local equivalent.
     """
     sigs = minhash_signatures(char_shingles(df, id_col, text_col), id_col).persist()
-    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col)
+    # cands feeds both the ids derivation and the final pair join —
+    # persist so the band self-join over sigs runs once, not per consumer.
+    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col).persist()
     prof = candidate_shingle_sets(df, cands, id_col, text_col)
     return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
 
@@ -223,7 +232,7 @@ def containment_pairs(
     recall — the verify math here is the same either way.
     """
     sigs = minhash_signatures(char_shingles(df, id_col, text_col), id_col).persist()
-    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col)
+    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col).persist()
     prof = candidate_shingle_sets(df, cands, id_col, text_col)
     prof_a = prof.select(F.col(id_col).alias("a"), F.col("shingle_set").alias("sa"))
     prof_b = prof.select(F.col(id_col).alias("b"), F.col("shingle_set").alias("sb"))
@@ -286,14 +295,14 @@ def ngram_jaccard_pairs(
     Same two-pass shape as :func:`near_dup_pairs`: numeric sigs for the
     whole corpus, n-gram sets only for LSH survivors."""
     sigs = minhash_signatures(word_ngrams(df, id_col, text_col, n), id_col).persist()
-    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col)
-    ids = (
-        cands.select(F.col("a").alias(id_col))
-        .union(cands.select(F.col("b").alias(id_col)))
-        .distinct()
+    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col).persist()
+    prof = candidate_shingle_sets(
+        df,
+        cands,
+        id_col,
+        text_col,
+        shingler=lambda d, i, t: word_ngrams(d, i, t, n),
     )
-    sub = word_ngrams(df.join(F.broadcast(ids), id_col), id_col, text_col, n)
-    prof = sub.groupBy(id_col).agg(F.collect_set("shingle").alias("shingle_set"))
     return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from rds_pgbadger_etl_spark.functions.normalize import (
     extract_duration_ms,
+    extract_phase,
     extract_statement,
     normalize_query,
 )
@@ -163,6 +164,7 @@ def enrich(events: DataFrame) -> DataFrame:
     ).otherwise(extract_statement("message"))
     return (
         events.withColumn("duration_ms", extract_duration_ms("message"))
+        .withColumn("phase", extract_phase("message"))
         .withColumn("query", stmt)
         .withColumn(
             "normalized_query",

@@ -1652,14 +1652,12 @@ FROM q GROUP BY dim
 
 def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance(load_table(spark, sf_dir, "documents"))
-    from pyspark.sql import Window as W
-
     scored = docs.select(
         "doc_id",
         X.quality_score("text").alias("q"),
         X.n_tokens("text").alias("toks"),
     )
-    dec = F.ntile(10).over(W.orderBy("q", "doc_id"))
+    dec = F.ntile(10).over(Window.orderBy("q", "doc_id"))
     return (
         scored.withColumn("decile", dec)
         .groupBy("decile")
@@ -1964,6 +1962,57 @@ WHERE rank <= {_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN quality audit: recall@10 of every approximate method vs the exact
+# brute-force ranking, as a registered query rather than a pytest-only
+# property. Rows-only by design (the metric grades approximation quality;
+# a SQL twin would just re-implement all four methods). The accuracy/cost
+# ladder becomes auditable from the registry: brute (recall 1.0 by
+# construction, scan-everything) -> lsh / ivf (prune the corpus) ->
+# pq_adc (compress the corpus) -> ivfpq (both).
+_RECALL_K = 10
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    truth = (
+        S.brute_force_topk(emb, _QUERY_IDS, _RECALL_K)
+        .select("q_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    cells = _ivf_cells_shared(spark, sf_dir)
+    codes = _pq_codes_shared(spark, sf_dir)
+    methods = [
+        ("lsh", S.lsh_topk(emb, _QUERY_IDS, _RECALL_K)),
+        ("ivf", S.ivf_topk(emb, _QUERY_IDS, _RECALL_K, cells=cells)),
+        ("pq_adc", S.pq_adc_topk(emb, _QUERY_IDS, _RECALL_K, codes=codes)),
+        (
+            "ivfpq",
+            S.ivfpq_topk(emb, _QUERY_IDS, _RECALL_K, cells=cells, codes=codes),
+        ),
+    ]
+    cands = None
+    for name, df in methods:
+        labeled = df.select(
+            F.lit(name).alias("method"), "q_id", "vec_id"
+        )
+        cands = labeled if cands is None else cands.unionByName(labeled)
+    return (
+        cands.join(F.broadcast(truth), ["q_id", "vec_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .withColumn(
+            "recall_at_k",
+            F.round(
+                F.col("n_hits") / (F.col("n_queries") * F.lit(_RECALL_K)), 4
+            ),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -2008,4 +2057,5 @@ QUERIES = {
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "text_readability": (text_readability, _READABILITY_SQL),
+    "ann_recall_report": (ann_recall_report, None),
 }

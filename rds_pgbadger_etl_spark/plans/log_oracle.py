@@ -191,7 +191,7 @@ def log_top_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STMT_RE_SQL = r"(?s)(?:statement|execute [^:]*): (.*)"
+_STMT_RE_SQL = r"(?s)(?:statement|parse [^:]*|bind [^:]*|execute [^:]*): (.*)"
 _LOG_TOP_QUERIES_SQL = f"""
 WITH lines AS ({_SYNTH_SQL}),
 parsed AS ({_PARSE_SQL})
@@ -1324,6 +1324,428 @@ GROUP BY hour
 """
 
 
+# ---------------------------------------------------------------------------
+# Extended-protocol phase timing (pgBadger's "Prepared queries" /
+# parse-bind-execute split — the report section the reference's pgbadger
+# invocation produces, rds_pgbadger.py:51-63). Postgres logs prepared
+# statements as three duration lines:
+#     duration: 0.05 ms  parse stmt_3: SELECT ...
+#     duration: 0.02 ms  bind stmt_3: SELECT ...
+#     duration: 1.20 ms  execute stmt_3: SELECT ...
+# The synthesizer spreads events over the four phases; the engine's
+# extract_phase/extract_statement attribute the duration + SQL text to
+# each, which the simple 'statement|execute'-only regex of earlier
+# rounds could not (parse/bind durations lost their query).
+
+
+def _synth_phase_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = rebalance(load_table(spark, sf_dir, "events"))
+    k = F.col("event_id") % 4
+    name = F.concat(F.lit("stmt_"), _s(F.col("event_id") % 6))
+    marker = (
+        F.when(k == 0, F.lit("statement"))
+        .when(k == 1, F.concat(F.lit("parse "), name))
+        .when(k == 2, F.concat(F.lit("bind "), name))
+        .otherwise(F.concat(F.lit("execute "), name))
+    )
+    stmt = F.concat(
+        F.lit("SELECT * FROM t"),
+        _s(F.col("event_id") % 20),
+        F.lit(" WHERE user_id = "),
+        _s(F.col("user_id")),
+    )
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" UTC:10.0."),
+        _s(F.col("user_id") % 250),
+        F.lit(".1("),
+        _s(F.lit(50000) + F.col("event_id") % 1000),
+        F.lit("):u"),
+        _s(F.col("user_id") % 10),
+        F.lit("@db"),
+        _s(F.col("user_id") % 5),
+        F.lit(":["),
+        _s(F.lit(1000) + F.col("user_id") % 100),
+        F.lit("]:LOG:  duration: "),
+        _s(F.abs(F.round(F.col("value") * 100)).cast("bigint")),
+        F.lit(" ms  "),
+        marker,
+        F.lit(": "),
+        stmt,
+    )
+    return ev.select(
+        F.lit("phase.log").alias("source_file"),
+        F.col("event_id").alias("line_no"),
+        line.alias("value"),
+    )
+
+
+_SYNTH_PHASE_SQL = """
+  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S')
+         || ' UTC:10.0.' || cast(user_id % 250 AS varchar)
+         || '.1(' || cast(50000 + event_id % 1000 AS varchar)
+         || '):u' || cast(user_id % 10 AS varchar)
+         || '@db' || cast(user_id % 5 AS varchar)
+         || ':[' || cast(1000 + user_id % 100 AS varchar)
+         || ']:LOG:  duration: '
+         || cast(cast(abs(round(value * 100)) AS bigint) AS varchar)
+         || ' ms  '
+         || (CASE event_id % 4
+             WHEN 0 THEN 'statement'
+             WHEN 1 THEN 'parse stmt_' || cast(event_id % 6 AS varchar)
+             WHEN 2 THEN 'bind stmt_' || cast(event_id % 6 AS varchar)
+             ELSE 'execute stmt_' || cast(event_id % 6 AS varchar)
+             END)
+         || ': SELECT * FROM t' || cast(event_id % 20 AS varchar)
+         || ' WHERE user_id = ' || cast(user_id AS varchar) AS value
+  FROM events
+"""
+
+_PHASE_RE_SQL = (
+    r"(?s)^\s*(?:duration: [0-9.]+ ms\s+)?(statement|parse|bind|execute)\b"
+)
+
+
+def _parsed_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "parsed_phase_logs",
+        sf_dir,
+        lambda: tokenize(_synth_phase_lines(spark, sf_dir)),
+    )
+
+
+def log_phase_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-phase call count + total/mean duration — pgBadger's
+    prepare/bind/execute timing panel. One codegen'd regexp + a 4-group
+    hash aggregate with map-side partials: flat at 100 TB."""
+    from rds_pgbadger_etl_spark.functions.normalize import extract_phase
+
+    parsed = _parsed_phase(spark, sf_dir)
+    return (
+        parsed.select(
+            extract_phase("payload").alias("phase"),
+            extract_duration_ms("payload").alias("duration_ms"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum(F.col("duration_ms").cast("bigint")).alias("total_ms"),
+            F.avg(F.col("duration_ms").cast("bigint")).alias("mean_ms"),
+        )
+    )
+
+
+_LOG_PHASE_TIMING_SQL = f"""
+WITH lines AS ({_SYNTH_PHASE_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT nullif(regexp_extract(payload, '{_PHASE_RE_SQL}', 1), '') AS phase,
+       count(*) AS n_calls,
+       cast(sum(cast(duration_ms AS bigint)) AS bigint) AS total_ms,
+       avg(cast(duration_ms AS bigint)) AS mean_ms
+FROM parsed
+GROUP BY phase
+"""
+
+
+def log_prepared_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query execute-vs-prepare split: for each normalized query,
+    time spent in parse / bind / execute plus execute call count —
+    conditional sums over a fixed phase set (no pivot pre-scan, one
+    shuffle, map-side combine). Top 10 by execute time."""
+    from rds_pgbadger_etl_spark.functions.normalize import extract_phase
+
+    parsed = _parsed_phase(spark, sf_dir)
+    d = F.col("duration_ms")
+
+    def phase_ms(p: str) -> Column:
+        return F.sum(
+            F.when(F.col("phase") == p, d.cast("bigint")).otherwise(0)
+        ).alias(f"{p}_ms")
+
+    return (
+        parsed.select(
+            normalize_query(extract_statement("payload")).alias("normalized_query"),
+            extract_phase("payload").alias("phase"),
+            extract_duration_ms("payload").alias("duration_ms"),
+        )
+        .filter(F.col("phase").isin("parse", "bind", "execute"))
+        .groupBy("normalized_query")
+        .agg(
+            phase_ms("parse"),
+            phase_ms("bind"),
+            phase_ms("execute"),
+            F.sum(F.when(F.col("phase") == "execute", 1).otherwise(0)).alias(
+                "n_execute"
+            ),
+        )
+        .orderBy(F.col("execute_ms").desc(), "normalized_query")
+        .limit(10)
+    )
+
+
+_LOG_PREPARED_SQL = f"""
+WITH lines AS ({_SYNTH_PHASE_SQL}),
+parsed AS ({_PARSE_SQL}),
+phased AS (
+  SELECT {normalize_query_oracle_sql(f"regexp_extract(payload, '{_STMT_RE_SQL}', 1)")}
+           AS normalized_query,
+         nullif(regexp_extract(payload, '{_PHASE_RE_SQL}', 1), '') AS phase,
+         duration_ms
+  FROM parsed
+)
+SELECT normalized_query,
+       cast(sum(CASE WHEN phase = 'parse' THEN cast(duration_ms AS bigint) ELSE 0 END) AS bigint) AS parse_ms,
+       cast(sum(CASE WHEN phase = 'bind' THEN cast(duration_ms AS bigint) ELSE 0 END) AS bigint) AS bind_ms,
+       cast(sum(CASE WHEN phase = 'execute' THEN cast(duration_ms AS bigint) ELSE 0 END) AS bigint) AS execute_ms,
+       cast(sum(CASE WHEN phase = 'execute' THEN 1 ELSE 0 END) AS bigint) AS n_execute
+FROM phased
+WHERE phase IN ('parse', 'bind', 'execute')
+GROUP BY normalized_query
+ORDER BY execute_ms DESC, normalized_query LIMIT 10
+"""
+
+
+# pgBadger "queries by duration range" panel: global histogram of query
+# durations over fixed buckets. A single CASE (width_bucket over the
+# standard pgBadger cut points) + a 6-group hash aggregate — map-side
+# combinable, flat at any scale.
+_DURATION_BUCKETS: list[tuple[int, float, str]] = [
+    (0, 1, "0-1ms"),
+    (1, 5, "1-5ms"),
+    (2, 10, "5-10ms"),
+    (3, 100, "10-100ms"),
+    (4, 1000, "100-1000ms"),
+    (5, float("inf"), ">1000ms"),
+]
+
+
+def log_duration_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed(spark, sf_dir)
+    d = extract_duration_ms("payload")
+    bucket = F.lit(None).cast("int")
+    label = F.lit(None).cast("string")
+    for idx, hi, name in reversed(_DURATION_BUCKETS):
+        cond = F.lit(True) if hi == float("inf") else (d < hi)
+        bucket = F.when(cond, idx).otherwise(bucket)
+        label = F.when(cond, name).otherwise(label)
+    return (
+        parsed.filter(d.isNotNull())
+        .select(bucket.alias("bucket"), label.alias("duration_range"), d.alias("ms"))
+        .groupBy("bucket", "duration_range")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.col("ms").cast("bigint")).alias("total_ms"),
+        )
+    )
+
+
+def _duration_bucket_sql(expr: str, field: int) -> str:
+    whens = []
+    for idx, hi, name in _DURATION_BUCKETS:
+        val = idx if field == 0 else f"'{name}'"
+        if hi == float("inf"):
+            whens.append(f"ELSE {val}")
+        else:
+            whens.append(f"WHEN {expr} < {hi} THEN {val}")
+    return "CASE " + " ".join(whens) + " END"
+
+
+_LOG_DURATION_RANGES_SQL = f"""
+WITH lines AS ({_SYNTH_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT {_duration_bucket_sql('duration_ms', 0)} AS bucket,
+       {_duration_bucket_sql('duration_ms', 1)} AS duration_range,
+       count(*) AS n_queries,
+       cast(sum(cast(duration_ms AS bigint)) AS bigint) AS total_ms
+FROM parsed
+WHERE duration_ms IS NOT NULL
+GROUP BY bucket, duration_range
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autovacuum per-table detail (pgBadger's "Vacuums per table" / "Tuples
+# removed per table" panels). Reuses the already-persisted system-event
+# corpus — parse once, report many.
+_VACUUM_RE = (
+    r'automatic vacuum of table "([^"]+)": index scans: (\d+),'
+    r" tuples: removed (\d+)"
+)
+
+
+def log_autovacuum_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed_sys(spark, sf_dir)
+    p = F.col("payload")
+    tbl = F.regexp_extract(p, _VACUUM_RE, 1)
+    removed = F.regexp_extract(p, _VACUUM_RE, 3)
+    return (
+        parsed.filter(tbl != "")
+        .select(
+            tbl.alias("table_name"),
+            removed.cast("bigint").alias("removed"),
+        )
+        .groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_vacuums"),
+            F.sum("removed").alias("tuples_removed"),
+            F.max("removed").alias("max_removed"),
+        )
+    )
+
+
+_VACUUM_RE_SQL = _VACUUM_RE.replace("'", "''")
+_LOG_AUTOVACUUM_SQL = f"""
+WITH lines AS ({_SYNTH_SYS_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT regexp_extract(payload, '{_VACUUM_RE_SQL}', 1) AS table_name,
+       count(*) AS n_vacuums,
+       cast(sum(cast(regexp_extract(payload, '{_VACUUM_RE_SQL}', 3) AS bigint)) AS bigint)
+         AS tuples_removed,
+       cast(max(cast(regexp_extract(payload, '{_VACUUM_RE_SQL}', 3) AS bigint)) AS bigint)
+         AS max_removed
+FROM parsed
+WHERE regexp_extract(payload, '{_VACUUM_RE_SQL}', 1) <> ''
+GROUP BY table_name
+"""
+
+
+# Per-host workload rollup (pgBadger's "Connections per host" / queries
+# per host panels): one hash aggregate over the statement corpus.
+def log_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed(spark, sf_dir)
+    return (
+        parsed.groupBy("remote_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(extract_duration_ms("payload").cast("bigint")).alias(
+                "total_ms"
+            ),
+            F.countDistinct("log_user").alias("n_users"),
+            F.countDistinct("pid").alias("n_pids"),
+        )
+        .orderBy(F.col("total_ms").desc(), "remote_host")
+        .limit(15)
+    )
+
+
+_LOG_HOST_STATS_SQL = f"""
+WITH lines AS ({_SYNTH_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT remote_host,
+       count(*) AS n_events,
+       cast(sum(cast(duration_ms AS bigint)) AS bigint) AS total_ms,
+       cast(count(DISTINCT log_user) AS bigint) AS n_users,
+       cast(count(DISTINCT pid) AS bigint) AS n_pids
+FROM parsed
+GROUP BY remote_host
+ORDER BY total_ms DESC, remote_host LIMIT 15
+"""
+
+
+# Checkpoint activity (pgBadger's "Checkpoints" panel: buffers written +
+# write/sync/total time, per hour). Own synthesized corpus so the other
+# system-event reports' inputs stay byte-stable.
+_CHECKPOINT_RE = (
+    r"checkpoint complete: wrote (\d+) buffers \([0-9.]+%\);"
+    r".* write=([0-9.]+) s, sync=([0-9.]+) s, total=([0-9.]+) s"
+)
+
+
+def _synth_checkpoint_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = rebalance(load_table(spark, sf_dir, "events"))
+    payload = F.concat(
+        F.lit("checkpoint complete: wrote "),
+        _s(F.col("event_id") % 5000),
+        F.lit(" buffers (3.1%); 0 WAL file(s) added, 0 removed, 1 recycled;"
+              " write="),
+        _s(F.col("user_id") % 90),
+        F.lit(" s, sync="),
+        _s(F.col("event_id") % 10),
+        F.lit(" s, total="),
+        _s(F.col("user_id") % 90 + F.col("event_id") % 10 + 1),
+        F.lit(" s"),
+    )
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" UTC::@:["),
+        _s(F.lit(77)),
+        F.lit("]:LOG:  "),
+        payload,
+    )
+    return ev.select(
+        F.lit("checkpoint.log").alias("source_file"),
+        F.col("event_id").alias("line_no"),
+        line.alias("value"),
+    )
+
+
+_SYNTH_CHECKPOINT_SQL = """
+  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S')
+         || ' UTC::@:[77]:LOG:  '
+         || 'checkpoint complete: wrote ' || cast(event_id % 5000 AS varchar)
+         || ' buffers (3.1%); 0 WAL file(s) added, 0 removed, 1 recycled;'
+         || ' write=' || cast(user_id % 90 AS varchar)
+         || ' s, sync=' || cast(event_id % 10 AS varchar)
+         || ' s, total=' || cast(user_id % 90 + event_id % 10 + 1 AS varchar)
+         || ' s' AS value
+  FROM events
+"""
+
+
+def log_checkpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = tokenize(_synth_checkpoint_lines(spark, sf_dir))
+    p = F.col("payload")
+
+    def grp(i: int) -> Column:
+        return F.regexp_extract(p, _CHECKPOINT_RE, i).cast("bigint")
+
+    return (
+        lines.filter(F.regexp_extract(p, _CHECKPOINT_RE, 1) != "")
+        .select(
+            F.date_trunc("hour", "event_ts").alias("hour"),
+            grp(1).alias("buffers"),
+            grp(2).alias("write_s"),
+            grp(3).alias("sync_s"),
+            grp(4).alias("total_s"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_checkpoints"),
+            F.sum("buffers").alias("buffers_written"),
+            F.sum("write_s").alias("write_secs"),
+            F.sum("sync_s").alias("sync_secs"),
+            F.max("total_s").alias("max_total_secs"),
+        )
+    )
+
+
+_CHECKPOINT_RE_SQL = _CHECKPOINT_RE.replace("'", "''")
+_LOG_CHECKPOINT_SQL = f"""
+WITH lines AS ({_SYNTH_CHECKPOINT_SQL}),
+parsed AS ({_PARSE_SQL}),
+cp AS (
+  SELECT date_trunc('hour', event_ts) AS hour,
+         cast(regexp_extract(payload, '{_CHECKPOINT_RE_SQL}', 1) AS bigint) AS buffers,
+         cast(regexp_extract(payload, '{_CHECKPOINT_RE_SQL}', 2) AS bigint) AS write_s,
+         cast(regexp_extract(payload, '{_CHECKPOINT_RE_SQL}', 3) AS bigint) AS sync_s,
+         cast(regexp_extract(payload, '{_CHECKPOINT_RE_SQL}', 4) AS bigint) AS total_s
+  FROM parsed
+  WHERE regexp_extract(payload, '{_CHECKPOINT_RE_SQL}', 1) <> ''
+)
+SELECT hour,
+       count(*) AS n_checkpoints,
+       cast(sum(buffers) AS bigint) AS buffers_written,
+       cast(sum(write_s) AS bigint) AS write_secs,
+       cast(sum(sync_s) AS bigint) AS sync_secs,
+       cast(max(total_s) AS bigint) AS max_total_secs
+FROM cp
+GROUP BY hour
+"""
+
+
 QUERIES = {
     "log_parse_fields": (log_parse_fields, _LOG_PARSE_FIELDS_SQL),
     "log_top_queries": (log_top_queries, _LOG_TOP_QUERIES_SQL),
@@ -1352,4 +1774,10 @@ QUERIES = {
         log_query_types_hourly,
         _LOG_QUERY_TYPES_HOURLY_SQL,
     ),
+    "log_phase_timing": (log_phase_timing, _LOG_PHASE_TIMING_SQL),
+    "log_prepared_statements": (log_prepared_statements, _LOG_PREPARED_SQL),
+    "log_duration_ranges": (log_duration_ranges, _LOG_DURATION_RANGES_SQL),
+    "log_autovacuum_detail": (log_autovacuum_detail, _LOG_AUTOVACUUM_SQL),
+    "log_host_stats": (log_host_stats, _LOG_HOST_STATS_SQL),
+    "log_checkpoint_stats": (log_checkpoint_stats, _LOG_CHECKPOINT_SQL),
 }

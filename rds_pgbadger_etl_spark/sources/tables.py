@@ -183,19 +183,41 @@ def events_ts_is_native_timestamp(spark: SparkSession, path: str) -> bool:
 def _assert_ts_era(df: DataFrame, path: str, col: str, lo_min: str, hi_max: str) -> None:
     """Loud schema-drift guard: fail at first read if timestamps land
     outside the corpus era — a silent unit mix-up (ns↔µs is a 1000×
-    compression into 1970) must never ship as "green with weird results"."""
+    compression into 1970) must never ship as "green with weird results".
+
+    Bounds are compared as parsed dates (not lexicographic strings), and
+    ``SPARK_GRAFT_ERA_GUARD=warn`` downgrades the hard failure to a loud
+    warning so a legitimately different corpus era can still be read while
+    the guard bounds get updated.
+    """
     if (path, col) in _ERA_OK:
         return
+    import datetime
+    import os
+    import warnings
+
     from pyspark.sql import functions as F
 
     row = df.select(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
     lo, hi = row["lo"], row["hi"]
-    if lo is not None and not (lo_min <= str(lo) and str(hi) < hi_max):
-        raise ValueError(
-            f"{col} era guard: min={lo} max={hi} outside "
-            f"[{lo_min}, {hi_max}) for {path} — parquet timestamp unit "
-            "mismatch (ns vs µs)? Check events_ts_is_native_timestamp."
-        )
+    if lo is not None:
+        lo_bound = datetime.date.fromisoformat(lo_min)
+        hi_bound = datetime.date.fromisoformat(hi_max)
+
+        def as_date(v: object) -> datetime.date:
+            return v.date() if isinstance(v, datetime.datetime) else v
+
+        if not (lo_bound <= as_date(lo) and as_date(hi) < hi_bound):
+            msg = (
+                f"{col} era guard: min={lo} max={hi} outside "
+                f"[{lo_min}, {hi_max}) for {path} — parquet timestamp unit "
+                "mismatch (ns vs µs)? Check events_ts_is_native_timestamp. "
+                "Set SPARK_GRAFT_ERA_GUARD=warn to read anyway."
+            )
+            if os.environ.get("SPARK_GRAFT_ERA_GUARD", "error") == "warn":
+                warnings.warn(msg, stacklevel=2)
+            else:
+                raise ValueError(msg)
     _ERA_OK.add((path, col))
 
 

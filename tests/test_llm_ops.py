@@ -290,3 +290,19 @@ def test_exact_substring_overlap_run_semantics(spark, tmp_path):
     got = {(r.a, r.b): r.max_overlap_tokens for r in rows}
     assert (0, 1) in got and got[(0, 1)] == 25
     assert all(k == (0, 1) for k in got)
+
+
+def test_ann_recall_report(spark, sf_oracle):
+    from rds_pgbadger_etl_spark.plans.llm_ops import ann_recall_report
+
+    rows = {r.method: r for r in ann_recall_report(spark, sf_oracle).collect()}
+    assert set(rows) == {"lsh", "ivf", "pq_adc", "ivfpq"}
+    for r in rows.values():
+        assert r.n_queries == 5
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits == round(r.recall_at_k * r.n_queries * 10)
+    # the compressed-domain methods still find a usable share of true
+    # neighbors on the test corpus; ivf should not be worse than ivfpq's
+    # floor (ivfpq prunes ivf's candidate set further)
+    assert rows["ivf"].recall_at_k >= rows["ivfpq"].recall_at_k - 1e-9
+    assert rows["ivf"].recall_at_k > 0.5

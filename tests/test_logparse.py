@@ -144,3 +144,32 @@ def test_classify_statement(spark):
     ).withColumn("cls", classify_statement("stmt"))
     got = [r["cls"] for r in df.collect()]
     assert got == [want for _, want in cases]
+
+
+def test_prepared_statement_phases(spark):
+    """parse/bind/execute duration lines attribute phase + statement +
+    duration (pgBadger's prepare/bind/execute split; the earlier
+    statement|execute-only regex lost parse/bind statements)."""
+    ev = parse_logs(spark, fixture("prepared.log")).orderBy("line_no").collect()
+    assert [r.phase for r in ev] == [
+        "parse", "bind", "execute",
+        "parse", "bind", "execute",
+        "statement", "execute",
+    ]
+    # parse/bind lines keep their statement text and duration
+    assert ev[0].normalized_query == "select * from users where id = $?"
+    assert ev[0].duration_ms == pytest.approx(0.055)
+    assert ev[1].duration_ms == pytest.approx(0.021)
+    assert ev[3].query == "INSERT INTO audit (msg) VALUES ($1)"
+    # multi-line execute reassembles then attributes across newlines
+    assert ev[7].n_lines == 3
+    assert ev[7].phase == "execute"
+    assert "FROM orders" in ev[7].query
+    assert ev[7].duration_ms == pytest.approx(7.25)
+    # phase keywords inside SQL text never match (anchored regex)
+    from rds_pgbadger_etl_spark.functions.normalize import extract_phase
+
+    df = spark.createDataFrame(
+        [("SELECT * FROM bind_log WHERE x = 'execute me'",)], "payload string"
+    ).select(extract_phase("payload").alias("p"))
+    assert df.collect()[0].p is None

@@ -206,9 +206,29 @@ def test_ivfpq_no_cartesian_and_broadcast_luts(spark, sf_oracle):
 
 
 def test_exact_overlap_blocks_before_selfjoin(spark, sf_oracle):
+    import re
+
     plan = _formatted_plan(
         spark, E.queries()["exact_substring_overlap"](spark, sf_oracle)
     )
     assert "CartesianProduct" not in plan
-    # the df-band filter must appear below the self-join (gram blocking)
-    assert "count(distinct doc_id" in plan.lower() or "distinct" in plan.lower()
+    # The gram-blocking aggregate (count(distinct doc_id) per hash, the
+    # df-cap filter's input) must sit BELOW the a<b self-join: formatted
+    # explain numbers children before parents, so the blocking agg's node
+    # id has to be smaller than the self-join's.
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    agg_ids = [
+        int(re.match(r"\((\d+)\)", b).group(1))
+        for b in blocks
+        if "HashAggregate" in b.splitlines()[0]
+        and "count(distinct doc_id" in b
+    ]
+    join_ids = [
+        int(re.match(r"\((\d+)\)", b).group(1))
+        for b in blocks
+        if "Join" in b.splitlines()[0]
+        and re.search(r"Join condition: \(a#\d+L? < b#\d+L?\)", b)
+    ]
+    assert agg_ids, "gram-blocking count(distinct doc_id) aggregate missing"
+    assert join_ids, "a<b self-join missing from plan"
+    assert min(agg_ids) < min(join_ids)
