@@ -394,6 +394,68 @@ GROUP BY split, lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Packing-efficiency report: how well the contiguous cumulative-offset
+# packer fills its token budget per source — bins used, tokens packed,
+# capacity, and the waste the trainer would pad over. Pure derivation
+# from pack_bins (one extra hash aggregate); fill_pct kept integer
+# (basis points) for bit-stable hashing.
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_bin = (
+        C.pack_bins(docs)
+        .groupBy("source", "bin")
+        .agg(F.sum("toks").alias("bin_tokens"))
+    )
+    return (
+        per_bin.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("bin_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "source",
+            "n_bins",
+            "sum_tokens",
+            (F.col("n_bins") * C.PACK_BUDGET).alias("capacity"),
+            F.floor(
+                (F.col("sum_tokens") * 10000)
+                / (F.col("n_bins") * C.PACK_BUDGET)
+            ).cast("bigint").alias("fill_bp"),
+        )
+    )
+
+
+_PACK_EFF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         (length(text) - length(replace(text, ' ', '')) + 1) AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, toks,
+         sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+per_bin AS (
+  SELECT source, cast((cum - toks) // {C.PACK_BUDGET} AS bigint) AS bin,
+         sum(toks) AS bin_tokens
+  FROM c GROUP BY source, bin
+)
+SELECT source,
+       count(*) AS n_bins,
+       cast(sum(bin_tokens) AS bigint) AS sum_tokens,
+       cast(count(*) * {C.PACK_BUDGET} AS bigint) AS capacity,
+       cast((sum(bin_tokens) * 10000) // (count(*) * {C.PACK_BUDGET}) AS bigint)
+         AS fill_bp
+FROM per_bin
+GROUP BY source
+"""
+
+
 QUERIES = {
     "pii_redaction": (pii_redaction, _PII_SQL),
     "stratified_sample": (stratified_sample, _STRATIFIED_SQL),
@@ -403,4 +465,5 @@ QUERIES = {
     "pack_sequences": (pack_sequences, _PACK_SQL),
     "training_order": (training_order, _TRAINING_ORDER_SQL),
     "train_val_test_split": (train_val_test_split, _TRAIN_VAL_TEST_SQL),
+    "packing_efficiency": (packing_efficiency, _PACK_EFF_SQL),
 }

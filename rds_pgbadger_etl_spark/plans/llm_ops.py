@@ -1963,6 +1963,82 @@ WHERE rank <= {_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication: cluster embeddings with the IVF
+# coarse quantizer, compute pairwise cosine ONLY within each cluster, and
+# count the members a greedy keep-lowest-id policy would drop. The cell
+# blocking is the whole point at 100 TB: k is sized so cluster
+# cardinality stays bounded (corpus/k members -> (corpus/k)^2 pairs per
+# cell, embarrassingly parallel across cells), never corpus^2 — the
+# Abbas et al. SemDeDup recipe expressed as join-on-cell + windowless
+# aggregation. Reuses the shared IVF cell staging; round-6 cosine keeps
+# the threshold decision engine-identical. Production embeddings use a
+# ~0.95+ threshold; the synthetic test corpus is near-orthogonal (max
+# within-cell cosine ≈ 0.49 at sf0.01), so the registered threshold sits
+# where the removal path actually exercises.
+_SEMDEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _ivf_cells_shared(spark, sf_dir).select("vec_id", "cell", "embedding")
+    a = m.select(
+        "cell", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    b = m.select(
+        "cell", F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    dup_b = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "cell",
+            "b",
+            F.round(S.cosine_batch(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= _SEMDEDUP_THRESHOLD)
+        .select("cell", "b")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    members = m.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.join(dup_b, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM e, c) WHERE rn = 1
+),
+dups AS (
+  SELECT cell, count(*) AS n_removed FROM (
+    SELECT DISTINCT x.cell, y.vec_id AS b
+    FROM asgn x JOIN asgn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE {_cos_sql('x.emb', 'y.emb')} >= {_SEMDEDUP_THRESHOLD}
+  ) GROUP BY cell
+)
+SELECT m.cell, m.n_members, coalesce(d.n_removed, 0) AS n_removed
+FROM (SELECT cell, count(*) AS n_members FROM asgn GROUP BY cell) m
+LEFT JOIN dups d ON d.cell = m.cell
+"""
+
+
+# ---------------------------------------------------------------------------
 # ANN quality audit: recall@10 of every approximate method vs the exact
 # brute-force ranking, as a registered query rather than a pytest-only
 # property. Rows-only by design (the metric grades approximation quality;
@@ -2058,4 +2134,5 @@ QUERIES = {
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "text_readability": (text_readability, _READABILITY_SQL),
     "ann_recall_report": (ann_recall_report, None),
+    "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
 }

@@ -1746,6 +1746,138 @@ GROUP BY hour
 """
 
 
+# ---------------------------------------------------------------------------
+# Most-frequent-errors panel with message templating (pgBadger
+# normalizes error text before counting, so "relation \"t3\" does not
+# exist" and "relation \"t17\" does not exist" land in one bucket).
+# Template = quoted identifiers -> "?", bare numbers -> ?.
+_ERR_TEMPLATE_STEPS: list[tuple[str, str]] = [
+    (r'"[^"]*"', '"?"'),
+    (r"\b\d+\b", "?"),
+]
+
+
+def _synth_error_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = rebalance(load_table(spark, sf_dir, "events"))
+    k = F.col("event_id") % 5
+    tbl = _s(F.col("event_id") % 20)
+    msg = (
+        F.when(
+            k == 0,
+            F.concat(
+                F.lit('duplicate key value violates unique constraint "t'),
+                tbl,
+                F.lit('_pkey"'),
+            ),
+        )
+        .when(k == 1, F.lit("deadlock detected"))
+        .when(
+            k == 2,
+            F.concat(F.lit('relation "t'), tbl, F.lit('" does not exist')),
+        )
+        .when(k == 3, F.lit("division by zero"))
+        .otherwise(
+            F.concat(
+                F.lit("canceling statement due to statement timeout in slot "),
+                _s(F.col("user_id") % 97),
+            )
+        )
+    )
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" UTC:10.0."),
+        _s(F.col("user_id") % 250),
+        F.lit(".1("),
+        _s(F.lit(50000) + F.col("event_id") % 1000),
+        F.lit("):u"),
+        _s(F.col("user_id") % 10),
+        F.lit("@db"),
+        _s(F.col("user_id") % 5),
+        F.lit(":["),
+        _s(F.lit(1000) + F.col("user_id") % 100),
+        F.lit("]:ERROR:  "),
+        msg,
+    )
+    return ev.select(
+        F.lit("errors.log").alias("source_file"),
+        F.col("event_id").alias("line_no"),
+        line.alias("value"),
+    )
+
+
+_SYNTH_ERROR_SQL = """
+  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S')
+         || ' UTC:10.0.' || cast(user_id % 250 AS varchar)
+         || '.1(' || cast(50000 + event_id % 1000 AS varchar)
+         || '):u' || cast(user_id % 10 AS varchar)
+         || '@db' || cast(user_id % 5 AS varchar)
+         || ':[' || cast(1000 + user_id % 100 AS varchar)
+         || ']:ERROR:  '
+         || (CASE event_id % 5
+             WHEN 0 THEN 'duplicate key value violates unique constraint "t'
+                  || cast(event_id % 20 AS varchar) || '_pkey"'
+             WHEN 1 THEN 'deadlock detected'
+             WHEN 2 THEN 'relation "t' || cast(event_id % 20 AS varchar)
+                  || '" does not exist'
+             WHEN 3 THEN 'division by zero'
+             ELSE 'canceling statement due to statement timeout in slot '
+                  || cast(user_id % 97 AS varchar)
+             END) AS value
+  FROM events
+"""
+
+
+def _error_template(col: Column) -> Column:
+    out = F.trim(col)
+    for pattern, replacement in _ERR_TEMPLATE_STEPS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def _error_template_sql(expr: str) -> str:
+    out = f"trim({expr})"
+    for pattern, replacement in _ERR_TEMPLATE_STEPS:
+        pat = pattern.replace("'", "''")
+        rep = replacement.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+def log_error_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template histogram over ERROR payloads: count + distinct raw
+    variants + first example per normalized message. One codegen'd
+    regexp chain + one hash aggregate."""
+    lines = tokenize(_synth_error_lines(spark, sf_dir))
+    return (
+        lines.filter(F.col("level") == "ERROR")
+        .select(
+            _error_template(F.col("payload")).alias("template"),
+            F.trim(F.col("payload")).alias("raw"),
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.countDistinct("raw").alias("n_variants"),
+            F.min("raw").alias("first_example"),
+        )
+        .orderBy(F.col("n_errors").desc(), "template")
+    )
+
+
+_LOG_ERROR_TEMPLATES_SQL = f"""
+WITH lines AS ({_SYNTH_ERROR_SQL}),
+parsed AS ({_PARSE_SQL})
+SELECT {_error_template_sql('payload')} AS template,
+       count(*) AS n_errors,
+       cast(count(DISTINCT trim(payload)) AS bigint) AS n_variants,
+       min(trim(payload)) AS first_example
+FROM parsed
+WHERE level = 'ERROR'
+GROUP BY template
+ORDER BY n_errors DESC, template
+"""
+
+
 QUERIES = {
     "log_parse_fields": (log_parse_fields, _LOG_PARSE_FIELDS_SQL),
     "log_top_queries": (log_top_queries, _LOG_TOP_QUERIES_SQL),
@@ -1780,4 +1912,5 @@ QUERIES = {
     "log_autovacuum_detail": (log_autovacuum_detail, _LOG_AUTOVACUUM_SQL),
     "log_host_stats": (log_host_stats, _LOG_HOST_STATS_SQL),
     "log_checkpoint_stats": (log_checkpoint_stats, _LOG_CHECKPOINT_SQL),
+    "log_error_templates": (log_error_templates, _LOG_ERROR_TEMPLATES_SQL),
 }

@@ -306,3 +306,16 @@ def test_ann_recall_report(spark, sf_oracle):
     # floor (ivfpq prunes ivf's candidate set further)
     assert rows["ivf"].recall_at_k >= rows["ivfpq"].recall_at_k - 1e-9
     assert rows["ivf"].recall_at_k > 0.5
+
+
+def test_semantic_dedup_invariants(spark, sf_oracle):
+    from rds_pgbadger_etl_spark.plans.llm_ops import semantic_dedup
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+
+    rows = semantic_dedup(spark, sf_oracle).collect()
+    n_vectors = load_table(spark, sf_oracle, "embeddings").count()
+    # cells partition the corpus; removals never exceed members-1
+    assert sum(r.n_members for r in rows) == n_vectors
+    assert all(0 <= r.n_removed < r.n_members for r in rows)
+    # the corpus-tuned threshold actually exercises the removal path
+    assert sum(r.n_removed for r in rows) > 0
