@@ -208,18 +208,27 @@ def filtered_topk(
     )
 
 
-def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
     """Approximate top-k: candidates share a bucket with the query in any
     of the hash tables; exact cosine is computed only on candidates.
 
     The bucket join and pair-dedup carry only ids (the wide embedding
     arrays rejoin afterwards by key) so the shuffle rows stay narrow —
     at 100 TB the candidate-pair stream is the dominant shuffle.
+
+    ``buckets`` lets callers inject a pre-materialized bucket table
+    (the staging-table pattern — at scale the bucketing pass is written
+    once and every search reads it).
     """
     # persisted: the query side derives from the same bucket table it
     # joins against — without materialization the bucketing UDF runs
     # twice over the full corpus
-    b = lsh_buckets_long(emb).persist()
+    b = lsh_buckets_long(emb).persist() if buckets is None else buckets
     q = b.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), "table_id", "bucket"
     )

@@ -516,9 +516,25 @@ def _buckets_long_sql(n_planes: int = S.N_PLANES) -> str:
 _BUCKETS_LONG_SQL = _buckets_long_sql()
 
 
+def _lsh_buckets_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket table materialized once per process (staging-table
+    pattern, same rationale as the IVF-cell/PQ-code staging); shared by
+    ann_lsh_topk / ann_recall_report."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "lsh_buckets",
+        sf_dir,
+        lambda: S.lsh_buckets_long(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, _QUERY_IDS, _TOPK)
+    return S.lsh_topk(
+        emb, _QUERY_IDS, _TOPK, buckets=_lsh_buckets_shared(spark, sf_dir)
+    )
 
 
 _ANN_LSH_SQL = f"""
@@ -2059,7 +2075,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _ivf_cells_shared(spark, sf_dir)
     codes = _pq_codes_shared(spark, sf_dir)
     methods = [
-        ("lsh", S.lsh_topk(emb, _QUERY_IDS, _RECALL_K)),
+        (
+            "lsh",
+            S.lsh_topk(
+                emb,
+                _QUERY_IDS,
+                _RECALL_K,
+                buckets=_lsh_buckets_shared(spark, sf_dir),
+            ),
+        ),
         ("ivf", S.ivf_topk(emb, _QUERY_IDS, _RECALL_K, cells=cells)),
         ("pq_adc", S.pq_adc_topk(emb, _QUERY_IDS, _RECALL_K, codes=codes)),
         (
