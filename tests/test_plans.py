@@ -232,3 +232,21 @@ def test_exact_overlap_blocks_before_selfjoin(spark, sf_oracle):
     assert agg_ids, "gram-blocking count(distinct doc_id) aggregate missing"
     assert join_ids, "a<b self-join missing from plan"
     assert min(agg_ids) < min(join_ids)
+
+
+def test_semantic_dedup_blocks_on_cells(spark, sf_oracle):
+    """SemDeDup's pair join must key on the cluster cell (bounded pair
+    count per cell), and the only nested-loop join allowed is the tiny
+    centroid broadcast inside the coarse quantizer."""
+    plan = _formatted_plan(spark, E.queries()["semantic_dedup"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    # pairwise scoring joins on cell, not an unblocked self-join
+    assert "Join condition: (a" not in plan or "cell" in plan
+    import re
+
+    # every shuffle-pair join must carry cell as a join key
+    sm = [b for b in re.split(r"\n(?=\(\d+\) )", plan) if b.startswith("(") and "SortMergeJoin" in b.splitlines()[0]]
+    hashj = [b for b in re.split(r"\n(?=\(\d+\) )", plan) if b.startswith("(") and "ShuffledHashJoin" in b.splitlines()[0]]
+    for b in sm + hashj:
+        keys = "".join(l for l in b.splitlines() if "keys" in l)
+        assert "cell" in keys, f"pair join not blocked by cell: {keys}"
