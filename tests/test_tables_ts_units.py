@@ -91,3 +91,21 @@ def test_sniff_is_cached(spark, sf_oracle):
     path = f"{sf_oracle}/events.parquet"
     events_ts_is_native_timestamp(spark, path)
     assert path in tables._EVENTS_TS_NATIVE
+
+
+def test_era_guard_warn_override(spark, tmp_path, monkeypatch):
+    # A legitimately different corpus era can be read by downgrading the
+    # guard to a loud warning (SPARK_GRAFT_ERA_GUARD=warn).
+    import warnings
+
+    from rds_pgbadger_etl_spark.sources import tables
+
+    us_as_ns = pa.array([_NS // 1000, _NS // 1000 + 1], pa.timestamp("ns"))
+    sf = _sf_dir(tmp_path, us_as_ns)
+    monkeypatch.setenv("SPARK_GRAFT_ERA_GUARD", "warn")
+    monkeypatch.setattr(tables, "_ERA_OK", set())
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = load_table(spark, sf, "events").count()
+    assert rows == 2
+    assert any("era guard" in str(w.message) for w in caught)
