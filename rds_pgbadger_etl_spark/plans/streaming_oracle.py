@@ -284,6 +284,45 @@ FROM assigned GROUP BY win_start, event_type
 """
 
 
+def stream_state_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL transformWithStateInPandas operator (availableNow,
+    memory sink) and returns each user's final profile row; the oracle
+    is a batch group-by with exact integer microsecond spans, so the
+    cross-trigger ValueState accumulation is hash-checked bit-exactly."""
+    import tempfile
+    import uuid
+
+    from rds_pgbadger_etl_spark.streaming.ingest import (
+        read_event_stream,
+        run_available_now,
+        user_state_profiles,
+    )
+
+    name = f"state_profiles_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        user_state_profiles(read_event_stream(spark, sf_dir)),
+        tempfile.mkdtemp(prefix="ckpt_profiles_"),
+        name,
+        output_mode="update",
+        state_partitions=8,
+    )
+    return spark.sql(
+        f"""SELECT user_id, n_events, n_error, span_us FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) AS rn
+              FROM {name}) WHERE rn = 1"""
+    )
+
+
+_STREAM_STATE_PROFILES_SQL = """
+SELECT user_id, count(*) AS n_events,
+       cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bigint)
+         AS n_error,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
     "sliding_window_counts": (sliding_window_counts, _SLIDING_SQL),
@@ -292,4 +331,5 @@ QUERIES = {
     "stream_dedup_counts": (stream_dedup_counts, _STREAM_DEDUP_SQL),
     "stream_session_windows": (stream_session_windows, _STREAM_SESSION_SQL),
     "stream_running_totals": (stream_running_totals, _STREAM_RUNNING_SQL),
+    "stream_state_profiles": (stream_state_profiles, _STREAM_STATE_PROFILES_SQL),
 }

@@ -178,6 +178,131 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+USER_PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_error", T.LongType()),
+        T.StructField("span_us", T.LongType()),
+    ]
+)
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; gate on it so environments without the optional dep fall
+    back to the applyInPandasWithState implementation below."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_state_profiles(events: DataFrame, api: str = "auto") -> DataFrame:
+    """Custom stateful operator: per-user activity profile — event
+    count, error count, and the microsecond span between first and last
+    event — accumulated across triggers in typed per-key state.
+
+    Two implementations with IDENTICAL semantics (same state tuple,
+    same per-trigger emission), selected by ``api``:
+
+    - ``"tws"`` — ``transformWithStateInPandas`` (Spark 4's
+      arbitrary-state successor to applyInPandasWithState: typed
+      ``ValueState``, composable state variables, timers, TTL). The
+      preferred production API; requires the optional protobuf
+      dependency for its driver↔worker state protocol.
+    - ``"apiws"`` — ``applyInPandasWithState``, no extra deps.
+    - ``"auto"`` (default) — tws when protobuf is importable, else
+      apiws. The differential test pins the two APIs to identical
+      output when both are runnable.
+
+    Timestamps enter the state as exact ``unix_micros`` longs (no
+    float/timezone drift across engines), so the span is bit-exact
+    against a batch min/max. State is four longs per user; on a cluster
+    the store shards with the grouping shuffle and a TTL bounds it
+    under key churn.
+    """
+    import pandas as pd
+
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def fold(state_tuple, pdfs):
+        n, nerr, lo, hi = state_tuple
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            nerr += int((pdf["event_type"] == "error").sum())
+            mn = int(pdf["ts_us"].min())
+            mx = int(pdf["ts_us"].max())
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        return n, nerr, lo, hi
+
+    def out_row(key, n, nerr, lo, hi):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_error": [nerr],
+                "span_us": [hi - lo],
+            }
+        )
+
+    if api == "auto":
+        api = "tws" if _tws_available() else "apiws"
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _Profile(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "profile", "n BIGINT, nerr BIGINT, lo BIGINT, hi BIGINT"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                got = self._state.get()
+                n, nerr, lo, hi = fold(
+                    got if got is not None else (0, 0, None, None), rows
+                )
+                self._state.update((n, nerr, lo, hi))
+                yield out_row(key, n, nerr, lo, hi)
+
+            def close(self) -> None:
+                pass
+
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_Profile(),
+            outputStructType=USER_PROFILE_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        prev = state.get if state.exists else (0, 0, None, None)
+        n, nerr, lo, hi = fold(prev, pdfs)
+        state.update((n, nerr, lo, hi))
+        yield out_row(key, n, nerr, lo, hi)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_PROFILE_SCHEMA,
+        stateStructType="n BIGINT, nerr BIGINT, lo BIGINT, hi BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: keep the first arrival per ``event_id``,
     with state expiring at the watermark horizon

@@ -114,3 +114,44 @@ def test_bmp_identity_resize_is_lossless(w, h, seed):
 
     b = _bmp_encode(w, h, seed)
     assert _bmp_resize(b, w, h) == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["statement", "parse", "bind", "execute"]),
+            st.text(alphabet=st.sampled_from(list("abcXY01 _$")), max_size=12),
+            _SQLISH.filter(lambda s: s.strip() != ""),
+            st.integers(min_value=0, max_value=99999),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_phase_and_statement_extraction_roundtrip(spark, cases):
+    """Constructed 'duration: N ms  <marker>: <sql>' payloads round-trip
+    through extract_phase/extract_statement/extract_duration_ms for every
+    protocol phase — including statement names containing spaces and $."""
+    from rds_pgbadger_etl_spark.functions.normalize import (
+        extract_duration_ms,
+        extract_phase,
+        extract_statement,
+    )
+
+    rows = []
+    for phase, name, sql, ms in cases:
+        marker = phase if phase == "statement" else f"{phase} {name.replace(':', '')}"
+        rows.append((f"duration: {ms} ms  {marker}: {sql}", phase, sql, ms))
+    df = spark.createDataFrame(
+        [(p,) for p, *_ in rows], "payload string"
+    ).select(
+        extract_phase("payload").alias("ph"),
+        extract_statement("payload").alias("stmt"),
+        extract_duration_ms("payload").alias("ms"),
+    )
+    got = df.collect()
+    for r, (_, phase, sql, ms) in zip(got, rows):
+        assert r.ph == phase
+        assert r.stmt == sql
+        assert r.ms == float(ms)

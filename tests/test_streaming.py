@@ -169,3 +169,57 @@ def test_incremental_dedup_flags_across_batches(spark, tmp_path):
     rows = spark.read.parquet(flags).filter("doc_id IS NOT NULL").collect()
     assert {(r.doc_id, r.dup_of) for r in rows} == {(3, 1)}
     assert all(r.jaccard > 0.5 for r in rows)
+
+
+def test_user_state_profiles_apis_agree_with_batch(spark, tmp_path):
+    """The stateful per-user profile must equal a batch group-by, on
+    whichever state API the environment supports (and on BOTH when the
+    optional protobuf dep for transformWithStateInPandas is present —
+    the two implementations share one fold, so they can only diverge if
+    the API contract itself does)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from rds_pgbadger_etl_spark.streaming.ingest import (
+        _tws_available,
+        read_event_stream,
+        run_available_now,
+        user_state_profiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    expected = {
+        r.user_id: (r.n_events, r.n_error, r.span_us)
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_error"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "span_us"
+            ),
+        )
+        .collect()
+    }
+    apis = ["apiws"] + (["tws"] if _tws_available() else [])
+    for api in apis:
+        name = f"profiles_{api}_{uuid.uuid4().hex[:6]}"
+        run_available_now(
+            user_state_profiles(read_event_stream(spark, sf), api=api),
+            str(tmp_path / f"ckpt_{api}"),
+            name,
+            output_mode="update",
+            state_partitions=4,
+        )
+        got = {
+            r.user_id: (r.n_events, r.n_error, r.span_us)
+            for r in spark.sql(
+                f"""SELECT user_id, n_events, n_error, span_us FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                      FROM {name}) WHERE rn = 1"""
+            ).collect()
+        }
+        assert got == expected, api
