@@ -1524,6 +1524,88 @@ GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT path for semi-structured data: parse the JSON props
+# column ONCE into a variant (binary-encoded, no per-access re-parse —
+# the open-format answer to repeated get_json_object scans at 100 TB),
+# then shred a typed field out with variant_get. The oracle reads the
+# same field via DuckDB's JSON path functions.
+def q44_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_Q44_SQL = """
+SELECT event_type,
+       cast(json_extract_string(props, '$.k') AS bigint) % 10 AS k_mod,
+       count(*) AS n,
+       cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint)
+         AS sum_k,
+       cast(max(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint)
+         AS max_k
+FROM events
+GROUP BY event_type, k_mod
+"""
+
+
+# --------------------------------------------------------------------------
+# Spark 4 recursive CTE: a January date spine generated by recursion,
+# left-joined against per-day event totals with zero-fill. The
+# recursion materializes 31 driver-bounded rows (depth = days, not data
+# volume); the event side stays one map-side-combinable hash aggregate,
+# so the shape is scale-safe — recursion never touches the fact table.
+def q45_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_ev_q45")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE'2024-01-01'
+          UNION ALL
+          SELECT CAST(d + INTERVAL '1' DAY AS DATE) FROM days
+          WHERE d < DATE'2024-01-31'
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+                 cast(sum(cast(round(value * 100) AS bigint)) AS bigint)
+                   AS cents
+          FROM _ev_q45 GROUP BY CAST(ts AS DATE)
+        )
+        SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
+               coalesce(daily.n, 0) AS n_events,
+               coalesce(daily.cents, 0) AS value_cents
+        FROM days LEFT JOIN daily ON daily.d = days.d
+        """
+    )
+
+
+_Q45_SQL = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE'2024-01-01'
+  UNION ALL
+  SELECT CAST(d + INTERVAL '1' DAY AS DATE) FROM days
+  WHERE d < DATE'2024-01-31'
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS cents
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       coalesce(daily.n, 0) AS n_events,
+       coalesce(daily.cents, 0) AS value_cents
+FROM days LEFT JOIN daily ON daily.d = days.d
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1568,4 +1650,6 @@ QUERIES = {
     "q41_interval_merge": (q41_interval_merge, _Q41_SQL),
     "q42_hour_gapfill": (q42_hour_gapfill, _Q42_SQL),
     "q43_array_hof": (q43_array_hof, _Q43_SQL),
+    "q44_variant_shred": (q44_variant_shred, _Q44_SQL),
+    "q45_recursive_spine": (q45_recursive_spine, _Q45_SQL),
 }
