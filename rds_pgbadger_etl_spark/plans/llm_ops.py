@@ -1979,6 +1979,53 @@ WHERE rank <= {_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Triangle count over the near-dup graph: per-document triangle
+# participation — the cluster-cohesion diagnostic that separates tight
+# clique-like duplicate groups (merge confidently) from fragile chains
+# (a-b-c where a~c was never verified). The classic distributed shape:
+# ordered edges (a<b) -> wedge join on the middle vertex -> close the
+# wedge against the edge set. Both joins key on vertex ids of the
+# PAIR table (output-proportional, tiny vs corpus), never on the corpus.
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _near_pairs(spark, sf_dir).select("a", "b")
+    wedges = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )  # a<b<c paths
+    tri = wedges.join(
+        e.select("a", F.col("b").alias("c")), ["a", "c"]
+    ).select("a", "b", "c")
+    verts = (
+        tri.selectExpr("a AS doc_id")
+        .unionAll(tri.selectExpr("b AS doc_id"))
+        .unionAll(tri.selectExpr("c AS doc_id"))
+    )
+    return (
+        verts.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+_TRIANGLES_SQL = f"""
+WITH {_NEAR_PAIRS_CTES},
+pairs AS ({_NEAR_PAIRS_FINAL}),
+e AS (SELECT a, b FROM pairs),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e2.a = e1.b) w
+  JOIN e e3 ON e3.a = w.a AND e3.b = w.c
+),
+verts AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, count(*) AS n_triangles
+FROM verts GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup-style semantic deduplication: cluster embeddings with the IVF
 # coarse quantizer, compute pairwise cosine ONLY within each cluster, and
 # count the members a greedy keep-lowest-id policy would drop. The cell
@@ -2159,4 +2206,5 @@ QUERIES = {
     "text_readability": (text_readability, _READABILITY_SQL),
     "ann_recall_report": (ann_recall_report, None),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
+    "near_dup_triangles": (near_dup_triangles, _TRIANGLES_SQL),
 }

@@ -319,3 +319,31 @@ def test_semantic_dedup_invariants(spark, sf_oracle):
     assert all(0 <= r.n_removed < r.n_members for r in rows)
     # the corpus-tuned threshold actually exercises the removal path
     assert sum(r.n_removed for r in rows) > 0
+
+
+def test_near_dup_triangles_closed_semantics(spark, tmp_path):
+    """A 4-clique yields binomial(3,2)=3 triangles per vertex; an open
+    chain yields none — triangle membership requires every pair edge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rds_pgbadger_etl_spark.plans.llm_ops import near_dup_triangles
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    chain_a = " ".join(f"c{i}" for i in range(60))
+    # 4 exact clones -> all 6 edges -> K4; two loosely-chained docs
+    texts = [base, base, base, base, chain_a, chain_a + " tail extra words here"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r.n_triangles for r in near_dup_triangles(spark, str(tmp_path)).collect()}
+    assert {0, 1, 2, 3} <= set(rows)
+    assert all(rows[d] == 3 for d in (0, 1, 2, 3))
+    assert 4 not in rows and 5 not in rows  # edge without closure: no triangle
