@@ -696,6 +696,55 @@ def q22_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sketch-accuracy audit (companion to q22, same pattern as the ANN
+# recall report): measure the approximate operators AGAINST their exact
+# twins as a registered query, so the error actually delivered on this
+# corpus is auditable from the registry — rows-only by design (the whole
+# point is that sketch values differ run-to-run within bounds; the test
+# asserts the bounds, the oracle can't hash the values).
+def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
+    )
+    # exact DISCRETE p95 (the value at rank ceil(0.95 n)), matching the
+    # sketch's value-from-the-data contract — interpolating percentile()
+    # would fold the discrete-vs-interpolated gap into the error metric
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    disc = ranked.filter(
+        F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("int")
+    ).select("event_type", F.col("value").alias("p95_exact"))
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .join(disc, "event_type")
+    )
+    return (
+        approx.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "approx_users",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("distinct_rel_err"),
+            F.round(F.abs(F.col("p95_approx") - F.col("p95_exact")), 6).alias(
+                "p95_abs_err"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Full outer join: reconcile two aggregates keyed on nation — rows
 # surviving from either side with coalesced defaults (the reconciliation/
@@ -1629,6 +1678,7 @@ QUERIES = {
     "q20_rollup": (q20_rollup, _Q20_SQL),
     "q21_set_ops": (q21_set_ops, _Q21_SQL),
     "q22_sketch_profile": (q22_sketch_profile, None),
+    "sketch_error_report": (sketch_error_report, None),
     "q23_full_outer": (q23_full_outer, _Q23_SQL),
     "q24_pivot": (q24_pivot, _Q24_SQL),
     "q25_percent_rank": (q25_percent_rank, _Q25_SQL),

@@ -35,7 +35,11 @@ def test_every_query_has_oracle_or_documented_exception(spark):
     # twin would re-implement all four approximate methods — it is
     # rows-only by design, invariant-tested in test_llm_ops instead)
     missing = set(E.queries()) - set(E.oracle_sql())
-    assert missing == {"q22_sketch_profile", "ann_recall_report"}
+    assert missing == {
+        "q22_sketch_profile",
+        "ann_recall_report",
+        "sketch_error_report",
+    }
 
 
 def test_oracle_comparator_rejects_wrong_results(spark, sf_smoke):

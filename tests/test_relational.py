@@ -49,3 +49,16 @@ def test_sketch_profile_bounds_vs_exact(spark, sf_oracle):
         assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users)
         assert a.p50_approx <= a.p95_approx <= a.p99_approx
         assert abs(a.p50_approx - e.p50) <= 0.05 * max(1.0, abs(e.p50))
+
+
+def test_sketch_error_report_within_bounds(spark, sf_oracle):
+    from rds_pgbadger_etl_spark.plans.relational import sketch_error_report
+
+    rows = sketch_error_report(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        # HLL++ at rsd=0.02: allow 3 sigma; quantile sketch at 10k
+        # accuracy is near-exact on this corpus
+        assert r.distinct_rel_err <= 0.06, r
+        assert r.p95_abs_err <= 0.05, r
+        assert r.exact_users > 0
