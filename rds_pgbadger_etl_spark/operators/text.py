@@ -110,3 +110,49 @@ def rolling_fingerprint(col: Column | str, k: int = 16) -> Column:
         lambda i: hex_hash64(capped.substr(i, F.lit(k))),
     )
     return F.array_min(shingles)
+
+
+def heavy_hitter_words(words, threshold_div: int = 500):
+    """EXACT heavy hitters (words with global freq * T > N) without a
+    full-vocabulary shuffle: a per-partition frequency-threshold sketch
+    prunes to candidates first, then only candidates are counted
+    exactly.
+
+    The pigeonhole guarantee makes the prune lossless: if an item's
+    global frequency exceeds N/T, some partition must hold it with
+    local frequency above n_p/T (otherwise the per-partition sums could
+    not reach N/T), so the candidate union is a superset of every true
+    heavy hitter. At 100 TB the difference is shuffling ≤ T items per
+    partition versus the entire Zipf-tail vocabulary; per-partition
+    counting is one vectorized ``value_counts`` per Arrow batch run —
+    the justified mapInPandas shape (sequential-per-partition summary),
+    not a per-row UDF.
+
+    ``words``: a DataFrame with a single string column ``w``.
+    Returns (w, freq, n_total) for items with freq * T > N, exactly.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    T = threshold_div
+
+    def partition_candidates(batches):
+        counts = None
+        for pdf in batches:
+            c = pdf["w"].value_counts()
+            counts = c if counts is None else counts.add(c, fill_value=0)
+        if counts is None:
+            return
+        n_p = int(counts.sum())
+        cand = counts[counts * T > n_p]
+        yield pd.DataFrame({"w": cand.index.astype(str)})
+
+    cands = words.mapInPandas(partition_candidates, "w string").distinct()
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        words.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * T > F.col("n_total"))
+    )

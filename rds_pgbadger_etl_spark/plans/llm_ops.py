@@ -1979,6 +1979,38 @@ WHERE rank <= {_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Exact heavy-hitter vocabulary head via per-partition threshold-sketch
+# pruning (operators/text.heavy_hitter_words): candidates ≤ T per
+# partition by pigeonhole, exact counts only for candidates — the
+# full-vocabulary shuffle never happens, yet the output is exact, so it
+# full-hash-checks against a plain GROUP BY/HAVING oracle.
+_HH_T = 500
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).alias("w")
+    )
+    return X.heavy_hitter_words(words, threshold_div=_HH_T)
+
+
+_HEAVY_HITTERS_SQL = f"""
+WITH exploded AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+words AS (SELECT w FROM exploded WHERE w <> ''),
+tot AS (SELECT count(*) AS n_total FROM words)
+SELECT w, count(*) AS freq, (SELECT n_total FROM tot) AS n_total
+FROM words
+GROUP BY w
+HAVING count(*) * {_HH_T} > (SELECT n_total FROM tot)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Triangle count over the near-dup graph: per-document triangle
 # participation — the cluster-cohesion diagnostic that separates tight
 # clique-like duplicate groups (merge confidently) from fragile chains
@@ -2207,4 +2239,5 @@ QUERIES = {
     "ann_recall_report": (ann_recall_report, None),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
     "near_dup_triangles": (near_dup_triangles, _TRIANGLES_SQL),
+    "heavy_hitter_tokens": (heavy_hitter_tokens, _HEAVY_HITTERS_SQL),
 }

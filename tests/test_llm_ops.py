@@ -347,3 +347,37 @@ def test_near_dup_triangles_closed_semantics(spark, tmp_path):
     assert {0, 1, 2, 3} <= set(rows)
     assert all(rows[d] == 3 for d in (0, 1, 2, 3))
     assert 4 not in rows and 5 not in rows  # edge without closure: no triangle
+
+
+def test_heavy_hitter_pruning_is_lossless(spark):
+    """The per-partition threshold prune must equal the naive global
+    GROUP BY on a Zipf-ish corpus where the tail vocabulary is much
+    larger than the candidate set — including an adversarial item that
+    is heavy globally but spread evenly across partitions."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.operators.text import heavy_hitter_words
+
+    rows = []
+    for i in range(8000):
+        rows.append((f"tail{i}",))          # 8000 singletons
+    rows += [("hot",)] * 400                # clear heavy hitter
+    rows += [("spread",)] * 60              # heavy only in aggregate
+    words = spark.createDataFrame(rows, "w string").repartition(16)
+    got = {
+        (r.w, r.freq)
+        for r in heavy_hitter_words(words, threshold_div=100).collect()
+    }
+    exact = {
+        (r.w, r.freq)
+        for r in words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(words.agg(F.count(F.lit(1)).alias("n"))))
+        .filter(F.col("freq") * 100 > F.col("n"))
+        .select("w", "freq")
+        .collect()
+    }
+    assert got == exact
+    assert ("hot", 400) in got
