@@ -106,6 +106,50 @@ STATEMENT_CLASSES: list[tuple[tuple[str, ...], str]] = [
 ]
 
 
+# pgBadger "queries by duration range" buckets, shared by the report
+# section (plans/reports.py) and the oracle query (plans/log_oracle.py):
+# (bucket index, exclusive upper bound in ms, label).
+DURATION_BUCKETS: list[tuple[int, float, str]] = [
+    (0, 1, "0-1ms"),
+    (1, 5, "1-5ms"),
+    (2, 10, "5-10ms"),
+    (3, 100, "10-100ms"),
+    (4, 1000, "100-1000ms"),
+    (5, float("inf"), ">1000ms"),
+]
+
+
+def duration_bucket(col: Column | str, field: int) -> Column:
+    """Bucket index (field=0) or label (field=1) for a duration_ms
+    column, per :data:`DURATION_BUCKETS`."""
+    d = F.col(col) if isinstance(col, str) else col
+    out = F.lit(None).cast("int" if field == 0 else "string")
+    for idx, hi, name in reversed(DURATION_BUCKETS):
+        val = idx if field == 0 else name
+        cond = F.lit(True) if hi == float("inf") else (d < hi)
+        out = F.when(cond, val).otherwise(out)
+    return out
+
+
+# Error-message templating (pgBadger "most frequent errors"): quoted
+# identifiers then bare numbers collapse to placeholders so literal
+# variants count as one message.
+ERROR_TEMPLATE_STEPS: list[tuple[str, str]] = [
+    (r'"[^"]*"', '"?"'),
+    (r"\b\d+\b", "?"),
+]
+
+
+def error_template(col: Column | str) -> Column:
+    """Normalized error-message template per
+    :data:`ERROR_TEMPLATE_STEPS`."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.trim(c)
+    for pattern, replacement in ERROR_TEMPLATE_STEPS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
 def classify_statement(col: Column | str) -> Column:
     """Statement class (SELECT/INSERT/UPDATE/DELETE/DDL/TCL/OTHER) from
     the first keyword; null statements stay null."""

@@ -1509,31 +1509,27 @@ ORDER BY execute_ms DESC, normalized_query LIMIT 10
 
 
 # pgBadger "queries by duration range" panel: global histogram of query
-# durations over fixed buckets. A single CASE (width_bucket over the
-# standard pgBadger cut points) + a 6-group hash aggregate — map-side
-# combinable, flat at any scale.
-_DURATION_BUCKETS: list[tuple[int, float, str]] = [
-    (0, 1, "0-1ms"),
-    (1, 5, "1-5ms"),
-    (2, 10, "5-10ms"),
-    (3, 100, "10-100ms"),
-    (4, 1000, "100-1000ms"),
-    (5, float("inf"), ">1000ms"),
-]
+# durations over fixed buckets (functions/normalize.DURATION_BUCKETS,
+# shared with the real-log report section). A single CASE + a 6-group
+# hash aggregate — map-side combinable, flat at any scale.
+from rds_pgbadger_etl_spark.functions.normalize import (  # noqa: E402
+    DURATION_BUCKETS as _DURATION_BUCKETS,
+)
+from rds_pgbadger_etl_spark.functions.normalize import (  # noqa: E402
+    duration_bucket as _duration_bucket,
+)
 
 
 def log_duration_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = _parsed(spark, sf_dir)
     d = extract_duration_ms("payload")
-    bucket = F.lit(None).cast("int")
-    label = F.lit(None).cast("string")
-    for idx, hi, name in reversed(_DURATION_BUCKETS):
-        cond = F.lit(True) if hi == float("inf") else (d < hi)
-        bucket = F.when(cond, idx).otherwise(bucket)
-        label = F.when(cond, name).otherwise(label)
     return (
         parsed.filter(d.isNotNull())
-        .select(bucket.alias("bucket"), label.alias("duration_range"), d.alias("ms"))
+        .select(
+            _duration_bucket(d, 0).alias("bucket"),
+            _duration_bucket(d, 1).alias("duration_range"),
+            d.alias("ms"),
+        )
         .groupBy("bucket", "duration_range")
         .agg(
             F.count(F.lit(1)).alias("n_queries"),
@@ -1750,11 +1746,11 @@ GROUP BY hour
 # Most-frequent-errors panel with message templating (pgBadger
 # normalizes error text before counting, so "relation \"t3\" does not
 # exist" and "relation \"t17\" does not exist" land in one bucket).
-# Template = quoted identifiers -> "?", bare numbers -> ?.
-_ERR_TEMPLATE_STEPS: list[tuple[str, str]] = [
-    (r'"[^"]*"', '"?"'),
-    (r"\b\d+\b", "?"),
-]
+# Template steps shared with the real-log report section via
+# functions/normalize.ERROR_TEMPLATE_STEPS.
+from rds_pgbadger_etl_spark.functions.normalize import (  # noqa: E402
+    ERROR_TEMPLATE_STEPS as _ERR_TEMPLATE_STEPS,
+)
 
 
 def _synth_error_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1827,11 +1823,9 @@ _SYNTH_ERROR_SQL = """
 """
 
 
-def _error_template(col: Column) -> Column:
-    out = F.trim(col)
-    for pattern, replacement in _ERR_TEMPLATE_STEPS:
-        out = F.regexp_replace(out, pattern, replacement)
-    return out
+from rds_pgbadger_etl_spark.functions.normalize import (  # noqa: E402
+    error_template as _error_template,
+)
 
 
 def _error_template_sql(expr: str) -> str:

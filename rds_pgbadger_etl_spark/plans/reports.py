@@ -176,6 +176,59 @@ def table_workload(events: DataFrame, n: int = 50) -> DataFrame:
     )
 
 
+def phase_timing(events: DataFrame) -> DataFrame:
+    """P3b: prepare/bind/execute protocol-phase timing split (pgBadger's
+    prepared-queries panel). One 4-group hash aggregate."""
+    return (
+        events.filter(F.col("phase").isNotNull())
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum("duration_ms").alias("total_ms"),
+            F.avg("duration_ms").alias("mean_ms"),
+        )
+    )
+
+
+def duration_ranges(events: DataFrame) -> DataFrame:
+    """P7c: queries-by-duration-range histogram over the standard
+    pgBadger buckets (functions/normalize.DURATION_BUCKETS)."""
+    from rds_pgbadger_etl_spark.functions.normalize import duration_bucket
+
+    d = F.col("duration_ms")
+    return (
+        events.filter(d.isNotNull())
+        .groupBy(
+            duration_bucket(d, 0).alias("bucket"),
+            duration_bucket(d, 1).alias("duration_range"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("duration_ms").alias("total_ms"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def error_templates(events: DataFrame, n: int = 20) -> DataFrame:
+    """P8 companion: most frequent errors after literal templating
+    (quoted identifiers and numbers collapse, so message variants count
+    as one template)."""
+    from rds_pgbadger_etl_spark.functions.normalize import error_template
+
+    return (
+        events.filter(F.col("level").isin(ERROR_LEVELS))
+        .select(
+            error_template(F.col("message")).alias("template"),
+            F.col("level"),
+        )
+        .groupBy("level", "template")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy(F.col("n_errors").desc(), "template")
+        .limit(n)
+    )
+
+
 REPORT_SECTIONS = {
     "top_queries": top_queries,
     "slowest_statements": slowest_statements,
@@ -185,6 +238,9 @@ REPORT_SECTIONS = {
     "session_stats": session_stats,
     "maintenance_report": maintenance_report,
     "table_workload": table_workload,
+    "phase_timing": phase_timing,
+    "duration_ranges": duration_ranges,
+    "error_templates": error_templates,
 }
 
 

@@ -173,3 +173,23 @@ def test_prepared_statement_phases(spark):
         [("SELECT * FROM bind_log WHERE x = 'execute me'",)], "payload string"
     ).select(extract_phase("payload").alias("p"))
     assert df.collect()[0].p is None
+
+
+def test_new_report_sections_on_real_logs(spark):
+    """phase_timing / duration_ranges / error_templates over REAL parsed
+    fixture logs (the CLI's HTML-report path, not the synthesized oracle
+    corpus)."""
+    ev = parse_logs(spark, fixture("prepared.log"))
+    pt = {r.phase: r for r in reports.phase_timing(ev).collect()}
+    assert set(pt) == {"parse", "bind", "execute", "statement"}
+    assert pt["execute"].n_calls == 3
+    assert pt["parse"].total_ms == pytest.approx(0.055 + 0.048)
+    dr = {r.duration_range: r.n_queries for r in reports.duration_ranges(ev).collect()}
+    assert dr["0-1ms"] == 5          # the four sub-ms prepare/bind + 0.902
+    assert dr["1-5ms"] == 1 and dr["5-10ms"] == 1 and dr["10-100ms"] == 1
+    errs = parse_logs(spark, fixture("errors.log"))
+    templates = reports.error_templates(errs).collect()
+    assert all(r.n_errors >= 1 for r in templates)
+    assert not any(
+        any(ch.isdigit() for ch in r.template) for r in templates
+    )  # literals collapsed
