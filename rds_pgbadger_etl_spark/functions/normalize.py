@@ -39,7 +39,14 @@ DURATION_RE = r"duration: ([0-9.]+) ms"
 # the statement text too — pgBadger splits prepare/bind/execute timing
 # in its report (the reference gets that section via rds_pgbadger.py:51-63),
 # so dropping them would under-attribute prepared-statement workloads.
-STATEMENT_RE = r"(?s)(?:statement|parse [^:]*|bind [^:]*|execute [^:]*): (.*)"
+# Anchored at payload start (optionally after the duration prefix), like
+# PHASE_RE: an unanchored 'parse|bind' alternative falsely matches error
+# prose such as 'could not bind IPv4 address "0.0.0.0": Address already
+# in use' and would report the tail as a SQL statement.
+STATEMENT_RE = (
+    r"(?s)^\s*(?:duration: [0-9.]+ ms\s+)?"
+    r"(?:statement|parse [^:\n]*|bind [^:\n]*|execute [^:\n]*): (.*)"
+)
 # Protocol phase of a duration/statement payload. Anchored at payload
 # start (optionally after the 'duration: X ms' prefix) so phase keywords
 # inside the SQL text itself can never match.
@@ -121,12 +128,14 @@ DURATION_BUCKETS: list[tuple[int, float, str]] = [
 
 def duration_bucket(col: Column | str, field: int) -> Column:
     """Bucket index (field=0) or label (field=1) for a duration_ms
-    column, per :data:`DURATION_BUCKETS`."""
+    column, per :data:`DURATION_BUCKETS`. NULL durations bucket to NULL
+    (the unbounded branch guards on isNotNull — an unconditional
+    catch-all would silently count duration-less events as >1000ms)."""
     d = F.col(col) if isinstance(col, str) else col
     out = F.lit(None).cast("int" if field == 0 else "string")
     for idx, hi, name in reversed(DURATION_BUCKETS):
         val = idx if field == 0 else name
-        cond = F.lit(True) if hi == float("inf") else (d < hi)
+        cond = d.isNotNull() if hi == float("inf") else (d < hi)
         out = F.when(cond, val).otherwise(out)
     return out
 

@@ -2060,7 +2060,13 @@ FROM verts GROUP BY doc_id
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic deduplication: cluster embeddings with the IVF
 # coarse quantizer, compute pairwise cosine ONLY within each cluster, and
-# count the members a greedy keep-lowest-id policy would drop. The cell
+# count the PAIRWISE-DOMINATED members — those with at least one similar
+# lower-id neighbor. On a similarity CHAIN (1~2, 2~3, 1≁3) this counts
+# both 2 and 3 while a sequential greedy sweep would respawn 3 once 2 is
+# gone, so the reported count is an upper bound on (and at clique-like
+# duplicate groups equal to) sequential greedy removal — the one-pass,
+# order-free definition is what stays computable as a hash aggregate at
+# scale. The cell
 # blocking is the whole point at 100 TB: k is sized so cluster
 # cardinality stays bounded (corpus/k members -> (corpus/k)^2 pairs per
 # cell, embarrassingly parallel across cells), never corpus^2 — the
@@ -2176,6 +2182,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("method"), "q_id", "vec_id"
         )
         cands = labeled if cands is None else cands.unionByName(labeled)
+    # The denominator is the FIXED query-set size, not countDistinct of
+    # each method's own results — a method that returns zero candidates
+    # for a query must be penalized for it, not have the query silently
+    # drop out of its denominator.
+    denom = len(_QUERY_IDS) * _RECALL_K
     return (
         cands.join(F.broadcast(truth), ["q_id", "vec_id"], "left")
         .groupBy("method")
@@ -2184,10 +2195,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
         )
         .withColumn(
-            "recall_at_k",
-            F.round(
-                F.col("n_hits") / (F.col("n_queries") * F.lit(_RECALL_K)), 4
-            ),
+            "recall_at_k", F.round(F.col("n_hits") / F.lit(denom), 4)
         )
     )
 

@@ -191,7 +191,10 @@ def log_top_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STMT_RE_SQL = r"(?s)(?:statement|parse [^:]*|bind [^:]*|execute [^:]*): (.*)"
+_STMT_RE_SQL = (
+    r"(?s)^\s*(?:duration: [0-9.]+ ms\s+)?"
+    r"(?:statement|parse [^:\n]*|bind [^:\n]*|execute [^:\n]*): (.*)"
+)
 _LOG_TOP_QUERIES_SQL = f"""
 WITH lines AS ({_SYNTH_SQL}),
 parsed AS ({_PARSE_SQL})
@@ -1539,14 +1542,16 @@ def log_duration_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duration_bucket_sql(expr: str, field: int) -> str:
+    """SQL twin of normalize.duration_bucket — same NULL-stays-NULL
+    contract (the unbounded branch guards on IS NOT NULL)."""
     whens = []
     for idx, hi, name in _DURATION_BUCKETS:
         val = idx if field == 0 else f"'{name}'"
         if hi == float("inf"):
-            whens.append(f"ELSE {val}")
+            whens.append(f"WHEN {expr} IS NOT NULL THEN {val}")
         else:
             whens.append(f"WHEN {expr} < {hi} THEN {val}")
-    return "CASE " + " ".join(whens) + " END"
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
 
 
 _LOG_DURATION_RANGES_SQL = f"""

@@ -1581,7 +1581,10 @@ GROUP BY label
 # same field via DuckDB's JSON path functions.
 def q44_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    # try_parse_json + try_variant_get: a malformed props record or a
+    # missing path both yield NULL instead of failing the query (q16's
+    # lenient get_json_object convention, carried to the variant path)
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))

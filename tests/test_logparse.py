@@ -193,3 +193,28 @@ def test_new_report_sections_on_real_logs(spark):
     assert not any(
         any(ch.isdigit() for ch in r.template) for r in templates
     )  # literals collapsed
+
+
+def test_error_prose_never_extracts_statement(spark):
+    """Real Postgres error prose containing 'bind'/'parse' mid-message
+    must not be mistaken for a statement marker (the marker regex is
+    anchored at payload start, optionally after the duration prefix)."""
+    from rds_pgbadger_etl_spark.functions.normalize import (
+        extract_phase,
+        extract_statement,
+    )
+
+    cases = [
+        'could not bind IPv4 address "0.0.0.0": Address already in use',
+        "could not parse relation options: foo=bar",
+        "unexpected EOF; statement: not really",  # marker not at start
+        "duration: 1.5 ms  execute p1: SELECT 1",  # genuine marker
+        "statement: SELECT 2",  # log_statement=all (no duration)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "payload string").select(
+        extract_statement("payload").alias("stmt"),
+        extract_phase("payload").alias("ph"),
+    )
+    got = df.collect()
+    assert [r.stmt for r in got] == [None, None, None, "SELECT 1", "SELECT 2"]
+    assert [r.ph for r in got] == [None, None, None, "execute", "statement"]
