@@ -12,11 +12,17 @@ Continuation lines (the tail of a multi-line statement) carry no prefix;
 they belong to the preceding prefixed line of the same file.
 
 Scale design:
-- line_no is derived per file from ``monotonically_increasing_id`` +
-  a window over ``source_file`` — file splits scan in offset order, so
-  ids increase within a file even when one 1 GB log splits into many
-  partitions (the reference gets intra-file parallelism from pgbadger
-  ``--jobs 8``, rds_pgbadger.py:54-55; Spark gets it from splits).
+- line_no is derived per file by ordering on
+  ``(_metadata.file_block_start, monotonically_increasing_id)``. The
+  block start pins each file split's true byte offset, so line numbers
+  are correct even when Spark's bin-packing assigns a later split of a
+  1 GB log to an earlier partition index (split-to-partition order is an
+  implementation detail, not a contract); within a split, rows scan in
+  offset order so the monotonic id breaks ties correctly. A line that
+  straddles a split boundary is read by the earlier split's reader
+  (Hadoop line-reader semantics), so it carries the earlier block start.
+  (The reference gets intra-file parallelism from pgbadger ``--jobs 8``,
+  rds_pgbadger.py:54-55; Spark gets it from splits.)
 - Reassembly shuffles once on ``source_file`` (hour-granular files →
   naturally bounded partitions); everything downstream is order-free.
 - All parsing is regexp built-ins inside codegen — no Python UDFs.
@@ -78,16 +84,17 @@ def read_log_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
         if any(ch in base for ch in "*?["):
             reader = reader.option("pathGlobFilter", base)
             path = os.path.dirname(path)
-    w = Window.partitionBy("source_file").orderBy("mid")
+    w = Window.partitionBy("source_file").orderBy("block_start", "mid")
     return (
         reader.text(path)
         .select(
             F.input_file_name().alias("source_file"),
+            F.col("_metadata.file_block_start").alias("block_start"),
             F.monotonically_increasing_id().alias("mid"),
             F.col("value"),
         )
         .withColumn("line_no", F.row_number().over(w))
-        .drop("mid")
+        .drop("mid", "block_start")
     )
 
 
