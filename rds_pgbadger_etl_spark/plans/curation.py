@@ -296,7 +296,11 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shuffle_key")
         .limit(_SHUFFLE_TOPN)
     )
-    w = Window.orderBy("shuffle_key")
+    # Partition the N-row window by a column-derived constant (pmod ≡ 0,
+    # non-foldable) so it is a partitioned window over the limit's single
+    # output partition — same result as the global window, without the
+    # "moving all data to a single partition" WindowExec warning.
+    w = Window.partitionBy(F.pmod("shuffle_key", F.lit(1))).orderBy("shuffle_key")
     return top.withColumn("pos", F.row_number().over(w).cast("int"))
 
 

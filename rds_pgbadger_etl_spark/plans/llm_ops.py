@@ -9,7 +9,7 @@ drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rds_pgbadger_etl_spark.operators import dedup as D
@@ -1659,30 +1659,92 @@ FROM q GROUP BY dim
 
 
 # ---------------------------------------------------------------------------
-# Quality-decile stratification: ntile(10) over (quality, doc_id) — the
-# primitive behind quality-stratified mixing ("sample 3x from the top
-# decile"). One global sort bounded by doc-grain data (score + id only);
-# at 100 TB swap the exact ntile for percentile_approx cut points
-# broadcast back — same downstream contract, no total order needed.
+# Quality-decile stratification — the primitive behind quality-stratified
+# mixing ("sample 3x from the top decile"). Contract: identical output to
+# exact ntile(10) OVER (ORDER BY q, doc_id) (the DuckDB twin below), but
+# WITHOUT a partition-less window: a naive global ntile sorts the whole
+# corpus's (doc_id, q) stream in ONE task (the r4 scale-killer). Shipped
+# plan instead:
+#   1. percentile_approx cut points (one aggregate pass) split q into
+#      ~_QD_STRATA coarse strata, CASE-assigned per row — no shuffle.
+#   2. per-stratum counts → driver (≤ _QD_STRATA rows, metadata-scale)
+#      → cumulative offsets broadcast back.
+#   3. global rank = stratum offset + row_number() windowed BY STRATUM
+#      (each task sorts ~1/_QD_STRATA of the corpus), then the exact
+#      ntile bucket arithmetic from (rank, n_total).
+# This is exact at every SF — rank-equivalent to the global sort — not
+# merely approximate decile boundaries. Skew caveat: a mass of ties at
+# one q value collapses into one stratum; its window task then sorts
+# that tie-run alone (still ≪ the full corpus the old plan sorted).
+
+_QD_STRATA = 100
+
+
+def _exact_ntile(rank: Column, n_total: int, k: int) -> Column:
+    """Exact ANSI ntile(k) bucket from a global 1-based rank — the same
+    fill rule Spark/DuckDB use: first (n mod k) buckets get one extra."""
+    size = n_total // k
+    rem = n_total % k
+    big_span = (size + 1) * rem
+    return (
+        F.when(rank <= F.lit(big_span), F.ceil(rank / F.lit(size + 1)))
+        .otherwise(F.lit(rem) + F.ceil((rank - F.lit(big_span)) / F.lit(max(size, 1))))
+        .cast("int")
+    )
 
 
 def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
     docs = rebalance(load_table(spark, sf_dir, "documents"))
-    scored = docs.select(
-        "doc_id",
-        X.quality_score("text").alias("q"),
-        X.n_tokens("text").alias("toks"),
+    scored = shared_df(
+        spark,
+        "quality_scored",
+        sf_dir,
+        lambda: docs.select(
+            "doc_id",
+            X.quality_score("text").alias("q"),
+            X.n_tokens("text").alias("toks"),
+        ),
     )
-    dec = F.ntile(10).over(Window.orderBy("q", "doc_id"))
-    return (
-        scored.withColumn("decile", dec)
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.min("q"), 6).alias("min_q"),
-            F.round(F.max("q"), 6).alias("max_q"),
-            F.sum("toks").alias("sum_tokens"),
+    qs = [i / _QD_STRATA for i in range(1, _QD_STRATA)]
+    cuts = sorted(
+        set(
+            scored.agg(
+                F.percentile_approx("q", qs, 10_000).alias("c")
+            ).collect()[0].c
         )
+    )
+    cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    stratum = F.aggregate(
+        cut_arr,
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("q") > c, 1).otherwise(0),
+    ).alias("stratum")
+    staged = scored.select("doc_id", "q", "toks", stratum)
+
+    counts = {
+        r.stratum: r.n
+        for r in staged.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets, acc = [], 0
+    for s in sorted(counts):
+        offsets.append((s, acc))
+        acc += counts[s]
+    off_df = spark.createDataFrame(offsets, "stratum int, offset long")
+
+    w = Window.partitionBy("stratum").orderBy("q", "doc_id")
+    ranked = (
+        staged.join(F.broadcast(off_df), "stratum")
+        .withColumn("rank", F.col("offset") + F.row_number().over(w))
+        .withColumn("decile", _exact_ntile(F.col("rank"), n_total, 10))
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("q"), 6).alias("min_q"),
+        F.round(F.max("q"), 6).alias("max_q"),
+        F.sum("toks").alias("sum_tokens"),
     )
 
 

@@ -248,3 +248,30 @@ def test_semantic_dedup_blocks_on_cells(spark, sf_oracle):
     for b in sm + hashj:
         keys = "".join(l for l in b.splitlines() if "keys" in l)
         assert "cell" in keys, f"pair join not blocked by cell: {keys}"
+
+
+def test_quality_deciles_no_global_window(spark, sf_oracle):
+    """The shipped quality_deciles plan must not contain a partition-less
+    WindowExec (the r4 scale-killer: one task sorting the whole corpus).
+    The rank window must be partitioned by the percentile-approx stratum;
+    correctness vs the exact global ntile is covered by the oracle."""
+    df = E.queries()["quality_deciles"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wlines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert wlines, "expected the per-stratum rank window"
+    for ln in wlines:
+        assert "stratum" in ln, f"partition-less window survived: {ln.strip()}"
+    assert "ntile" not in plan
+
+
+def test_training_order_window_is_partitioned(spark, sf_oracle):
+    """training_order's 100-row position window must also carry a
+    partition key (column-derived constant) so no plan in the tree emits
+    the single-partition WindowExec warning."""
+    df = E.queries()["training_order"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wlines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert wlines
+    for ln in wlines:
+        # partitioned WindowExec prints [exprs], [partitionSpec], [orderSpec]
+        assert ln.count("], [") == 2, f"partition-less window: {ln.strip()}"
