@@ -50,13 +50,26 @@ def salted_join(
     """Inner/left join with the probe side salted and the build side
     replicated, so one hot key spreads over ``n_salt`` tasks.
 
-    ``salt_by`` names a left column whose hash picks the salt (defaults
-    to the first non-key column, falling back to the key itself — still
-    deterministic, though a key-derived salt cannot split that key's
-    rows; pass a high-cardinality column for real skew relief).
+    ``salt_by`` names a left column whose hash picks the salt; it must
+    not be a join key — a key-derived salt is constant within the hot
+    key, so every hot row would still land in ONE task (a silent no-op
+    exactly where salting was needed). When unset, the first non-key
+    left column is used; if the left side has only key columns this
+    raises rather than degenerate.
     """
+    if salt_by is not None and salt_by in on:
+        raise ValueError(
+            f"salt_by={salt_by!r} is a join key: a key-derived salt is "
+            "constant per key and cannot split the hot key across tasks"
+        )
     non_key = [c for c in left.columns if c not in on]
-    salt_src = salt_by or (non_key[0] if non_key else on[0])
+    if salt_by is None and not non_key:
+        raise ValueError(
+            "salted_join needs a non-key left column to derive the salt "
+            f"from (left columns {left.columns} are all join keys); pass "
+            "salt_by= a high-cardinality column"
+        )
+    salt_src = salt_by or non_key[0]
     l2 = left.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salt)))
     r2 = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

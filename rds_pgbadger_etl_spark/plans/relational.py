@@ -34,7 +34,7 @@ from rds_pgbadger_etl_spark.functions.agg import (
     oracle_exact_sum,
 )
 from rds_pgbadger_etl_spark.functions.scalar import order_insensitive_hash
-from rds_pgbadger_etl_spark.sources.tables import load_table
+from rds_pgbadger_etl_spark.sources.tables import load_table, rebalance
 
 
 # --------------------------------------------------------------------------
@@ -1658,6 +1658,51 @@ FROM days LEFT JOIN daily ON daily.d = days.d
 """
 
 
+# --------------------------------------------------------------------------
+# Skew-join demonstration (SURVEY §7 phase 5 hardening; VERDICT r4 item
+# 8): ~90% of event rows deterministically remap onto ONE hot customer
+# key, then star-join the customer dimension. Results are plan-agnostic
+# and oracled here (at sf0.01 the dim broadcasts — the right plan at
+# that size); the AQE skew-split demonstration, with broadcast disabled
+# and test-scoped skew thresholds so the hot shuffle partition actually
+# trips `skew=true`, is pinned in tests/test_skew.py.
+def q46_skew_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: AQE splits a skewed partition along mapper boundaries,
+    # so the probe side must arrive from >1 mapper — true at scale
+    # (multi-split scan, rebalance no-ops), forced here for one small
+    # parquet file.
+    ev = rebalance(load_table(spark, sf_dir, "events")).select(
+        F.when(F.pmod("user_id", F.lit(10)) < 9, F.lit(1))
+        .otherwise(F.col("user_id") + 1)
+        .alias("cust_id"),
+        "value",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(cust, "cust_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+_Q46_SQL = """
+SELECT c_mktsegment, count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS value_cents
+FROM (SELECT CASE WHEN user_id % 10 < 9 THEN 1 ELSE user_id + 1 END
+             AS cust_id, value
+      FROM events) e
+JOIN customer ON cust_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1705,4 +1750,5 @@ QUERIES = {
     "q43_array_hof": (q43_array_hof, _Q43_SQL),
     "q44_variant_shred": (q44_variant_shred, _Q44_SQL),
     "q45_recursive_spine": (q45_recursive_spine, _Q45_SQL),
+    "q46_skew_join_demo": (q46_skew_join_demo, _Q46_SQL),
 }
