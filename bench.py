@@ -82,6 +82,11 @@ def main() -> None:
         "dedup_near_pairs", "ann_cosine_topk", "text_stats",
         "stream_hourly_counts", "multimodal_features",
     ]
+    missing_headline = [k for k in headline if k not in timings]
+    assert not missing_headline, (
+        f"headline queries renamed/removed from the registry: "
+        f"{missing_headline} — update the headline list"
+    )
     print(
         json.dumps(
             {

@@ -205,7 +205,20 @@ def _assert_ts_era(df: DataFrame, path: str, col: str, lo_min: str, hi_max: str)
         hi_bound = datetime.date.fromisoformat(hi_max)
 
         def as_date(v: object) -> datetime.date:
-            return v.date() if isinstance(v, datetime.datetime) else v
+            if isinstance(v, datetime.datetime):
+                return v.date()
+            if isinstance(v, datetime.date):
+                return v
+            # Schema drift can hand back a STRING min/max (e.g. a ts
+            # column read as string) — exactly what this guard exists
+            # for, so coerce instead of dying on a bare TypeError.
+            try:
+                return datetime.date.fromisoformat(str(v)[:10])
+            except ValueError as exc:
+                raise ValueError(
+                    f"{col} era guard: cannot interpret {v!r} as a "
+                    f"date for {path} — column type drifted"
+                ) from exc
 
         if not (lo_bound <= as_date(lo) and as_date(hi) < hi_bound):
             msg = (
