@@ -200,6 +200,67 @@ def _tws_available() -> bool:
         return False
 
 
+def _fold_profile(state_tuple, pdfs):
+    """Shared state fold for BOTH user_state_profiles implementations:
+    (n, nerr, lo, hi) advanced over an iterator of pandas batches."""
+    n, nerr, lo, hi = state_tuple
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        nerr += int((pdf["event_type"] == "error").sum())
+        mn = int(pdf["ts_us"].min())
+        mx = int(pdf["ts_us"].max())
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return n, nerr, lo, hi
+
+
+def _profile_row(key, n, nerr, lo, hi):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "n_error": [nerr],
+            "span_us": [hi - lo],
+        }
+    )
+
+
+def make_profile_processor():
+    """The transformWithStateInPandas StatefulProcessor behind
+    user_state_profiles(api="tws"), exposed at module level so its
+    handle-facing contract (init → getValueState, handleInputRows
+    get/update/emit per trigger) is directly testable with a stub
+    handle in environments where the optional protobuf dependency for
+    the live state server is absent (tests/test_streaming.py)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n BIGINT, nerr BIGINT, lo BIGINT, hi BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            n, nerr, lo, hi = _fold_profile(
+                got if got is not None else (0, 0, None, None), rows
+            )
+            self._state.update((n, nerr, lo, hi))
+            yield _profile_row(key, n, nerr, lo, hi)
+
+        def close(self) -> None:
+            pass
+
+    return _Profile()
+
+
 def user_state_profiles(events: DataFrame, api: str = "auto") -> DataFrame:
     """Custom stateful operator: per-user activity profile — event
     count, error count, and the microsecond span between first and last
@@ -224,63 +285,16 @@ def user_state_profiles(events: DataFrame, api: str = "auto") -> DataFrame:
     the store shards with the grouping shuffle and a TTL bounds it
     under key churn.
     """
-    import pandas as pd
-
     ev = events.select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
-
-    def fold(state_tuple, pdfs):
-        n, nerr, lo, hi = state_tuple
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            n += len(pdf)
-            nerr += int((pdf["event_type"] == "error").sum())
-            mn = int(pdf["ts_us"].min())
-            mx = int(pdf["ts_us"].max())
-            lo = mn if lo is None else min(lo, mn)
-            hi = mx if hi is None else max(hi, mx)
-        return n, nerr, lo, hi
-
-    def out_row(key, n, nerr, lo, hi):
-        return pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "n_error": [nerr],
-                "span_us": [hi - lo],
-            }
-        )
 
     if api == "auto":
         api = "tws" if _tws_available() else "apiws"
 
     if api == "tws":
-        from pyspark.sql.streaming.stateful_processor import (
-            StatefulProcessor,
-            StatefulProcessorHandle,
-        )
-
-        class _Profile(StatefulProcessor):
-            def init(self, handle: StatefulProcessorHandle) -> None:
-                self._state = handle.getValueState(
-                    "profile", "n BIGINT, nerr BIGINT, lo BIGINT, hi BIGINT"
-                )
-
-            def handleInputRows(self, key, rows, timerValues):
-                got = self._state.get()
-                n, nerr, lo, hi = fold(
-                    got if got is not None else (0, 0, None, None), rows
-                )
-                self._state.update((n, nerr, lo, hi))
-                yield out_row(key, n, nerr, lo, hi)
-
-            def close(self) -> None:
-                pass
-
         return ev.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=_Profile(),
+            statefulProcessor=make_profile_processor(),
             outputStructType=USER_PROFILE_SCHEMA,
             outputMode="update",
             timeMode="none",
@@ -290,9 +304,9 @@ def user_state_profiles(events: DataFrame, api: str = "auto") -> DataFrame:
 
     def update(key, pdfs, state: GroupState):
         prev = state.get if state.exists else (0, 0, None, None)
-        n, nerr, lo, hi = fold(prev, pdfs)
+        n, nerr, lo, hi = _fold_profile(prev, pdfs)
         state.update((n, nerr, lo, hi))
-        yield out_row(key, n, nerr, lo, hi)
+        yield _profile_row(key, n, nerr, lo, hi)
 
     return ev.groupBy("user_id").applyInPandasWithState(
         update,

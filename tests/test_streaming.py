@@ -223,3 +223,70 @@ def test_user_state_profiles_apis_agree_with_batch(spark, tmp_path):
             ).collect()
         }
         assert got == expected, api
+
+
+def test_tws_processor_contract_with_stub_handle(spark):
+    """Drive the REAL transformWithStateInPandas StatefulProcessor
+    (make_profile_processor) through its handle contract with a stub
+    ValueState — protobuf, required only by the live state server, is
+    absent in this env, and the charter forbids installing it. Across
+    three triggers with out-of-order batches the processor's emissions
+    and final state must be identical to the applyInPandasWithState
+    fold (whose Spark plumbing IS live-tested), and its final answer
+    must match the closed-form batch profile."""
+    import pandas as pd
+
+    from rds_pgbadger_etl_spark.streaming.ingest import (
+        _fold_profile,
+        make_profile_processor,
+    )
+
+    class StubValueState:
+        def __init__(self):
+            self.value = None
+
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = tuple(v)
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            assert name == "profile"
+            assert "n BIGINT" in schema
+            return self.states.setdefault(name, StubValueState())
+
+    proc = make_profile_processor()
+    handle = StubHandle()
+    proc.init(handle)
+
+    key = (42,)
+    triggers = [
+        [pd.DataFrame({"event_type": ["view", "error"], "ts_us": [2_000_000, 1_000_000]})],
+        [pd.DataFrame({"event_type": [], "ts_us": []}),
+         pd.DataFrame({"event_type": ["purchase"], "ts_us": [5_000_000]})],
+        [pd.DataFrame({"event_type": ["error"], "ts_us": [500_000]})],
+    ]
+
+    emissions = []
+    for batches in triggers:
+        out = list(proc.handleInputRows(key, iter(batches), None))
+        assert len(out) == 1
+        emissions.append(out[0].iloc[0].to_dict())
+    proc.close()
+
+    # same fold applied cumulatively == what apiws emits per trigger
+    state = (0, 0, None, None)
+    for batches, em in zip(triggers, emissions):
+        state = _fold_profile(state, iter(batches))
+        n, nerr, lo, hi = state
+        assert em == {"user_id": 42, "n_events": n, "n_error": nerr,
+                      "span_us": hi - lo}
+
+    assert handle.states["profile"].value == (4, 2, 500_000, 5_000_000)
+    assert emissions[-1] == {"user_id": 42, "n_events": 4, "n_error": 2,
+                             "span_us": 4_500_000}
