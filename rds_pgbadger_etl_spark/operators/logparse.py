@@ -66,6 +66,26 @@ LEVELS = [
 ]
 
 
+def _read_raw_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Raw log text as ``(source_file, block_start, mid, value)`` —
+    the pre-window form shared by :func:`read_log_lines` and the fused
+    parse path."""
+    import os
+
+    reader = spark.read
+    if isinstance(path, str):
+        base = os.path.basename(path)
+        if any(ch in base for ch in "*?["):
+            reader = reader.option("pathGlobFilter", base)
+            path = os.path.dirname(path)
+    return reader.text(path).select(
+        F.input_file_name().alias("source_file"),
+        F.col("_metadata.file_block_start").alias("block_start"),
+        F.monotonically_increasing_id().alias("mid"),
+        F.col("value"),
+    )
+
+
 def read_log_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Read raw log text as ``(source_file, line_no, value)``.
 
@@ -76,23 +96,9 @@ def read_log_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
     ``pathGlobFilter`` (this Spark build rejects inline globs on the
     local filesystem).
     """
-    import os
-
-    reader = spark.read
-    if isinstance(path, str):
-        base = os.path.basename(path)
-        if any(ch in base for ch in "*?["):
-            reader = reader.option("pathGlobFilter", base)
-            path = os.path.dirname(path)
     w = Window.partitionBy("source_file").orderBy("block_start", "mid")
     return (
-        reader.text(path)
-        .select(
-            F.input_file_name().alias("source_file"),
-            F.col("_metadata.file_block_start").alias("block_start"),
-            F.monotonically_increasing_id().alias("mid"),
-            F.col("value"),
-        )
+        _read_raw_lines(spark, path)
         .withColumn("line_no", F.row_number().over(w))
         .drop("mid", "block_start")
     )
@@ -164,6 +170,131 @@ def reassemble(tokens: DataFrame) -> DataFrame:
     return grouped
 
 
+# Delimiter for the single-pass group extraction in the fused path.
+# Groups 1-8 of PREFIX_RE (timestamp, tz, host, port, user, db, pid,
+# level) essentially cannot contain \x01; the one free-text group
+# (payload, $9) is re-joined losslessly after the split, and any header
+# that DOES contain \x01 falls back to per-group regexp_extract.
+_DELIM = "\x01"
+_REPL = _DELIM.join(f"${i}" for i in range(1, 10))
+
+
+def _group(i: int) -> Column:
+    """Prefix group ``i`` of the header line, from the materialized
+    ``parts`` column when the single-pass split applies, else a
+    per-group ``regexp_extract`` fallback ('' when not a header, the
+    same as ``regexp_extract`` on a non-matching line)."""
+    parts, hdr = F.col("parts"), F.col("hdr")
+    if i < 9:
+        fast = parts[i - 1]
+    else:
+        # payload tail: re-join so a payload containing \x01 round-trips
+        fast = F.array_join(
+            F.slice(parts, 9, F.greatest(F.size(parts) - 8, F.lit(1))), _DELIM
+        )
+    slow = F.when(F.col("is_hdr"), F.regexp_extract(hdr, PREFIX_RE, i)).otherwise(
+        F.lit("")
+    )
+    return F.when(parts.isNotNull(), fast).otherwise(slow)
+
+
+def _reassemble_fused(raw: DataFrame) -> DataFrame:
+    """P1+P2 in one narrow pass — same result as
+    ``reassemble(tokenize(read_log_lines(...)))`` (equivalence pinned by
+    ``test_logparse.py::test_fused_parse_matches_staged``), restructured
+    for scale:
+
+    - line_no / boundary / event_seq are computed over the NARROW raw
+      rows with both window passes sharing one sort on
+      ``(source_file, block_start, mid)`` — the staged path re-sorts the
+      9-column tokenized rows a second time.
+    - The aggregate is a single ``collect_list(struct(line_no, value))``
+      instead of seven ``min_by`` + ``collect_list`` buffers; first-line
+      fields are taken from element 0 of the sorted array.
+    - Prefix extraction runs once per EVENT on the header line (via
+      :func:`_group` over a materialized single-pass split) instead of
+      nine ``regexp_extract`` per LINE.
+
+    Before/after numbers on the 3.28 GB / 24-hour-file rehearsal corpus
+    are in BENCH_NOTES.md ("fused parse"); output is identical.
+    """
+    v = F.col("value")
+    w0 = Window.partitionBy("source_file").orderBy("block_start", "mid")
+    wrun = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    flagged = raw.withColumn("is_header", v.rlike(PREFIX_RE)).withColumn(
+        "garbage", ~F.col("is_header") & ~v.rlike(r"^[\t ]")
+    )
+    numbered = (
+        flagged.select(
+            "source_file",
+            "block_start",
+            "mid",
+            "value",
+            F.row_number().over(w0).alias("line_no"),
+            (
+                F.col("is_header")
+                | (F.col("garbage") & ~F.lag("garbage", 1, False).over(w0))
+            ).alias("boundary"),
+        )
+        # same window spec as w0 -> reuses the sort, no second exchange
+        .withColumn("event_seq", F.sum(F.col("boundary").cast("int")).over(wrun))
+        .drop("block_start", "mid", "boundary")
+    )
+
+    grouped = numbered.groupBy("source_file", "event_seq").agg(
+        F.array_sort(F.collect_list(F.struct("line_no", "value"))).alias("lines")
+    )
+
+    # The next two projections are kept as SEPARATE plan nodes on
+    # purpose: `hdr` and `parts` are non-cheap expressions referenced
+    # many times downstream, and Catalyst's CollapseProject leaves the
+    # boundary in place exactly when a non-trivial alias is multiply
+    # referenced — so the regex split runs ONCE per event. (Folding
+    # everything into one projection re-evaluates the whole extraction
+    # tree per output column: measured 9x slower.)
+    first = F.col("lines")[0]
+    hdr = F.col("hdr")
+    with_hdr = grouped.select(
+        "source_file",
+        "event_seq",
+        "lines",
+        first["line_no"].alias("line_no"),
+        first["value"].alias("hdr"),
+    ).withColumn("is_hdr", hdr.rlike(PREFIX_RE))
+    with_parts = with_hdr.withColumn(
+        "parts",
+        F.when(
+            F.col("is_hdr") & ~hdr.contains(_DELIM),
+            F.split(F.regexp_replace(hdr, PREFIX_RE, _REPL), _DELIM),
+        ),
+    )
+
+    level = _null_if_empty(_group(8))
+    payload = F.when(level.isNull(), None).otherwise(_group(9))
+    head_txt = F.when(F.col("is_hdr"), payload).otherwise(hdr)
+    tail = F.transform(
+        F.slice(F.col("lines"), 2, F.greatest(F.size("lines") - 1, F.lit(0))),
+        lambda s: s["value"],
+    )
+    return with_parts.select(
+        "source_file",
+        "event_seq",
+        F.to_timestamp(_null_if_empty(_group(1)), "yyyy-MM-dd HH:mm:ss").alias(
+            "event_ts"
+        ),
+        _null_if_empty(_group(3)).alias("remote_host"),
+        _null_if_empty(_group(4)).cast("int").alias("remote_port"),
+        _null_if_empty(_group(5)).alias("log_user"),
+        _null_if_empty(_group(6)).alias("database"),
+        _null_if_empty(_group(7)).cast("int").alias("pid"),
+        F.coalesce(level, F.lit("MALFORMED")).alias("level"),
+        "line_no",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.concat_ws("\n", F.concat(F.array(head_txt), tail)).alias("message"),
+    )
+
+
 def enrich(events: DataFrame) -> DataFrame:
     """P3/P4: duration, statement text and its normalized form."""
     stmt = F.when(
@@ -181,5 +312,10 @@ def enrich(events: DataFrame) -> DataFrame:
 
 
 def parse_logs(spark: SparkSession, path: str) -> DataFrame:
-    """Full P1→P2→P3/P4 pipeline: raw text path → parsed event table."""
-    return enrich(reassemble(tokenize(read_log_lines(spark, path))))
+    """Full P1→P2→P3/P4 pipeline: raw text path → parsed event table.
+
+    Uses the fused P1+P2 plan (:func:`_reassemble_fused`); the staged
+    ``reassemble(tokenize(...))`` composition is kept as the readable
+    reference implementation and equivalence oracle.
+    """
+    return enrich(_reassemble_fused(_read_raw_lines(spark, path)))

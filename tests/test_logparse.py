@@ -330,3 +330,44 @@ def test_reassembly_under_forced_file_splits(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert ml.mn == 4 and ml.mx == 4
     assert ml.complete == ml.n == (n_events + 3) // 7
+
+
+def test_fused_parse_matches_staged(spark, tmp_path):
+    """The fused P1+P2 plan (_reassemble_fused, what parse_logs ships)
+    must be row-identical to the staged reference composition
+    reassemble(tokenize(read_log_lines(...))) — on every golden fixture
+    plus an adversarial file exercising the single-pass extraction's
+    edge cases (delimiter byte in the payload and in a prefix field,
+    empty payload, [local] host, missing port/tz, garbage runs followed
+    by indented lines)."""
+    from rds_pgbadger_etl_spark.operators.logparse import (
+        _read_raw_lines,
+        _reassemble_fused,
+        enrich,
+        read_log_lines,
+        reassemble,
+        tokenize,
+    )
+
+    adversarial = tmp_path / "adversarial.log"
+    adversarial.write_text(
+        "2019-04-01 10:00:00 UTC:10.0.0.1(50314):app@proddb:[42]:LOG:  duration: 1.5 ms  statement: SELECT \x01 FROM t\n"
+        "\tWHERE x = '\x01\x01'\n"
+        "2019-04-01 10:00:01 UTC:we\x01ird(1):ap\x01p@prod:[43]:LOG:  x\n"
+        "2019-04-01 10:00:02 UTC:[local]:app@proddb:[44]:LOG:\n"
+        "2019-04-01 10:00:03:10.0.0.2:app@proddb:[45]:ERROR:  boom\n"
+        "not a header at all\n"
+        "still not one\n"
+        "\tbut indented joins the garbage run\n"
+        "2019-04-01 10:00:04 UTC:10.0.0.3(1):b@c:[46]:STATEMENT:  INSERT INTO t VALUES (1)\n"
+    )
+
+    paths = [fixture(n) for n in sorted(os.listdir(FIXTURES))] + [str(adversarial)]
+    for p in paths:
+        fused = enrich(_reassemble_fused(_read_raw_lines(spark, p)))
+        staged = enrich(reassemble(tokenize(read_log_lines(spark, p))))
+        assert fused.columns == staged.columns, p
+        assert fused.schema == staged.schema, p
+        f_rows = [r.asDict() for r in fused.orderBy("line_no").collect()]
+        s_rows = [r.asDict() for r in staged.orderBy("line_no").collect()]
+        assert f_rows == s_rows, p
