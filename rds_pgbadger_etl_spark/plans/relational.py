@@ -1703,6 +1703,48 @@ GROUP BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Runtime-filter demonstration: a fact/dim join where the dim carries a
+# selective predicate but is too big to broadcast at scale. Spark's
+# InjectRuntimeFilter then builds a Bloom filter over the dim's join
+# keys and applies `might_contain` on the fact scan BEFORE the shuffle
+# — at 100 TB this prunes most of the fact-side shuffle for free. The
+# query is written plain (the optimizer injects the filter when the
+# fact side crosses `runtime.bloomFilter.applicationSideScanSizeThreshold`,
+# 10 GB by default; at sf0.01 the dim simply broadcasts, which is the
+# right plan at that size). The injection itself is pinned by
+# tests/test_plans.py::test_runtime_bloom_filter_injected, which
+# simulates scale by lowering the thresholds.
+def q47_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+_Q47_SQL = """
+SELECT l_returnflag, count(*) AS n_items,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) AS bigint))
+            AS bigint) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, _Q01_SQL),
     "q02_filter_project": (q02_filter_project, _Q02_SQL),
@@ -1751,4 +1793,5 @@ QUERIES = {
     "q44_variant_shred": (q44_variant_shred, _Q44_SQL),
     "q45_recursive_spine": (q45_recursive_spine, _Q45_SQL),
     "q46_skew_join_demo": (q46_skew_join_demo, _Q46_SQL),
+    "q47_runtime_filter_join": (q47_runtime_filter_join, _Q47_SQL),
 }

@@ -275,3 +275,40 @@ def test_training_order_window_is_partitioned(spark, sf_oracle):
     for ln in wlines:
         # partitioned WindowExec prints [exprs], [partitionSpec], [orderSpec]
         assert ln.count("], [") == 2, f"partition-less window: {ln.strip()}"
+
+
+def test_runtime_bloom_filter_injected(spark, sf_oracle):
+    """q47: when the urgent-orders dim is too big to broadcast and the
+    fact scan is large (simulated by zeroing the application-side
+    threshold), Spark's InjectRuntimeFilter must build a Bloom filter
+    over the dim keys and apply might_contain on the lineitem scan
+    BEFORE the shuffle — the 100 TB shuffle-pruning path. At real sf the
+    default 10 GB threshold triggers this without any conf change."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = E.queries()["q47_runtime_filter_join"](spark, sf_oracle)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # the filter must sit on the fact (lineitem) side scan
+        fact_scan = next(
+            ln for ln in plan.splitlines()
+            if "might_contain" in ln and "l_orderkey" in ln
+        )
+        assert fact_scan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+    # broadcast restored: at oracle scale the dim should just broadcast
+    plan = (
+        E.queries()["q47_runtime_filter_join"](spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
