@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--incremental", action="store_true",
                    help="cron mode: process every closed-hour file not yet "
                         "in the out-dir manifest (idempotent re-runs)")
+    p.add_argument("--strategy", choices=("windowed", "splitwise"),
+                   default=os.environ.get("SPARK_GRAFT_PARSE_STRATEGY", "windowed"),
+                   help="reassembly plan: 'windowed' (all-JVM, one bounded "
+                        "shuffle per run; the default) or 'splitwise' "
+                        "(shuffle-free split-parallel mapInArrow — use for "
+                        "multi-TB backfills; see BENCH_NOTES.md)")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     p.add_argument("--list-queries", action="store_true",
                    help="list every registered analytics query and exit")
@@ -76,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parser(strategy: str):
+    from rds_pgbadger_etl_spark.operators.logparse import (
+        parse_logs,
+        parse_logs_splitwise,
+    )
+
+    return parse_logs_splitwise if strategy == "splitwise" else parse_logs
+
+
 def run_pipeline(
     spark,
     log_dir: str,
@@ -83,11 +98,10 @@ def run_pipeline(
     reference_dt: datetime,
     max_records: int = 5,
     html_path: str | None = None,
+    strategy: str = "windowed",
 ) -> dict[str, int]:
     """Select → parse → report → sink; returns row counts per stage."""
     from pyspark.sql import functions as F
-
-    from rds_pgbadger_etl_spark.operators.logparse import parse_logs
     from rds_pgbadger_etl_spark.plans.reports import full_report
     from rds_pgbadger_etl_spark.sinks.report_sink import (
         render_html,
@@ -108,7 +122,9 @@ def run_pipeline(
     if not selected:
         raise SystemExit(f"no closed-hour log files in {log_dir} before {reference_dt}")
 
-    events = parse_logs(spark, [os.path.join(log_dir, n) for n in selected])
+    events = _parser(strategy)(
+        spark, [os.path.join(log_dir, n) for n in selected]
+    )
     write_events_partitioned(events, os.path.join(out_dir, "events"))
     sections = full_report(events)
     write_report(sections, os.path.join(out_dir, "report"))
@@ -124,6 +140,7 @@ def run_incremental(
     log_dir: str,
     out_dir: str,
     reference_dt: datetime,
+    strategy: str = "windowed",
 ) -> dict[str, int]:
     """The reference's cron mode (Dockerfile:15: run hourly, process
     what's new, skip what's done) for a staged local/object-store dir.
@@ -137,7 +154,6 @@ def run_incremental(
     re-offered). Events append hour-partitioned with dynamic partition
     overwrite, so a re-processed hour replaces exactly itself.
     """
-    from rds_pgbadger_etl_spark.operators.logparse import parse_logs
     from rds_pgbadger_etl_spark.sinks.report_sink import write_events_partitioned
     from rds_pgbadger_etl_spark.sources.logcatalog import select_log_files
 
@@ -159,7 +175,9 @@ def run_incremental(
     ]
     todo = [n for n in closed if n not in done]
     if todo:
-        events = parse_logs(spark, [os.path.join(log_dir, n) for n in todo])
+        events = _parser(strategy)(
+            spark, [os.path.join(log_dir, n) for n in todo]
+        )
         write_events_partitioned(events, os.path.join(out_dir, "events"))
         # atomic manifest update (temp + rename), mirroring O13
         tmp = manifest + ".tmp"
@@ -213,6 +231,7 @@ def main(argv: list[str] | None = None) -> None:
             args.log_dir,
             args.out_dir,
             _parse_reference(args.reference_datetime),
+            strategy=args.strategy,
         )
         print(f"processed {stats['files']} new files ({stats['skipped']} already done)")
         return
@@ -223,6 +242,7 @@ def main(argv: list[str] | None = None) -> None:
         _parse_reference(args.reference_datetime),
         args.max_records,
         args.html,
+        strategy=args.strategy,
     )
     print(f"processed {stats['files']} files -> {stats['events']} events")
 

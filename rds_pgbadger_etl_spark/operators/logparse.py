@@ -246,23 +246,43 @@ def _reassemble_fused(raw: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("line_no", "value"))).alias("lines")
     )
 
-    # The next two projections are kept as SEPARATE plan nodes on
-    # purpose: `hdr` and `parts` are non-cheap expressions referenced
-    # many times downstream, and Catalyst's CollapseProject leaves the
-    # boundary in place exactly when a non-trivial alias is multiply
-    # referenced — so the regex split runs ONCE per event. (Folding
-    # everything into one projection re-evaluates the whole extraction
-    # tree per output column: measured 9x slower.)
     first = F.col("lines")[0]
-    hdr = F.col("hdr")
-    with_hdr = grouped.select(
+    pre = grouped.select(
         "source_file",
         "event_seq",
-        "lines",
         first["line_no"].alias("line_no"),
+        F.size("lines").cast("long").alias("n_lines"),
         first["value"].alias("hdr"),
-    ).withColumn("is_hdr", hdr.rlike(PREFIX_RE))
-    with_parts = with_hdr.withColumn(
+        F.when(
+            F.size("lines") > 1,
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.slice(F.col("lines"), 2, F.size("lines") - 1),
+                    lambda s: s["value"],
+                ),
+            ),
+        ).alias("tail"),
+    )
+    return _finalize_events(pre)
+
+
+def _finalize_events(pre: DataFrame) -> DataFrame:
+    """Shared P1 field extraction over pre-assembled events
+    ``(source_file, event_seq, line_no, n_lines, hdr, tail)`` — ``hdr``
+    is the raw first line, ``tail`` the '\\n'-joined continuation lines
+    (NULL when the event is a single line).
+
+    The two intermediate projections are kept as SEPARATE plan nodes on
+    purpose: ``hdr``/``parts`` are non-cheap expressions referenced many
+    times downstream, and Catalyst's CollapseProject leaves a projection
+    boundary in place exactly when a non-trivial alias is multiply
+    referenced — so the regex split runs ONCE per event. (Folding
+    everything into one projection re-evaluates the whole extraction
+    tree per output column: measured 9x slower.)
+    """
+    hdr = F.col("hdr")
+    with_parts = pre.withColumn("is_hdr", hdr.rlike(PREFIX_RE)).withColumn(
         "parts",
         F.when(
             F.col("is_hdr") & ~hdr.contains(_DELIM),
@@ -273,10 +293,6 @@ def _reassemble_fused(raw: DataFrame) -> DataFrame:
     level = _null_if_empty(_group(8))
     payload = F.when(level.isNull(), None).otherwise(_group(9))
     head_txt = F.when(F.col("is_hdr"), payload).otherwise(hdr)
-    tail = F.transform(
-        F.slice(F.col("lines"), 2, F.greatest(F.size("lines") - 1, F.lit(0))),
-        lambda s: s["value"],
-    )
     return with_parts.select(
         "source_file",
         "event_seq",
@@ -290,9 +306,311 @@ def _reassemble_fused(raw: DataFrame) -> DataFrame:
         _null_if_empty(_group(7)).cast("int").alias("pid"),
         F.coalesce(level, F.lit("MALFORMED")).alias("level"),
         "line_no",
-        F.size("lines").cast("long").alias("n_lines"),
-        F.concat_ws("\n", F.concat(F.array(head_txt), tail)).alias("message"),
+        "n_lines",
+        F.concat_ws("\n", head_txt, F.col("tail")).alias("message"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-parallel, shuffle-free reassembly (the 100 TB path).
+#
+# The windowed paths above shuffle every raw line once on source_file
+# (0.39x the input in shuffle bytes — ~39 TB of shuffle at 100 TB) and
+# sort each file's lines inside one task. But a file SPLIT's lines
+# already arrive in offset order from the scan, and every multi-line
+# event is local to its split except the handful that straddle a split
+# boundary. So: segment each split independently inside `mapInArrow`
+# (all regex work stays JVM-side — the Python function only sees
+# precomputed is_header/garbage flags and raw values), emit the split's
+# complete events plus its first/last partial segments as tiny
+# "fragments", stitch the fragments with the windowed reassembly over
+# ~2 rows per split, and recover the global line_no / event_seq
+# numbering from per-split scalar offsets (prefix sums over a
+# metadata-sized table, broadcast back). No full-data shuffle, no sort,
+# no window buffering; Python memory is bounded by one split
+# (maxPartitionBytes), not one file.
+
+_SEGMENT_SCHEMA = (
+    "kind string, source_file string, block_start long, local_line long, "
+    "ordinal long, n_lines long, hdr string, tail string, "
+    "is_header boolean, garbage boolean, forced boolean, inner_events long"
+)
+
+
+def _flush_split(key: tuple, vals: list, hdrs: list, garbs: list) -> dict:
+    """Segment one split's lines (already in offset order) into columns
+    of the _SEGMENT_SCHEMA union stream: complete inner events
+    (kind='e'), head-fragment lines before the first header (kind='h'),
+    the open tail segment's lines (kind='t'), and one stats row
+    (kind='s'). Pure Python over precomputed flags — no regex here."""
+    src, block = key
+    n = len(vals)
+    out = {f: [] for f in (
+        "kind", "source_file", "block_start", "local_line", "ordinal",
+        "n_lines", "hdr", "tail", "is_header", "garbage", "forced",
+        "inner_events",
+    )}
+
+    def emit(kind, local_line, ordinal=None, n_lines=None, hdr=None,
+             tail=None, is_header=None, garbage=None, forced=None,
+             inner_events=None):
+        out["kind"].append(kind)
+        out["source_file"].append(src)
+        out["block_start"].append(block)
+        out["local_line"].append(local_line)
+        out["ordinal"].append(ordinal)
+        out["n_lines"].append(n_lines)
+        out["hdr"].append(hdr)
+        out["tail"].append(tail)
+        out["is_header"].append(is_header)
+        out["garbage"].append(garbage)
+        out["forced"].append(forced)
+        out["inner_events"].append(inner_events)
+
+    i0 = next((i for i in range(n) if hdrs[i]), None)
+    if i0 is None:
+        # no header in the whole split: segmentation is undecidable
+        # locally — everything is one head fragment
+        for i in range(n):
+            emit("h", i, hdr=vals[i], is_header=False, garbage=garbs[i],
+                 forced=False)
+        emit("s", 0, n_lines=n, inner_events=0)
+        return out
+
+    for i in range(i0):
+        emit("h", i, hdr=vals[i], is_header=False, garbage=garbs[i],
+             forced=False)
+
+    # segment [i0, n): a boundary is a header, or a garbage line whose
+    # predecessor (known locally for i > i0) is not garbage
+    seg_starts = [i0]
+    for i in range(i0 + 1, n):
+        if hdrs[i] or (garbs[i] and not garbs[i - 1]):
+            seg_starts.append(i)
+    # all segments but the last are complete inner events; the last is
+    # open (its continuation may extend into the next split)
+    for j in range(len(seg_starts) - 1):
+        s, e = seg_starts[j], seg_starts[j + 1]
+        emit(
+            "e", s, ordinal=j, n_lines=e - s, hdr=vals[s],
+            tail="\n".join(vals[s + 1 : e]) if e - s > 1 else None,
+        )
+    t = seg_starts[-1]
+    for i in range(t, n):
+        emit("t", i, hdr=vals[i], is_header=hdrs[i], garbage=garbs[i],
+             forced=(i == t))
+    emit("s", 0, n_lines=n, inner_events=len(seg_starts) - 1)
+    return out
+
+
+def _segment_batches(batches):
+    """mapInArrow generator: stream (source_file, block_start, value,
+    is_header, garbage) batches, group by (source_file, block_start)
+    — split groups are contiguous within a scan partition — and flush
+    each split through :func:`_flush_split`."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("source_file", pa.string()),
+            ("block_start", pa.int64()),
+            ("local_line", pa.int64()),
+            ("ordinal", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("hdr", pa.string()),
+            ("tail", pa.string()),
+            ("is_header", pa.bool_()),
+            ("garbage", pa.bool_()),
+            ("forced", pa.bool_()),
+            ("inner_events", pa.int64()),
+        ]
+    )
+    key, vals, hdrs, garbs = None, [], [], []
+    for batch in batches:
+        src = batch.column("source_file").to_pylist()
+        blk = batch.column("block_start").to_pylist()
+        val = batch.column("value").to_pylist()
+        ish = batch.column("is_header").to_pylist()
+        gar = batch.column("garbage").to_pylist()
+        for i in range(batch.num_rows):
+            k = (src[i], blk[i])
+            if k != key:
+                if key is not None:
+                    yield pa.RecordBatch.from_pydict(
+                        _flush_split(key, vals, hdrs, garbs), schema=schema
+                    )
+                key, vals, hdrs, garbs = k, [], [], []
+            vals.append(val[i])
+            hdrs.append(ish[i])
+            garbs.append(gar[i])
+    if key is not None:
+        yield pa.RecordBatch.from_pydict(
+            _flush_split(key, vals, hdrs, garbs), schema=schema
+        )
+
+
+def parse_logs_splitwise(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """P1->P4 with split-parallel reassembly — same output as
+    :func:`parse_logs` (equivalence pinned by
+    ``test_logparse.py::test_splitwise_matches_fused``), but the raw
+    lines are never shuffled, sorted, or window-buffered: each file
+    split segments independently, only boundary fragments (a few rows
+    per split) and per-split scalars move between tasks."""
+    v = F.col("value")
+    flagged = _read_raw_lines(spark, path).select(
+        "source_file",
+        "block_start",
+        v.alias("value"),
+        v.rlike(PREFIX_RE).alias("is_header"),
+    ).withColumn("garbage", ~F.col("is_header") & ~v.rlike(r"^[\t ]"))
+
+    seg = flagged.mapInArrow(_segment_batches, _SEGMENT_SCHEMA)
+    # One pass feeds three small consumers; persist so the scan +
+    # segmentation run once. At 100 TB this is the natural place to
+    # land the segment stream on disk instead.
+    seg.persist()
+
+    # --- stitch the boundary fragments (tiny: ~2 rows per split) -----
+    frag_w = Window.partitionBy("source_file").orderBy("block_start", "local_line")
+    frag_run = frag_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frags = (
+        seg.filter(F.col("kind").isin("h", "t"))
+        .withColumn(
+            "boundary",
+            F.col("forced")
+            | F.col("is_header")
+            | (F.col("garbage") & ~F.lag("garbage", 1, False).over(frag_w)),
+        )
+        .withColumn("seg_id", F.sum(F.col("boundary").cast("int")).over(frag_run))
+    )
+    pos = F.struct("block_start", "local_line")
+    line = F.struct(
+        F.col("block_start"), F.col("local_line"), F.col("hdr").alias("value")
+    )
+    stitched = (
+        frags.groupBy("source_file", "seg_id")
+        .agg(
+            F.min(pos).alias("first"),
+            F.min_by("forced", pos).alias("from_tail"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.array_sort(F.collect_list(line)).alias("lines"),
+        )
+        .select(
+            "source_file",
+            # seg_id 0 = lines before the file's first boundary (a file
+            # starting with continuation lines): the windowed paths
+            # number that group event_seq=0, all boundary events 1..B
+            (F.col("seg_id") == 0).alias("is_junk"),
+            F.col("first")["block_start"].alias("block_start"),
+            F.col("first")["local_line"].alias("local_line"),
+            "from_tail",
+            "n_lines",
+            F.col("lines")[0]["value"].alias("hdr"),
+            F.when(
+                F.col("n_lines") > 1,
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.slice(F.col("lines"), 2, F.size("lines") - 1),
+                        lambda s: s["value"],
+                    ),
+                ),
+            ).alias("tail"),
+        )
+    )
+    stitched.persist()
+
+    # --- per-split scalars --------------------------------------------
+    stats = seg.filter(F.col("kind") == "s").select(
+        "source_file", "block_start", "n_lines", "inner_events"
+    )
+    head_events = (
+        stitched.filter(~F.col("from_tail") & ~F.col("is_junk"))
+        .groupBy("source_file", "block_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("head_events"))
+    )
+    tail_events = (
+        stitched.filter(F.col("from_tail"))
+        .groupBy("source_file", "block_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("tail_events"))
+    )
+    split_w = Window.partitionBy("source_file").orderBy("block_start")
+    prev = split_w.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        stats.join(head_events, ["source_file", "block_start"], "left")
+        .join(tail_events, ["source_file", "block_start"], "left")
+        .na.fill({"head_events": 0, "tail_events": 0})
+        .withColumn(
+            "split_events",
+            F.col("inner_events") + F.col("head_events") + F.col("tail_events"),
+        )
+        .select(
+            "source_file",
+            "block_start",
+            "head_events",
+            F.coalesce(F.sum("n_lines").over(prev), F.lit(0)).alias("line_off"),
+            F.coalesce(F.sum("split_events").over(prev), F.lit(0)).alias(
+                "event_off"
+            ),
+            (F.col("inner_events") + F.col("head_events")).alias("pre_tail"),
+        )
+    )
+
+    # --- number the events -------------------------------------------
+    inner = seg.filter(F.col("kind") == "e").select(
+        "source_file", "block_start", "local_line", "ordinal", "n_lines",
+        "hdr", "tail",
+    )
+    inner_numbered = inner.join(
+        F.broadcast(offsets), ["source_file", "block_start"]
+    ).select(
+        "source_file",
+        (F.col("event_off") + F.col("head_events") + F.col("ordinal") + 1).alias(
+            "event_seq"
+        ),
+        (F.col("line_off") + F.col("local_line") + 1).cast("int").alias("line_no"),
+        "n_lines",
+        "hdr",
+        "tail",
+    )
+    stitch_rank = Window.partitionBy("source_file", "block_start").orderBy(
+        "local_line"
+    )
+    stitched_numbered = (
+        stitched.filter(~F.col("is_junk"))
+        .withColumn("rank0", F.row_number().over(stitch_rank) - F.lit(1))
+        .join(F.broadcast(offsets), ["source_file", "block_start"])
+        .select(
+            "source_file",
+            (
+                F.col("event_off")
+                + F.when(F.col("from_tail"), F.col("pre_tail")).otherwise(
+                    F.col("rank0")
+                )
+                + 1
+            ).alias("event_seq"),
+            (F.col("line_off") + F.col("local_line") + 1)
+            .cast("int")
+            .alias("line_no"),
+            "n_lines",
+            "hdr",
+            "tail",
+        )
+    )
+    junk = stitched.filter(F.col("is_junk")).select(
+        "source_file",
+        F.lit(0).cast("long").alias("event_seq"),
+        F.lit(1).alias("line_no"),  # junk group starts at the file's line 1
+        "n_lines",
+        "hdr",
+        "tail",
+    )
+
+    events = _finalize_events(
+        inner_numbered.unionByName(stitched_numbered).unionByName(junk)
+    )
+    return enrich(events)
 
 
 def enrich(events: DataFrame) -> DataFrame:

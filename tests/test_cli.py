@@ -105,3 +105,21 @@ def test_cli_query_registry_access(capsys, spark):
     rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert 1 <= len(rows) <= 5
     assert set(rows[0]) == {"c_mktsegment", "c_nationkey"}
+
+
+def test_run_pipeline_splitwise_strategy(spark, tmp_path):
+    """--strategy splitwise must produce the same event table as the
+    default windowed plan through the full pipeline."""
+    log_dir = _stage(tmp_path, ["2024-01-15-09", "2024-01-15-10"])
+    out_w = str(tmp_path / "out_w")
+    out_s = str(tmp_path / "out_s")
+    ref = datetime(2024, 1, 15, 12, 0)
+    run_pipeline(spark, log_dir, out_w, ref, max_records=2)
+    run_pipeline(spark, log_dir, out_s, ref, max_records=2,
+                 strategy="splitwise")
+    w = spark.read.parquet(f"{out_w}/events")
+    s = spark.read.parquet(f"{out_s}/events")
+    cols = sorted(w.columns)
+    w_rows = sorted(map(str, w.select(cols).collect()))
+    s_rows = sorted(map(str, s.select(cols).collect()))
+    assert w_rows == s_rows and len(w_rows) > 0

@@ -371,3 +371,115 @@ def test_fused_parse_matches_staged(spark, tmp_path):
         f_rows = [r.asDict() for r in fused.orderBy("line_no").collect()]
         s_rows = [r.asDict() for r in staged.orderBy("line_no").collect()]
         assert f_rows == s_rows, p
+
+
+def test_splitwise_matches_fused(spark, tmp_path):
+    """parse_logs_splitwise (shuffle-free split-parallel reassembly)
+    must be row-identical to parse_logs on every golden fixture plus
+    edge files its fragment-stitching must get right: a file starting
+    with continuation lines (the event_seq=0 junk group), a file
+    starting with garbage, and a single-event file."""
+    from rds_pgbadger_etl_spark.operators.logparse import parse_logs_splitwise
+
+    edge1 = tmp_path / "leading_continuation.log"
+    edge1.write_text(
+        "\tWHERE orphan = 1\n"
+        "\tORDER BY nothing\n"
+        "2019-04-01 10:00:00 UTC:h(1):u@d:[1]:LOG:  duration: 1.0 ms  statement: SELECT 1\n"
+        "\tFROM t\n"
+    )
+    edge2 = tmp_path / "leading_garbage.log"
+    edge2.write_text(
+        "corrupt line one\n"
+        "corrupt line two\n"
+        "\tindented joins the garbage run\n"
+        "2019-04-01 10:00:01 UTC:h(1):u@d:[2]:LOG:  ok\n"
+    )
+    edge3 = tmp_path / "single_event.log"
+    edge3.write_text("2019-04-01 10:00:02 UTC:h(1):u@d:[3]:LOG:  solo\n")
+
+    paths = [fixture(n) for n in sorted(os.listdir(FIXTURES))] + [
+        str(edge1), str(edge2), str(edge3)
+    ]
+    for p in paths:
+        fused = parse_logs(spark, p)
+        split = parse_logs_splitwise(spark, p)
+        assert [(f.name, f.dataType) for f in fused.schema] == [
+            (f.name, f.dataType) for f in split.schema
+        ], p
+        f_rows = [r.asDict() for r in fused.orderBy("line_no").collect()]
+        s_rows = [r.asDict() for r in split.orderBy("line_no").collect()]
+        assert f_rows == s_rows, p
+
+    # whole-directory read (multi-file) must also agree
+    d_f = [
+        r.asDict()
+        for r in parse_logs(spark, str(tmp_path))
+        .orderBy("source_file", "line_no")
+        .collect()
+    ]
+    d_s = [
+        r.asDict()
+        for r in parse_logs_splitwise(spark, str(tmp_path))
+        .orderBy("source_file", "line_no")
+        .collect()
+    ]
+    assert d_f == d_s
+
+
+def test_splitwise_under_forced_file_splits(spark, tmp_path):
+    """The splitwise path's whole point: under real file splits (64 MB
+    file read as ~16 x 4 MB splits) it must reassemble straddling
+    multi-line statements via fragment stitching and agree with the
+    unsplit windowed parse — while never shuffling the raw lines."""
+    from rds_pgbadger_etl_spark.operators.logparse import parse_logs_splitwise
+
+    p = str(tmp_path / "big_hour.log")
+    n_events, n_lines = _write_big_log(p, 64 * 1024 * 1024)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        assert spark.read.text(p).rdd.getNumPartitions() >= 8
+        split_sum = _event_checksum(parse_logs_splitwise(spark, p))
+
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 31))
+        spark.conf.set("spark.sql.files.minPartitionNum", "1")
+        unsplit_sum = _event_checksum(parse_logs(spark, p))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+
+    assert split_sum["n"] == n_events
+    assert split_sum["lines"] == n_lines
+    assert split_sum == unsplit_sum
+
+
+def test_splitwise_event_spanning_whole_splits(spark, tmp_path):
+    """An event whose continuation spans ENTIRE splits: middle splits
+    contain no header at all, so their lines are pure head-fragments
+    and the stitch must chain them through to the opening header."""
+    from rds_pgbadger_etl_spark.operators.logparse import parse_logs_splitwise
+
+    p = tmp_path / "monster.log"
+    hdr = "2019-04-01 10:00:00 UTC:h(1):u@d:[9]:LOG:  duration: 9.9 ms  statement: SELECT giant"
+    cont = ["\tline %06d of the monster statement" % i for i in range(120_000)]
+    closer = "2019-04-01 10:59:59 UTC:h(1):u@d:[9]:LOG:  after the monster"
+    p.write_text("\n".join([hdr, *cont, closer]) + "\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        assert spark.read.text(str(p)).rdd.getNumPartitions() >= 4
+        rows = (
+            parse_logs_splitwise(spark, str(p)).orderBy("line_no").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    assert len(rows) == 2
+    assert rows[0].n_lines == 120_001
+    assert rows[0].message.count("\n") == 120_000
+    assert rows[0].duration_ms == 9.9
+    assert rows[0].message.endswith("line 119999 of the monster statement")
+    assert rows[1].message == " after the monster" and rows[1].line_no == 120_002

@@ -206,7 +206,10 @@ def main() -> None:
         os.path.getsize(f"{logdir}/{f}") for f in os.listdir(logdir)
     )
 
-    from rds_pgbadger_etl_spark.operators.logparse import parse_logs
+    from rds_pgbadger_etl_spark.operators.logparse import (
+        parse_logs,
+        parse_logs_splitwise,
+    )
     from rds_pgbadger_etl_spark.plans.reports import full_report
     from rds_pgbadger_etl_spark.session import get_spark
     from rds_pgbadger_etl_spark.sinks.report_sink import (
@@ -224,9 +227,11 @@ def main() -> None:
         },
     )
 
+    strategy = os.environ.get("REHEARSAL_STRATEGY", "windowed")
     shutil.rmtree(outdir, ignore_errors=True)
     t0 = time.perf_counter()
-    parsed = parse_logs(spark, logdir)
+    parser = parse_logs_splitwise if strategy == "splitwise" else parse_logs
+    parsed = parser(spark, logdir)
     write_events_partitioned(parsed, outdir)
     t_parse = time.perf_counter() - t0
 
@@ -267,6 +272,7 @@ def main() -> None:
     )[:6]
     summary = {
         "app_id": app_id,
+        "strategy": strategy,
         "hours": hours,
         "input_gb": round(input_bytes / 1e9, 2),
         "gen_sec": round(t_gen, 1),
