@@ -117,7 +117,12 @@ def tokenize(lines: DataFrame) -> DataFrame:
         "source_file",
         "line_no",
         "value",
-        F.to_timestamp(_null_if_empty(ext[0]), "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        # try_: a corrupt-but-prefix-shaped timestamp ("2019-04-01 33:00:00")
+        # must yield NULL, not an ANSI CANNOT_PARSE_TIMESTAMP that kills the
+        # whole job — route, don't drop (same policy as MALFORMED lines)
+        F.try_to_timestamp(
+            _null_if_empty(ext[0]), F.lit("yyyy-MM-dd HH:mm:ss")
+        ).alias("event_ts"),
         _null_if_empty(ext[2]).alias("remote_host"),
         _null_if_empty(ext[3]).cast("int").alias("remote_port"),
         _null_if_empty(ext[4]).alias("log_user"),
@@ -296,9 +301,9 @@ def _finalize_events(pre: DataFrame) -> DataFrame:
     return with_parts.select(
         "source_file",
         "event_seq",
-        F.to_timestamp(_null_if_empty(_group(1)), "yyyy-MM-dd HH:mm:ss").alias(
-            "event_ts"
-        ),
+        F.try_to_timestamp(
+            _null_if_empty(_group(1)), F.lit("yyyy-MM-dd HH:mm:ss")
+        ).alias("event_ts"),
         _null_if_empty(_group(3)).alias("remote_host"),
         _null_if_empty(_group(4)).cast("int").alias("remote_port"),
         _null_if_empty(_group(5)).alias("log_user"),
@@ -456,7 +461,13 @@ def parse_logs_splitwise(spark: SparkSession, path: str | list[str]) -> DataFram
     ``test_logparse.py::test_splitwise_matches_fused``), but the raw
     lines are never shuffled, sorted, or window-buffered: each file
     split segments independently, only boundary fragments (a few rows
-    per split) and per-split scalars move between tasks."""
+    per split) and per-split scalars move between tasks.
+
+    The segment stream is persisted for the duration of the returned
+    plan (its three small consumers share one scan+segmentation pass);
+    callers running many parses in one session can reclaim the cache
+    with ``spark.catalog.clearCache()`` after materializing the result.
+    """
     v = F.col("value")
     flagged = _read_raw_lines(spark, path).select(
         "source_file",

@@ -483,3 +483,25 @@ def test_splitwise_event_spanning_whole_splits(spark, tmp_path):
     assert rows[0].duration_ms == 9.9
     assert rows[0].message.endswith("line 119999 of the monster statement")
     assert rows[1].message == " after the monster" and rows[1].line_no == 120_002
+
+
+def test_corrupt_timestamp_yields_null_not_job_failure(spark, tmp_path):
+    """A prefix-shaped line with an impossible timestamp ("33:00:00"
+    passes the \\d{2} regex) must parse with event_ts NULL — under
+    Spark's ANSI mode a plain to_timestamp would throw
+    CANNOT_PARSE_TIMESTAMP and kill the entire job on one corrupt line.
+    All three reassembly strategies must agree."""
+    from rds_pgbadger_etl_spark.operators.logparse import parse_logs_splitwise
+
+    p = tmp_path / "corrupt_ts.log"
+    p.write_text(
+        "2019-04-01 33:00:00 UTC:h(1):u@d:[1]:LOG:  bad clock\n"
+        "2019-04-01 10:00:01 UTC:h(1):u@d:[2]:LOG:  fine\n"
+    )
+    for parser in (parse_logs, parse_logs_splitwise):
+        rows = parser(spark, str(p)).orderBy("line_no").collect()
+        assert [r.event_ts for r in rows] == [
+            None,
+            datetime.datetime(2019, 4, 1, 10, 0, 1),
+        ]
+        assert [r.level for r in rows] == ["LOG", "LOG"]

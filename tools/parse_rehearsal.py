@@ -122,9 +122,10 @@ def generate_hour(path: str, target_bytes: int) -> None:
 
 
 def shift_hour(src: str, dst: str, hour: int) -> None:
+    day, h = 1 + hour // 24, hour % 24  # roll into the next day past 23h
     with open(src, "rb") as f:
         data = f.read()
-    data = data.replace(b"2019-04-01 00:", b"2019-04-01 %02d:" % hour)
+    data = data.replace(b"2019-04-01 00:", b"2019-04-%02d %02d:" % (day, h))
     with open(dst, "wb") as f:
         f.write(data)
 
@@ -199,7 +200,8 @@ def main() -> None:
         first = f"{logdir}/postgresql.log.2019-04-01-00"
         generate_hour(first, mb * 1024 * 1024)
         for h in range(1, hours):
-            shift_hour(first, f"{logdir}/postgresql.log.2019-04-01-{h:02d}", h)
+            name = f"postgresql.log.2019-04-{1 + h // 24:02d}-{h % 24:02d}"
+            shift_hour(first, f"{logdir}/{name}", h)
         t_gen = time.perf_counter() - t0
 
     input_bytes = sum(
