@@ -126,13 +126,19 @@ def run_pipeline(
         spark, [os.path.join(log_dir, n) for n in selected]
     )
     write_events_partitioned(events, os.path.join(out_dir, "events"))
-    sections = full_report(events)
+    spark.catalog.clearCache()  # splitwise segment cache, if any
+
+    # Report from the just-written parquet, NOT the parse plan: each of
+    # the 11 section writes (plus the HTML render) is its own action, so
+    # feeding them the raw plan re-parses the logs once per section.
+    # Re-reading also gives every section column pruning at the scan.
+    stored = spark.read.parquet(os.path.join(out_dir, "events"))
+    sections = full_report(stored)
     write_report(sections, os.path.join(out_dir, "report"))
     if html_path:
         render_html(sections, html_path)
 
-    n_events = spark.read.parquet(os.path.join(out_dir, "events")).count()
-    return {"files": len(selected), "events": n_events}
+    return {"files": len(selected), "events": stored.count()}
 
 
 def run_incremental(

@@ -237,6 +237,7 @@ def main() -> None:
     write_events_partitioned(parsed, outdir)
     t_parse = time.perf_counter() - t0
 
+    spark.catalog.clearCache()  # drop the splitwise segment cache, if any
     events = spark.read.parquet(outdir)
     n_events = events.count()
     n_lines = events.agg({"n_lines": "sum"}).collect()[0][0]
