@@ -125,7 +125,7 @@ def run_pipeline(
     events = _parser(strategy)(
         spark, [os.path.join(log_dir, n) for n in selected]
     )
-    write_events_partitioned(events, os.path.join(out_dir, "events"))
+    quality = write_events_partitioned(events, os.path.join(out_dir, "events"))
     spark.catalog.clearCache()  # splitwise segment cache, if any
 
     # Report from the just-written parquet, NOT the parse plan: each of
@@ -138,7 +138,8 @@ def run_pipeline(
     if html_path:
         render_html(sections, html_path)
 
-    return {"files": len(selected), "events": stored.count()}
+    # counts come from the write-side Observation — no extra scan action
+    return {"files": len(selected), **quality}
 
 
 def run_incremental(
@@ -180,17 +181,20 @@ def run_incremental(
         for r in select_log_files(catalog, reference_dt, max_records=None).collect()
     ]
     todo = [n for n in closed if n not in done]
+    quality: dict = {}
     if todo:
         events = _parser(strategy)(
             spark, [os.path.join(log_dir, n) for n in todo]
         )
-        write_events_partitioned(events, os.path.join(out_dir, "events"))
+        quality = write_events_partitioned(
+            events, os.path.join(out_dir, "events")
+        )
         # atomic manifest update (temp + rename), mirroring O13
         tmp = manifest + ".tmp"
         with open(tmp, "w") as f:
             f.write("\n".join(sorted(done | set(todo))) + "\n")
         os.replace(tmp, manifest)
-    return {"files": len(todo), "skipped": len(closed) - len(todo)}
+    return {"files": len(todo), "skipped": len(closed) - len(todo), **quality}
 
 
 def run_query(args) -> None:

@@ -745,6 +745,47 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mergeable-sketch rollup — the pre-aggregation contract that makes
+# distinct-count rollups cheap at 100 TB. COUNT(DISTINCT) is not
+# re-aggregatable (daily uniques ≠ sum of hourly uniques), so the naive
+# plan re-scans raw events for every window the user asks about. HLL
+# sketches ARE re-aggregatable: build one per hour ONCE, then answer any
+# coarser window (day / week / arbitrary range) by merging the fixed-size
+# sketches — the fact table is never touched again. This is the
+# materialized-rollup counterpart of O18's group-by-date report
+# (reference rds_pgbadger.py:3 `groupby` + utils.py:14-21 date key):
+# pgBadger's "unique sessions per period" panels become one sketch table.
+# Plan shape: two hash aggregates; the second one's input is (hours ×
+# ~1.1 KB sketch) rows, independent of event volume.
+#
+# The driver oracle compares against DuckDB's EXACT per-day distincts —
+# valid here because daily user cardinality at oracle scale (≤141 at
+# sf0.01) sits in the Datasketches HLL coupon range where the estimate
+# is the retained-coupon count, i.e. exact and deterministic. The
+# general re-aggregatability contract (merged-from-hours == one-shot
+# daily sketch at ANY cardinality) is pinned by test_plans.py.
+def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("user_sketch"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return hourly.groupBy(F.date_trunc("day", "h").alias("day")).agg(
+        F.sum("n").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+            "est_users"
+        ),
+    )
+
+
+_SKETCH_ROLLUP_SQL = """
+SELECT cast(date_trunc('day', ts) AS timestamp) AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS est_users
+FROM events GROUP BY date_trunc('day', ts)
+"""
+
+
 # --------------------------------------------------------------------------
 # Full outer join: reconcile two aggregates keyed on nation — rows
 # surviving from either side with coalesced defaults (the reconciliation/
@@ -1769,6 +1810,7 @@ QUERIES = {
     "q21_set_ops": (q21_set_ops, _Q21_SQL),
     "q22_sketch_profile": (q22_sketch_profile, None),
     "sketch_error_report": (sketch_error_report, None),
+    "sketch_rollup_daily": (sketch_rollup_daily, _SKETCH_ROLLUP_SQL),
     "q23_full_outer": (q23_full_outer, _Q23_SQL),
     "q24_pivot": (q24_pivot, _Q24_SQL),
     "q25_percent_rank": (q25_percent_rank, _Q25_SQL),

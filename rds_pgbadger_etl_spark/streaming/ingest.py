@@ -406,14 +406,23 @@ def run_available_now(
 
 def run_available_now_to_parquet(
     agg: DataFrame, checkpoint_dir: str, out_dir: str
-) -> None:
+) -> int:
     """The production incremental run: exactly-once append to a parquet
     sink, progress tracked in the checkpoint (replaces Luigi
     target-existence memoization, rds_pgbadger.py:25-26,44-45,70-71).
     Re-running with the same checkpoint processes only new input files.
+
+    Returns the number of rows emitted to the sink THIS run, observed on
+    the streaming plan itself (named ``observe`` → per-micro-batch
+    ``observedMetrics`` in the query progress) — the streaming twin of
+    the batch write's Observation counters: pipeline health without a
+    re-read of the sink, which at scale is its own job. A resumed drain
+    with no new input reports 0.
     """
+    obs_name = "sink_rows"
     q = (
-        agg.writeStream.outputMode("append")
+        agg.observe(obs_name, F.count(F.lit(1)).alias("rows"))
+        .writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
@@ -421,3 +430,9 @@ def run_available_now_to_parquet(
         .start()
     )
     q.awaitTermination()
+    total = 0
+    for p in q.recentProgress:
+        m = (p.get("observedMetrics") or {}).get(obs_name)
+        if m:
+            total += int(m["rows"])
+    return total

@@ -47,6 +47,11 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     assert stats["events"] > 0
 
     events = spark.read.parquet(f"{out_dir}/events")
+    # the write-side Observation counters must equal the stored truth
+    # (they were accumulated on the write action itself, no extra scan)
+    assert stats["events"] == events.count()
+    assert stats["malformed"] == events.filter("level = 'MALFORMED'").count()
+    assert stats["null_ts"] == events.filter("event_ts IS NULL").count()
     # partition values come back through read-side type inference (int here)
     hours = {str(r.log_hour) for r in events.select("log_hour").distinct().collect()}
     assert hours == {"10", "11"}
@@ -73,13 +78,14 @@ def test_run_incremental_manifest_semantics(spark, tmp_path):
 
     # run 1: hour 09 is closed, hour 10 is the open reference hour
     s1 = run_incremental(spark, log_dir, out_dir, ref)
-    assert s1 == {"files": 1, "skipped": 0}
-    # run 2: nothing new
+    assert (s1["files"], s1["skipped"]) == (1, 0)
+    assert s1["events"] > 0 and s1["malformed"] == 0
+    # run 2: nothing new (no write happened -> no quality counters)
     s2 = run_incremental(spark, log_dir, out_dir, ref)
     assert s2 == {"files": 0, "skipped": 1}
     # hour 10 closes (reference advances): exactly it gets processed
     s3 = run_incremental(spark, log_dir, out_dir, datetime(2024, 1, 15, 11, 0))
-    assert s3 == {"files": 1, "skipped": 1}
+    assert (s3["files"], s3["skipped"]) == (1, 1)
 
     events = spark.read.parquet(f"{out_dir}/events")
     hours = {str(r.log_hour) for r in events.select("log_hour").distinct().collect()}

@@ -312,3 +312,35 @@ def test_runtime_bloom_filter_injected(spark, sf_oracle):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_rollup_merge_equals_direct(spark, sf_oracle):
+    """The re-aggregatability contract behind sketch_rollup_daily: a
+    daily estimate produced by MERGING hourly HLL sketches must equal the
+    estimate from one sketch built directly over the whole day — at any
+    cardinality, not just the coupon-exact range the driver oracle pins.
+    (Same lgConfigK on both sides; Datasketches HLL union is lossless for
+    equal-k sketches.)"""
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+
+    merged = E.queries()["sketch_rollup_daily"](spark, sf_oracle)
+    ev = load_table(spark, sf_oracle, "events")
+    direct = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"))
+        ).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    j = merged.join(direct, "day").collect()
+    assert j, "empty rollup"
+    for r in j:
+        assert r.est_users == r.direct_est, (
+            f"merge broke re-aggregatability on {r.day}: "
+            f"{r.est_users} != {r.direct_est}"
+        )
+        # estimate quality: well inside HLL lgK=12 error at any scale
+        assert abs(r.est_users - r.exact_users) <= max(
+            2, 0.05 * r.exact_users
+        )

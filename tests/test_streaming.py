@@ -88,13 +88,17 @@ def test_streaming_resume_is_incremental(spark, sf_oracle, tmp_path):
 
     ckpt, out = str(tmp_path / "ckpt2"), str(tmp_path / "out")
     stream = read_event_stream(spark, sf_oracle)
-    run_available_now_to_parquet(hourly_counts(stream), ckpt, out)
+    obs1 = run_available_now_to_parquet(hourly_counts(stream), ckpt, out)
     n1 = spark.read.parquet(out).count()
     # second drain from the same checkpoint: no new files → no new rows
-    run_available_now_to_parquet(hourly_counts(stream), ckpt, out)
+    obs2 = run_available_now_to_parquet(hourly_counts(stream), ckpt, out)
     n2 = spark.read.parquet(out).count()
     assert n1 > 0
     assert n2 == n1
+    # the streamed observe counters must agree with the sink truth:
+    # first drain observed every written row, the resume observed none
+    assert obs1 == n1
+    assert obs2 == 0
 
 
 def test_stateful_running_totals_matches_batch(spark, sf_oracle, tmp_path):
