@@ -344,3 +344,16 @@ def test_sketch_rollup_merge_equals_direct(spark, sf_oracle):
         assert abs(r.est_users - r.exact_users) <= max(
             2, 0.05 * r.exact_users
         )
+
+
+def test_sketch_rollup_partial_aggregation(spark, sf_smoke):
+    """The rollup must keep BOTH aggregates partial-capable: map-side
+    partial_hll_sketch_agg before the hour exchange (shuffle carries
+    hours x fixed-size sketches, not raw events) and partial_hll_union_agg
+    before the day exchange. A regression to sort-based or
+    non-partial aggregation changes the shuffle volume class at 100 TB."""
+    df = E.queries()["sketch_rollup_daily"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_hll_sketch_agg" in plan
+    assert "partial_hll_union_agg" in plan
+    assert "SortAggregate" not in plan
