@@ -786,6 +786,81 @@ FROM events GROUP BY date_trunc('day', ts)
 """
 
 
+# KLL quantile-sketch rollup — the quantile twin of sketch_rollup_daily.
+# percentile_approx produces a NUMBER, not a mergeable state: a per-hour
+# percentile table cannot answer "p95 for the day/week" later, so every
+# new window re-scans raw events. KLL sketches (Datasketches, Spark 4.1
+# kll_* functions) ARE mergeable: sketch each hour once, merge to any
+# coarser window, read any quantile from the merged state. k=4096 keeps
+# the sketch exact until a (day, event_type) stratum exceeds 4096 rows —
+# beyond that it degrades to a bounded-error estimate while the sketch
+# stays a few KB; the oracle compares against DuckDB's exact discrete
+# quantiles (quantile_disc matches the sketch's value-from-the-data
+# rank contract — interpolation would produce values not in the data).
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.kll_sketch_agg_double("value", F.lit(4096)).alias("sk"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
+        .agg(F.kll_merge_agg_double("sk").alias("sk"))
+        .select(
+            "day",
+            "event_type",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+        )
+    )
+
+
+_SKETCH_QUANTILE_SQL = """
+SELECT cast(date_trunc('day', ts) AS timestamp) AS day, event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.95) AS p95
+FROM events GROUP BY 1, 2
+"""
+
+
+# Theta-sketch set algebra — what HLL cannot do: HLL unions only, theta
+# sketches intersect and difference. Day-over-day retained users
+# (|active(d) ∩ active(d+1)|) from per-day sketches: at 100 TB the
+# per-day sketches are built once at ingest (fixed ≤ 4096-hash state per
+# day) and EVERY pairwise overlap — retention curves, N-day windows,
+# audience overlap matrices — is sketch-on-sketch math over a
+# days-sized table; the exact plan re-shuffles the full (user, day)
+# stream per question. Exact in the oracle regime (≤ 4096 users/day at
+# sf0.01: a theta sketch below k retains every hash, so the
+# intersection estimate is the true count).
+def sketch_retained_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.theta_sketch_agg(F.col("user_id").cast("string")).alias("tsk")
+    )
+    nxt = daily.select(
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("tsk").alias("tsk_next"),
+    )
+    return daily.join(nxt, "day").select(
+        "day",
+        F.theta_sketch_estimate(F.theta_intersection("tsk", "tsk_next"))
+        .cast("bigint")
+        .alias("retained_est"),
+    )
+
+
+_SKETCH_RETAINED_SQL = """
+WITH du AS (
+  SELECT DISTINCT cast(date_trunc('day', ts) AS timestamp) AS day, user_id
+  FROM events
+)
+SELECT a.day, count(*) AS retained_est
+FROM du a
+JOIN du b ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY a.day
+"""
+
+
 # --------------------------------------------------------------------------
 # Full outer join: reconcile two aggregates keyed on nation — rows
 # surviving from either side with coalesced defaults (the reconciliation/
@@ -1811,6 +1886,8 @@ QUERIES = {
     "q22_sketch_profile": (q22_sketch_profile, None),
     "sketch_error_report": (sketch_error_report, None),
     "sketch_rollup_daily": (sketch_rollup_daily, _SKETCH_ROLLUP_SQL),
+    "sketch_quantile_rollup": (sketch_quantile_rollup, _SKETCH_QUANTILE_SQL),
+    "sketch_retained_users": (sketch_retained_users, _SKETCH_RETAINED_SQL),
     "q23_full_outer": (q23_full_outer, _Q23_SQL),
     "q24_pivot": (q24_pivot, _Q24_SQL),
     "q25_percent_rank": (q25_percent_rank, _Q25_SQL),
