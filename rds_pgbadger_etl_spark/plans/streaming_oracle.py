@@ -336,8 +336,55 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streamed sketch build — the ingest-time half of
+    sketch_rollup_daily: a per-hour Datasketches HLL of user_id
+    maintained IN THE STATE STORE across micro-batches (availableNow,
+    complete mode, memory sink), so at scale the stream materializes the
+    hourly sketch table continuously and any later window question is
+    sketch merges, never an events re-scan. The oracle's exact per-hour
+    distincts hash-match because hourly cardinality at oracle scale sits
+    in the HLL coupon-exact range; the batch/stream agreement itself is
+    the point — the same sketch state accumulates correctly under
+    micro-batch replay as in one batch pass."""
+    from rds_pgbadger_etl_spark.streaming.ingest import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    def launch(name: str, ckpt: str) -> DataFrame:
+        agg = (
+            read_event_stream(spark, sf_dir)
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                F.col("window.start").alias("bucket"),
+                F.hll_sketch_estimate("sk").alias("est_users"),
+                "n_events",
+            )
+        )
+        run_available_now(
+            agg, ckpt, name, output_mode="complete", state_partitions=8
+        )
+        return spark.table(name)
+
+    return _run_stream_cached(spark, sf_dir, "sketch_users", launch)
+
+
+_STREAM_SKETCH_SQL = """
+SELECT date_trunc('hour', ts) AS bucket,
+       count(DISTINCT user_id) AS est_users,
+       count(*) AS n_events
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
+    "stream_sketch_users": (stream_sketch_users, _STREAM_SKETCH_SQL),
     "sliding_window_counts": (sliding_window_counts, _SLIDING_SQL),
     "stream_enrich_counts": (stream_enrich_counts, _STREAM_ENRICH_SQL),
     "stream_interval_join": (stream_interval_join, _STREAM_INTERVAL_JOIN_SQL),

@@ -357,3 +357,33 @@ def test_sketch_rollup_partial_aggregation(spark, sf_smoke):
     assert "partial_hll_sketch_agg" in plan
     assert "partial_hll_union_agg" in plan
     assert "SortAggregate" not in plan
+
+
+def test_sketch_state_survives_parquet_roundtrip(spark, sf_oracle, tmp_path):
+    """The 100 TB pattern stores the hourly sketch table as parquet and
+    merges LATER runs' questions from it. That only works if the sketch
+    binary survives a write/read roundtrip bit-compatibly: estimates
+    merged from the stored table must equal estimates merged from the
+    live aggregation."""
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk")
+    )
+    path = str(tmp_path / "hourly_sketches")
+    hourly.write.parquet(path)
+
+    def daily_est(df):
+        return {
+            r.day: r.est
+            for r in df.groupBy(F.date_trunc("day", "h").alias("day"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()
+        }
+
+    live = daily_est(hourly)
+    stored = daily_est(spark.read.parquet(path))
+    assert stored == live and live
