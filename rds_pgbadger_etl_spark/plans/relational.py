@@ -861,6 +861,52 @@ GROUP BY a.day
 """
 
 
+# Bitmap rollup — EXACT mergeable distinct counts for integer keys,
+# completing the distinct-count ladder: bitmap (exact, int keys, state ∝
+# id-space/8 bytes) → HLL (approx, any keys, fixed ~KB state) →
+# count(DISTINCT) (exact, any keys, NOT re-aggregatable). Roaring-style
+# bucketing: ids hash to (bucket = id >> 15, bit = id & 32767), each
+# (group, bucket) aggregates to a ≤4 KB bitmap, buckets OR-merge across
+# hours losslessly, and the daily distinct count is the sum of per-bucket
+# popcounts — exact at ANY cardinality, unlike the HLL twin, as long as
+# keys are integers. The pre-aggregated hourly bitmap table answers any
+# coarser window without re-scanning events (same contract as
+# sketch_rollup_daily, but with no error bar).
+#
+# Known tradeoff: Spark's bitmap aggregates carry a variable-size binary
+# buffer, which HashAggregate can't hold — the plan falls back to
+# SortAggregate (visible in explain). Partial aggregation IS retained
+# (map-side partial_bitmap_construct_agg), so the shuffle still carries
+# groups × ≤4 KB bitmaps rather than raw events; the extra cost is a
+# per-partition sort on (hour, bucket), which time-ordered event
+# ingest keeps nearly sorted. Pick HLL (hash-agg path, fixed error) or
+# bitmap (sort-agg path, exact) per column cardinality and key type.
+def bitmap_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    daily_buckets = hourly.groupBy(
+        F.date_trunc("day", "h").alias("day"), "bkt"
+    ).agg(F.bitmap_or_agg("bm").alias("bm"), F.sum("n").alias("n"))
+    return daily_buckets.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+_BITMAP_ROLLUP_SQL = """
+SELECT cast(date_trunc('day', ts) AS timestamp) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY date_trunc('day', ts)
+"""
+
+
 # --------------------------------------------------------------------------
 # Full outer join: reconcile two aggregates keyed on nation — rows
 # surviving from either side with coalesced defaults (the reconciliation/
@@ -1888,6 +1934,7 @@ QUERIES = {
     "sketch_rollup_daily": (sketch_rollup_daily, _SKETCH_ROLLUP_SQL),
     "sketch_quantile_rollup": (sketch_quantile_rollup, _SKETCH_QUANTILE_SQL),
     "sketch_retained_users": (sketch_retained_users, _SKETCH_RETAINED_SQL),
+    "bitmap_rollup_daily": (bitmap_rollup_daily, _BITMAP_ROLLUP_SQL),
     "q23_full_outer": (q23_full_outer, _Q23_SQL),
     "q24_pivot": (q24_pivot, _Q24_SQL),
     "q25_percent_rank": (q25_percent_rank, _Q25_SQL),
