@@ -142,6 +142,37 @@ def run_pipeline(
     return {"files": len(selected), **quality}
 
 
+def _write_hourly_reports(spark, out_dir: str, file_names: list[str]) -> None:
+    """One report per newly processed hour — the reference's per-file
+    artifact semantics (one pgBadger HTML per input log,
+    rds_pgbadger.py:44-45,124-129) in the cron mode. Each hour's
+    sections read ONLY that hour's partition of the stored events
+    (partition-pruned scan), and land under
+    report/log_date=…/log_hour=…/<section>, so a re-processed hour
+    replaces exactly its own report. The per-hour loop is cron-scale by
+    construction: the reference caps files per run (max_records,
+    rds_pgbadger.py:80); a backfill uses run_pipeline's corpus-level
+    report instead.
+    """
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.plans.reports import full_report
+    from rds_pgbadger_etl_spark.sinks.report_sink import write_report
+
+    stored = spark.read.parquet(os.path.join(out_dir, "events"))
+    for name in file_names:
+        stamp = name[-13:]  # YYYY-MM-DD-HH (reference rds_pgbadger.py:120)
+        d, h = stamp[:10], int(stamp[-2:])
+        ev_h = stored.filter(
+            (F.col("log_date") == d) & (F.col("log_hour") == h)
+        )
+        sections = full_report(ev_h)
+        write_report(
+            sections,
+            os.path.join(out_dir, "report", f"log_date={d}", f"log_hour={h}"),
+        )
+
+
 def run_incremental(
     spark,
     log_dir: str,
@@ -189,6 +220,7 @@ def run_incremental(
         quality = write_events_partitioned(
             events, os.path.join(out_dir, "events")
         )
+        _write_hourly_reports(spark, out_dir, todo)
         # atomic manifest update (temp + rename), mirroring O13
         tmp = manifest + ".tmp"
         with open(tmp, "w") as f:

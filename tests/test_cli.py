@@ -91,6 +91,14 @@ def test_run_incremental_manifest_semantics(spark, tmp_path):
     hours = {str(r.log_hour) for r in events.select("log_hour").distinct().collect()}
     assert hours == {"9", "10"}
 
+    # per-hour report artifacts (the reference's one-report-per-file
+    # semantics): each processed hour got its own report partition
+    for d, h in (("2024-01-15", 9), ("2024-01-15", 10)):
+        top = spark.read.parquet(
+            f"{out_dir}/report/log_date={d}/log_hour={h}/top_queries"
+        )
+        assert top.count() > 0
+
 
 def test_cli_query_registry_access(capsys, spark):
     from rds_pgbadger_etl_spark import cli
