@@ -43,6 +43,21 @@ def _parse_reference(value: str | None) -> datetime:
     raise SystemExit(f"unparseable --reference-datetime {value!r}")
 
 
+_STRATEGIES = ("auto", "windowed", "splitwise")
+
+
+def _env_strategy() -> str:
+    """argparse does not validate ``choices`` against a default, so a
+    typo'd SPARK_GRAFT_PARSE_STRATEGY would silently fall through to the
+    non-matching branch of _parser — reject it explicitly instead."""
+    val = os.environ.get("SPARK_GRAFT_PARSE_STRATEGY", "auto")
+    if val not in _STRATEGIES:
+        raise SystemExit(
+            f"SPARK_GRAFT_PARSE_STRATEGY={val!r} is not one of {_STRATEGIES}"
+        )
+    return val
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="rds-pgbadger-etl-spark",
@@ -63,12 +78,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--incremental", action="store_true",
                    help="cron mode: process every closed-hour file not yet "
                         "in the out-dir manifest (idempotent re-runs)")
-    p.add_argument("--strategy", choices=("windowed", "splitwise"),
-                   default=os.environ.get("SPARK_GRAFT_PARSE_STRATEGY", "windowed"),
-                   help="reassembly plan: 'windowed' (all-JVM, one bounded "
-                        "shuffle per run; the default) or 'splitwise' "
-                        "(shuffle-free split-parallel mapInArrow — use for "
-                        "multi-TB backfills; see BENCH_NOTES.md)")
+    p.add_argument("--strategy", choices=_STRATEGIES,
+                   default=_env_strategy(),
+                   help="reassembly plan: 'auto' (the default: windowed "
+                        "unless a selected file exceeds ~2x "
+                        "maxPartitionBytes, then splitwise), 'windowed' "
+                        "(all-JVM, one bounded shuffle per run) or "
+                        "'splitwise' (shuffle-free split-parallel "
+                        "mapInArrow — the multi-TB backfill plan; see "
+                        "BENCH_NOTES.md)")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     p.add_argument("--list-queries", action="store_true",
                    help="list every registered analytics query and exit")
@@ -82,12 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _parser(strategy: str):
+def _parser(spark, strategy: str, paths: list[str]):
     from rds_pgbadger_etl_spark.operators.logparse import (
+        choose_parse_strategy,
         parse_logs,
         parse_logs_splitwise,
     )
 
+    if strategy == "auto":
+        strategy = choose_parse_strategy(spark, paths)
     return parse_logs_splitwise if strategy == "splitwise" else parse_logs
 
 
@@ -98,7 +119,7 @@ def run_pipeline(
     reference_dt: datetime,
     max_records: int = 5,
     html_path: str | None = None,
-    strategy: str = "windowed",
+    strategy: str = "auto",
 ) -> dict[str, int]:
     """Select → parse → report → sink; returns row counts per stage."""
     from pyspark.sql import functions as F
@@ -122,17 +143,28 @@ def run_pipeline(
     if not selected:
         raise SystemExit(f"no closed-hour log files in {log_dir} before {reference_dt}")
 
-    events = _parser(strategy)(
-        spark, [os.path.join(log_dir, n) for n in selected]
-    )
+    from rds_pgbadger_etl_spark.operators.logparse import release_parse_caches
+
+    paths = [os.path.join(log_dir, n) for n in selected]
+    events = _parser(spark, strategy, paths)(spark, paths)
     quality = write_events_partitioned(events, os.path.join(out_dir, "events"))
-    spark.catalog.clearCache()  # splitwise segment cache, if any
+    # targeted: clearCache() would also evict the shared staging tables
+    # other queries in this session still hold handles to (plans/_shared)
+    release_parse_caches()
 
     # Report from the just-written parquet, NOT the parse plan: each of
     # the 11 section writes (plus the HTML render) is its own action, so
     # feeding them the raw plan re-parses the logs once per section.
     # Re-reading also gives every section column pruning at the scan.
-    stored = spark.read.parquet(os.path.join(out_dir, "events"))
+    # Filter to THIS run's (log_date, log_hour) partitions: with dynamic
+    # partition overwrite, hours written by earlier runs into the same
+    # out_dir survive the write and must not leak into this run's report
+    # (the reference reports exactly the files it processed,
+    # rds_pgbadger.py:44-45). Literal equality on partition columns ⇒
+    # partition-pruned scan.
+    stored = spark.read.parquet(os.path.join(out_dir, "events")).filter(
+        _hours_predicate(selected)
+    )
     sections = full_report(stored)
     write_report(sections, os.path.join(out_dir, "report"))
     if html_path:
@@ -140,6 +172,23 @@ def run_pipeline(
 
     # counts come from the write-side Observation — no extra scan action
     return {"files": len(selected), **quality}
+
+
+def _hours_predicate(file_names: list[str]):
+    """Partition predicate for the (log_date, log_hour) hours named by
+    ``file_names`` (…YYYY-MM-DD-HH): an OR of literal equalities, which
+    the parquet scan turns into partition pruning."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    hours = sorted({(n[-13:][:10], int(n[-2:])) for n in file_names})
+    return reduce(
+        lambda acc, dh: acc
+        | ((F.col("log_date") == dh[0]) & (F.col("log_hour") == dh[1])),
+        hours,
+        F.lit(False),
+    )
 
 
 def _write_hourly_reports(spark, out_dir: str, file_names: list[str]) -> None:
@@ -178,7 +227,7 @@ def run_incremental(
     log_dir: str,
     out_dir: str,
     reference_dt: datetime,
-    strategy: str = "windowed",
+    strategy: str = "auto",
 ) -> dict[str, int]:
     """The reference's cron mode (Dockerfile:15: run hourly, process
     what's new, skip what's done) for a staged local/object-store dir.
@@ -214,12 +263,16 @@ def run_incremental(
     todo = [n for n in closed if n not in done]
     quality: dict = {}
     if todo:
-        events = _parser(strategy)(
-            spark, [os.path.join(log_dir, n) for n in todo]
+        from rds_pgbadger_etl_spark.operators.logparse import (
+            release_parse_caches,
         )
+
+        paths = [os.path.join(log_dir, n) for n in todo]
+        events = _parser(spark, strategy, paths)(spark, paths)
         quality = write_events_partitioned(
             events, os.path.join(out_dir, "events")
         )
+        release_parse_caches()  # splitwise segment cache, if any
         _write_hourly_reports(spark, out_dir, todo)
         # atomic manifest update (temp + rename), mirroring O13
         tmp = manifest + ".tmp"

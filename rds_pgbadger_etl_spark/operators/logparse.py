@@ -66,6 +66,50 @@ LEVELS = [
 ]
 
 
+# Persisted intermediates registered by parse_logs_splitwise, released
+# with release_parse_caches() — targeted, unlike spark.catalog.clearCache()
+# which would also evict unrelated shared staging tables (plans/_shared).
+_PARSE_CACHES: list[DataFrame] = []
+
+
+def release_parse_caches() -> None:
+    """Unpersist the splitwise segment/fragment caches registered by
+    :func:`parse_logs_splitwise`. Call after the parse result has been
+    materialized (e.g. written to parquet); safe to call when empty."""
+    while _PARSE_CACHES:
+        _PARSE_CACHES.pop().unpersist()
+
+
+# The windowed plan sorts each file inside ONE task; past a couple of
+# splits per file that task is a straggler and the splitwise plan's
+# per-split parallelism wins (BENCH_NOTES.md: 20x less shuffle, memory
+# bounded by split not file).
+SPLITWISE_SIZE_FACTOR = 2
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    s = raw.strip().lower()
+    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+    if s and s[-1] in units:
+        return int(s[:-1]) * units[s[-1]]
+    return int(s)
+
+
+def choose_parse_strategy(spark: SparkSession, paths: list[str]) -> str:
+    """Pick the reassembly plan from the catalog listing already in hand:
+    ``windowed`` (one bounded shuffle, all-JVM) while every file fits a
+    handful of scan splits, ``splitwise`` once any file exceeds
+    ``SPLITWISE_SIZE_FACTOR x spark.sql.files.maxPartitionBytes`` — at
+    that point the windowed plan's one-sort-task-per-file becomes the
+    straggler a 5 GB busy-hour log would hit."""
+    import os
+
+    max_bytes = max((os.path.getsize(p) for p in paths), default=0)
+    threshold = SPLITWISE_SIZE_FACTOR * _max_partition_bytes(spark)
+    return "splitwise" if max_bytes > threshold else "windowed"
+
+
 def _read_raw_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Raw log text as ``(source_file, block_start, mid, value)`` —
     the pre-window form shared by :func:`read_log_lines` and the fused
@@ -465,8 +509,9 @@ def parse_logs_splitwise(spark: SparkSession, path: str | list[str]) -> DataFram
 
     The segment stream is persisted for the duration of the returned
     plan (its three small consumers share one scan+segmentation pass);
-    callers running many parses in one session can reclaim the cache
-    with ``spark.catalog.clearCache()`` after materializing the result.
+    callers running many parses in one session reclaim the cache with
+    :func:`release_parse_caches` after materializing the result —
+    targeted, so unrelated persisted DataFrames survive.
     """
     v = F.col("value")
     flagged = _read_raw_lines(spark, path).select(
@@ -481,6 +526,7 @@ def parse_logs_splitwise(spark: SparkSession, path: str | list[str]) -> DataFram
     # segmentation run once. At 100 TB this is the natural place to
     # land the segment stream on disk instead.
     seg.persist()
+    _PARSE_CACHES.append(seg)
 
     # --- stitch the boundary fragments (tiny: ~2 rows per split) -----
     frag_w = Window.partitionBy("source_file").orderBy("block_start", "local_line")
@@ -531,6 +577,7 @@ def parse_logs_splitwise(spark: SparkSession, path: str | list[str]) -> DataFram
         )
     )
     stitched.persist()
+    _PARSE_CACHES.append(stitched)
 
     # --- per-split scalars --------------------------------------------
     stats = seg.filter(F.col("kind") == "s").select(

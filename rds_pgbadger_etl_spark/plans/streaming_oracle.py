@@ -299,10 +299,15 @@ FROM assigned GROUP BY win_start, event_type
 
 
 def stream_state_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runs the REAL transformWithStateInPandas operator (availableNow,
-    memory sink) and returns each user's final profile row; the oracle
-    is a batch group-by with exact integer microsecond spans, so the
-    cross-trigger ValueState accumulation is hash-checked bit-exactly."""
+    """Runs the user_state_profiles stateful operator (availableNow,
+    memory sink) and returns each user's final profile row. The operator
+    resolves ``api="auto"``: transformWithStateInPandas when its
+    optional protobuf dependency is importable, else the
+    applyInPandasWithState fallback — both share one state fold
+    (streaming/ingest.py:_fold_profile), so the checked semantics are
+    identical either way. The oracle is a batch group-by with exact
+    integer microsecond spans, so the cross-trigger state accumulation
+    is hash-checked bit-exactly."""
     from rds_pgbadger_etl_spark.streaming.ingest import (
         read_event_stream,
         run_available_now,

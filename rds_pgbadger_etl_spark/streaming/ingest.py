@@ -414,25 +414,67 @@ def run_available_now_to_parquet(
 
     Returns the number of rows emitted to the sink THIS run, observed on
     the streaming plan itself (named ``observe`` → per-micro-batch
-    ``observedMetrics`` in the query progress) — the streaming twin of
-    the batch write's Observation counters: pipeline health without a
-    re-read of the sink, which at scale is its own job. A resumed drain
-    with no new input reports 0.
+    ``observedMetrics``) — the streaming twin of the batch write's
+    Observation counters: pipeline health without a re-read of the sink,
+    which at scale is its own job. A resumed drain with no new input
+    reports 0.
+
+    Accounting goes through a StreamingQueryListener, NOT
+    ``q.recentProgress``: the progress ring buffer is capped at
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100), so a
+    long drain with more micro-batches than the cap would silently
+    undercount. The listener bus is ordered, so once the terminated
+    event for this query id arrives, every progress event before it has
+    been delivered — the sum is exact for any batch count.
     """
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
     obs_name = "sink_rows"
-    q = (
-        agg.observe(obs_name, F.count(F.lit(1)).alias("rows"))
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    total = 0
-    for p in q.recentProgress:
-        m = (p.get("observedMetrics") or {}).get(obs_name)
-        if m:
-            total += int(m["rows"])
-    return total
+
+    class _SinkRows(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.totals: dict[str, int] = {}
+            self.terminated: set[str] = set()
+
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            m = (p.observedMetrics or {}).get(obs_name)
+            if m is not None:
+                qid = str(p.id)
+                self.totals[qid] = self.totals.get(qid, 0) + int(m["rows"])
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            self.terminated.add(str(event.id))
+
+    spark = agg.sparkSession
+    listener = _SinkRows()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            agg.observe(obs_name, F.count(F.lit(1)).alias("rows"))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener delivery is async; the terminated event is the fence
+        deadline = time.monotonic() + 60
+        while (
+            str(q.id) not in listener.terminated
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.05)
+        return listener.totals.get(str(q.id), 0)
+    finally:
+        spark.streams.removeListener(listener)

@@ -121,6 +121,73 @@ def test_cli_query_registry_access(capsys, spark):
     assert set(rows[0]) == {"c_mktsegment", "c_nationkey"}
 
 
+def test_env_strategy_validation(monkeypatch):
+    """A typo'd SPARK_GRAFT_PARSE_STRATEGY must error, not silently fall
+    back to the windowed plan (argparse never validates defaults)."""
+    import pytest
+
+    from rds_pgbadger_etl_spark import cli
+
+    monkeypatch.setenv("SPARK_GRAFT_PARSE_STRATEGY", "splitwize")
+    with pytest.raises(SystemExit):
+        cli.build_parser()
+    monkeypatch.setenv("SPARK_GRAFT_PARSE_STRATEGY", "splitwise")
+    assert cli.build_parser().parse_args([]).strategy == "splitwise"
+    monkeypatch.delenv("SPARK_GRAFT_PARSE_STRATEGY")
+    assert cli.build_parser().parse_args([]).strategy == "auto"
+
+
+def test_auto_strategy_selection(spark, tmp_path):
+    """'auto' picks windowed for hour-files within a couple of scan
+    splits and splitwise once any file exceeds 2x maxPartitionBytes
+    (the 5 GB busy-hour straggler case)."""
+    from rds_pgbadger_etl_spark.operators.logparse import (
+        choose_parse_strategy,
+    )
+
+    small = tmp_path / "small.log"
+    small.write_text("x" * 100)
+    big = tmp_path / "big.log"
+    big.write_text("x" * 5000)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        assert choose_parse_strategy(spark, [str(small)]) == "windowed"
+        assert (
+            choose_parse_strategy(spark, [str(small), str(big)])
+            == "splitwise"
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # default config (128m): real hour-fixtures stay windowed
+    assert choose_parse_strategy(spark, [str(big)]) == "windowed"
+
+
+def test_run_pipeline_report_scope(spark, tmp_path):
+    """With dynamic partition overwrite, hours written by EARLIER runs
+    into the same out_dir survive in events/ — but the report must cover
+    only the files processed THIS run (the reference's per-run report
+    semantics, rds_pgbadger.py:44-45)."""
+    log_dir = _stage(tmp_path, ["2024-01-15-09", "2024-01-15-10"])
+    out_dir = str(tmp_path / "out_scope")
+    # run 1: both closed hours; run 2: only the newest (hour 10)
+    run_pipeline(spark, log_dir, out_dir, datetime(2024, 1, 15, 12, 0),
+                 max_records=5)
+    stats2 = run_pipeline(spark, log_dir, out_dir,
+                          datetime(2024, 1, 15, 12, 0), max_records=1)
+    assert stats2["files"] == 1
+
+    events = spark.read.parquet(f"{out_dir}/events")
+    hours = {int(r.log_hour) for r in
+             events.select("log_hour").distinct().collect()}
+    assert hours == {9, 10}  # earlier run's partition survived ...
+    hist = spark.read.parquet(f"{out_dir}/report/time_histogram")
+    total = sum(r.n_events for r in hist.collect())
+    one_hour = events.filter("log_hour = 10").filter(
+        "event_ts IS NOT NULL").count()
+    assert total == one_hour  # ... but the report covers run 2 only
+
+
 def test_run_pipeline_splitwise_strategy(spark, tmp_path):
     """--strategy splitwise must produce the same event table as the
     default windowed plan through the full pipeline."""

@@ -237,7 +237,8 @@ def main() -> None:
     write_events_partitioned(parsed, outdir)
     t_parse = time.perf_counter() - t0
 
-    spark.catalog.clearCache()  # drop the splitwise segment cache, if any
+    from rds_pgbadger_etl_spark.operators.logparse import release_parse_caches
+    release_parse_caches()  # drop the splitwise segment cache, if any
     events = spark.read.parquet(outdir)
     n_events = events.count()
     n_lines = events.agg({"n_lines": "sum"}).collect()[0][0]
