@@ -2275,6 +2275,75 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted ANN index (operators/ann_index.py): the staging tables above
+# written ONCE as layout-aware parquet, searched from the artifact alone.
+# Each reader's oracle is the SAME SQL as its in-session twin — the
+# correctness claim is exactly "the artifact answers what the session
+# answers". Index built once per (process, sf_dir) into a temp dir; a
+# fresh-session answers-without-rebuild proof is in tests/test_ann_index.py.
+
+_ANN_INDEX_DIRS: dict[str, str] = {}
+_QUERY_VECS: dict[str, list] = {}
+
+
+def _ann_index_shared(spark: SparkSession, sf_dir: str) -> str:
+    from rds_pgbadger_etl_spark.operators.ann_index import build_ann_index
+
+    d = _ANN_INDEX_DIRS.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_")
+        build_ann_index(
+            spark, rebalance(load_table(spark, sf_dir, "embeddings")), d
+        )
+        _ANN_INDEX_DIRS[sf_dir] = d
+    return d
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> list:
+    """The benchmark query vectors (a bounded ≤|_QUERY_IDS|-row fetch —
+    query vectors are an INPUT to index search, not index state)."""
+    vecs = _QUERY_VECS.get(sf_dir)
+    if vecs is None:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").isin(_QUERY_IDS))
+            .collect()
+        )
+        vecs = [(int(r.vec_id), list(r.embedding)) for r in rows]
+        _QUERY_VECS[sf_dir] = vecs
+    return vecs
+
+
+def ann_index_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_ivfpq_topk(
+        spark, _ann_index_shared(spark, sf_dir), _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+def ann_index_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_ivf_topk(
+        spark, _ann_index_shared(spark, sf_dir), _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+def ann_index_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_lsh_topk(
+        spark, _ann_index_shared(spark, sf_dir), _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -2320,6 +2389,9 @@ QUERIES = {
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "text_readability": (text_readability, _READABILITY_SQL),
     "ann_recall_report": (ann_recall_report, None),
+    "ann_index_ivfpq_topk": (ann_index_ivfpq_topk, _ANN_IVFPQ_SQL),
+    "ann_index_ivf_topk": (ann_index_ivf_topk, _ANN_IVF_SQL),
+    "ann_index_lsh_topk": (ann_index_lsh_topk, _ANN_LSH_SQL),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
     "near_dup_triangles": (near_dup_triangles, _TRIANGLES_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, _HEAVY_HITTERS_SQL),
