@@ -126,35 +126,44 @@ def shingle_profile(
 
 
 def pair_jaccard(
-    pairs: DataFrame, profile: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame,
+    profile: DataFrame,
+    id_col: str = "doc_id",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Exact Jaccard over per-doc distinct shingle sets for given pairs.
 
-    The candidate side is tiny (LSH keeps it ∝ true near-dups), so both
-    joins broadcast and the set intersection runs per-pair on two
-    in-memory arrays — no exploded shingle join, no pair-level shuffle.
+    ``strategy="broadcast"`` (default — right when the candidate side is
+    small, the common high-precision-LSH case): both joins broadcast and
+    the set intersection runs per-pair on two in-memory arrays — no
+    exploded shingle join, no pair-level shuffle. The broadcasts are
+    forced, not left to AQE: the first broadcasts the bare (a, b) id
+    pairs against the partitioned profile; the second broadcasts that
+    result (|pairs| rows, each shingle_set capped at TEXT_CAP entries).
 
-    Both broadcasts are forced, not left to AQE: the first broadcasts the
-    bare (a, b) id pairs against the partitioned profile; the second
-    broadcasts that result (|pairs| rows, each shingle_set capped at
-    TEXT_CAP entries, so the broadcast is bounded) so the heavy profile
-    is never shuffled in either join.
+    ``strategy="shuffle"`` — for candidate volumes past what a driver
+    should collect (the second broadcast materializes |pairs| shingle
+    sets driver-side; the dedup rehearsal measured it going superlinear
+    past ~10⁵ pairs, BENCH_NOTES.md): two hash-partitioned joins keyed
+    on the pair ids; the profile shuffles once per side, nothing lands
+    on the driver, and pair volume is bounded by the cluster.
     """
     prof_a = profile.select(F.col(id_col).alias("a"), F.col("shingle_set").alias("sa"))
     prof_b = profile.select(F.col(id_col).alias("b"), F.col("shingle_set").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
-    with_a = prof_a.join(F.broadcast(pairs.select("a", "b")), "a")
-    return (
-        prof_b.join(F.broadcast(with_a), "b")
-        .select(
-            "a",
-            "b",
-            (
-                inter.cast("double")
-                / (F.size("sa") + F.size("sb") - inter).cast("double")
-            ).alias("jaccard"),
+    jaccard = (
+        inter.cast("double")
+        / (F.size("sa") + F.size("sb") - inter).cast("double")
+    ).alias("jaccard")
+    if strategy == "shuffle":
+        return (
+            pairs.select("a", "b")
+            .join(prof_a, "a")
+            .join(prof_b, "b")
+            .select("a", "b", jaccard)
         )
-    )
+    with_a = prof_a.join(F.broadcast(pairs.select("a", "b")), "a")
+    return prof_b.join(F.broadcast(with_a), "b").select("a", "b", jaccard)
 
 
 def candidate_shingle_sets(
@@ -194,6 +203,7 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    verify_strategy: str = "broadcast",
 ) -> DataFrame:
     """X2 end-to-end: shingle → MinHash → LSH bands → candidates →
     Jaccard verify → pairs above threshold.
@@ -212,7 +222,9 @@ def near_dup_pairs(
     # persist so the band self-join over sigs runs once, not per consumer.
     cands = candidate_pairs(lsh_bands(sigs, id_col), id_col).persist()
     prof = candidate_shingle_sets(df, cands, id_col, text_col)
-    return pair_jaccard(cands, prof, id_col).filter(F.col("jaccard") >= threshold)
+    return pair_jaccard(cands, prof, id_col, strategy=verify_strategy).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def containment_pairs(

@@ -37,6 +37,21 @@ def test_minhash_identical_texts_collide(spark, sf_smoke):
     assert all(r.jaccard == 1.0 for r in pairs if r.b == r.a + 1_000_000)
 
 
+def test_pair_jaccard_strategies_agree(spark, sf_smoke):
+    """The shuffle verify path (for candidate volumes past what the
+    driver should collect — see BENCH_NOTES.md round 6) must return the
+    exact rows of the broadcast default, and its plan must contain no
+    broadcast of the pair stream."""
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    clones = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.union(clones)
+    b = D.near_dup_pairs(corpus, threshold=0.5)
+    s = D.near_dup_pairs(corpus, threshold=0.5, verify_strategy="shuffle")
+    rows_b = sorted(map(str, b.select("a", "b", "jaccard").collect()))
+    rows_s = sorted(map(str, s.select("a", "b", "jaccard").collect()))
+    assert rows_b == rows_s and len(rows_b) >= 40
+
+
 def test_simhash_close_for_similar_docs(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").limit(5)
     tweaked = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(

@@ -1,0 +1,207 @@
+"""Dedup-family scale rehearsal (VERDICT r5 item 2 — the parse
+rehearsal's treatment for the MinHash-LSH pipeline).
+
+Generates a multi-GB document corpus with a CONTROLLED duplicate rate —
+documents come in families of ``FAMILY`` consecutive ids; the first
+``dup_pct`` of each family are near-duplicates of the family head (same
+seed text, one mutated token at the front so a handful of shingles
+differ) — then runs the production dedup path end-to-end:
+
+    char shingles → MinHash sigs → LSH bands → candidate pairs →
+    exact-Jaccard verify → connected components → canonical selection
+
+and records per-stage wall time, candidate/verified pair counts, and
+shuffle bytes (Spark event log). Running it at 1x and 2x corpus proves
+the scaling claim the fixture-scale tests can only assert structurally:
+**candidate pairs grow with duplicate volume (families x pairs-per-
+family, linear in corpus), never corpus²** — the expected pair count is
+known in closed form: n_families x C(dups_per_family + 1, 2).
+
+Usage:  python tools/dedup_rehearsal.py [n_docs] [dup_pct]
+Writes a JSON summary to stdout; corpus parquet under $REHEARSAL_DIR
+(default /tmp/dedup_rehearsal), reused if present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.parse_rehearsal import stage_metrics  # noqa: E402
+
+BASE = os.environ.get("REHEARSAL_DIR", "/tmp/dedup_rehearsal")
+FAMILY = 100  # ids per family (1 head + dups + unique docs)
+N_WORDS = 150  # 32-hex words per doc ≈ 5 KB of text
+THRESHOLD = 0.5
+
+
+def generate_corpus(spark, path: str, n_docs: int, dup_pct: int) -> None:
+    """Deterministic corpus, generated JVM-side (one md5 expression per
+    word): doc ids in [0, n_docs); id % FAMILY < dup_pct ⇒ the doc is a
+    near-dup of its family head (seed = family base id) with one mutated
+    leading token; all other docs are globally unique (seed = own id)."""
+    from pyspark.sql import functions as F
+
+    base = (F.col("id") / FAMILY).cast("long") * FAMILY
+    is_dup = (F.col("id") % FAMILY) < dup_pct
+    seed = F.when(is_dup, base).otherwise(F.col("id")).cast("string")
+    words = [
+        F.md5(F.concat_ws(":", F.lit("w"), seed, F.lit(str(j))))
+        for j in range(N_WORDS)
+    ]
+    mut = F.when(
+        is_dup, F.concat(F.lit("mut"), F.col("id").cast("string"), F.lit(" "))
+    ).otherwise(F.lit(""))
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(mut, F.concat_ws(" ", *words)).alias("text"),
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    dup_pct = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    corpus = f"{BASE}/docs_{n_docs}_{dup_pct}"
+    evdir = f"{BASE}/eventlog"
+    outdir = f"{BASE}/canonical_parquet"
+    os.makedirs(evdir, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.operators.dedup import (
+        candidate_pairs,
+        candidate_shingle_sets,
+        char_shingles,
+        dedup_cluster_assignments,
+        lsh_bands,
+        minhash_signatures,
+        pair_jaccard,
+    )
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dedup-rehearsal",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+
+    t_gen = 0.0
+    if not os.path.isdir(corpus):
+        t0 = time.perf_counter()
+        generate_corpus(spark, corpus, n_docs, dup_pct)
+        t_gen = time.perf_counter() - t0
+    input_bytes = sum(
+        os.path.getsize(os.path.join(corpus, f))
+        for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )
+    docs = spark.read.parquet(corpus)
+
+    # --- stage 1: corpus-wide numeric MinHash signatures --------------
+    t0 = time.perf_counter()
+    sigs = minhash_signatures(char_shingles(docs), "doc_id").persist()
+    n_sigs = sigs.count()
+    t_sigs = time.perf_counter() - t0
+
+    # --- stage 2: LSH banding + candidate pairs -----------------------
+    t0 = time.perf_counter()
+    cands = candidate_pairs(lsh_bands(sigs, "doc_id"), "doc_id").persist()
+    n_cands = cands.count()
+    t_cands = time.perf_counter() - t0
+
+    # --- stage 3: exact-Jaccard verify on candidates only -------------
+    verify_strategy = os.environ.get("DEDUP_VERIFY_STRATEGY", "shuffle")
+    t0 = time.perf_counter()
+    prof = candidate_shingle_sets(docs, cands, "doc_id", "text")
+    pairs = pair_jaccard(
+        cands, prof, "doc_id", strategy=verify_strategy
+    ).filter(F.col("jaccard") >= THRESHOLD).persist()
+    n_pairs = pairs.count()
+    t_verify = time.perf_counter() - t0
+
+    # --- stage 4: connected components + canonical selection ----------
+    t0 = time.perf_counter()
+    assign = dedup_cluster_assignments(docs, pairs=pairs.select("a", "b"))
+    stats = assign.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("component").alias("components"),
+        F.sum("is_canonical").alias("canonical"),
+    ).collect()[0]
+    t_cluster = time.perf_counter() - t0
+
+    # --- stage 5: write the kept corpus (canonical docs only) ---------
+    # Subtract the REMOVALS (∝ duplicate volume) instead of joining the
+    # keeps (∝ corpus): a broadcast anti-join filters the text scan in
+    # place with no corpus shuffle — the first rehearsal cut measured
+    # this join shuffling the full 2 GB of text (write stage 25.3 s at
+    # 2x vs 2.2 s at 1x); with the anti-join the write is shuffle-free.
+    shutil.rmtree(outdir, ignore_errors=True)
+    t0 = time.perf_counter()
+    removals = assign.filter(F.col("is_canonical") == 0).select("doc_id")
+    (
+        docs.join(F.broadcast(removals), "doc_id", "left_anti")
+        .write.mode("overwrite")
+        .parquet(outdir)
+    )
+    t_write = time.perf_counter() - t0
+
+    # closed-form expectations for the controlled duplicate structure
+    n_families = n_docs // FAMILY
+    fam_members = dup_pct + 1  # head + its near-dups
+    expected_pairs = n_families * (fam_members * (fam_members - 1) // 2)
+
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    time.sleep(2)  # event log flush
+
+    stages = stage_metrics(evdir)
+    top = sorted(
+        stages,
+        key=lambda s: s["shuffle_write_mb"] + s["shuffle_read_mb"],
+        reverse=True,
+    )[:6]
+    summary = {
+        "app_id": app_id,
+        "n_docs": n_docs,
+        "dup_pct": dup_pct,
+        "verify_strategy": verify_strategy,
+        "corpus_parquet_gb": round(input_bytes / 1e9, 2),
+        "gen_sec": round(t_gen, 1),
+        "sigs_sec": round(t_sigs, 1),
+        "cands_sec": round(t_cands, 1),
+        "verify_sec": round(t_verify, 1),
+        "cluster_sec": round(t_cluster, 1),
+        "write_sec": round(t_write, 1),
+        "total_sec": round(t_sigs + t_cands + t_verify + t_cluster + t_write, 1),
+        "n_docs_signed": n_sigs,
+        "n_candidate_pairs": n_cands,
+        "n_verified_pairs": n_pairs,
+        "expected_dup_pairs": expected_pairs,
+        "n_components": int(stats.components),
+        "n_canonical": int(stats.canonical),
+        "total_shuffle_write_mb": round(
+            sum(s["shuffle_write_mb"] for s in stages), 1
+        ),
+        "total_spill_mb": round(sum(s["spill_mb"] for s in stages), 1),
+        "top_shuffle_stages": top,
+    }
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()
