@@ -761,9 +761,13 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver oracle compares against DuckDB's EXACT per-day distincts —
 # valid here because daily user cardinality at oracle scale (≤141 at
 # sf0.01) sits in the Datasketches HLL coupon range where the estimate
-# is the retained-coupon count, i.e. exact and deterministic. The
-# general re-aggregatability contract (merged-from-hours == one-shot
-# daily sketch at ANY cardinality) is pinned by test_plans.py.
+# is the retained-coupon count, i.e. exact and deterministic. Past that
+# range the estimate diverges within the sketch's rsd BY DESIGN — the
+# sf0.1 sweep (SELFCHECK_r06_sf01.txt) observes 1332 vs 1338 (0.45%);
+# the delivered error is bounded by the registered sketch_rollup_error
+# audit below. The general re-aggregatability contract (merged-from-
+# hours == one-shot daily sketch at ANY cardinality) is pinned by
+# test_plans.py.
 def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
@@ -784,6 +788,43 @@ SELECT cast(date_trunc('day', ts) AS timestamp) AS day,
        count(DISTINCT user_id) AS est_users
 FROM events GROUP BY date_trunc('day', ts)
 """
+
+
+# Rollup-accuracy audit for sketch_rollup_daily — the registered bound
+# for the one divergence the sf0.1 selfcheck sweep surfaces
+# (SELFCHECK_r06_sf01.txt): past the HLL coupon-exact range (daily
+# distincts ≳ 512 at lgK=12) the merged-sketch estimate is no longer
+# equal to DuckDB's exact COUNT(DISTINCT) — at sf0.1 the observed gap is
+# 1332 vs 1338 (0.45% rel. err, inside the sketch's ~1.6% rsd). This
+# query reports the DELIVERED error per day at whatever sf it runs, so
+# the degradation is auditable from the registry instead of silently
+# failing a hash gate; rows-only by design (the exact twin is half the
+# output). test_plans pins rel_err ≤ 2% on a synthetic 50k-cardinality
+# frame — i.e. well past the coupon range, where the sf0.01 oracle gate
+# structurally cannot see.
+def sketch_rollup_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("user_sketch")
+    )
+    merged = hourly.groupBy(F.date_trunc("day", "h").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+            "est_users"
+        )
+    )
+    exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "day").select(
+        "day",
+        "exact_users",
+        "est_users",
+        F.round(
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ).alias("rel_err"),
+    )
 
 
 # KLL quantile-sketch rollup — the quantile twin of sketch_rollup_daily.
@@ -1931,6 +1972,7 @@ QUERIES = {
     "q21_set_ops": (q21_set_ops, _Q21_SQL),
     "q22_sketch_profile": (q22_sketch_profile, None),
     "sketch_error_report": (sketch_error_report, None),
+    "sketch_rollup_error": (sketch_rollup_error, None),
     "sketch_rollup_daily": (sketch_rollup_daily, _SKETCH_ROLLUP_SQL),
     "sketch_quantile_rollup": (sketch_quantile_rollup, _SKETCH_QUANTILE_SQL),
     "sketch_retained_users": (sketch_retained_users, _SKETCH_RETAINED_SQL),

@@ -346,6 +346,40 @@ def test_sketch_rollup_merge_equals_direct(spark, sf_oracle):
         )
 
 
+def test_sketch_rollup_error_bounded_past_coupon_range(spark, sf_oracle):
+    """sketch_rollup_error is the registered bound for the one expected
+    divergence of the sf0.1 selfcheck sweep (SELFCHECK_r06_sf01.txt):
+    past the HLL coupon-exact range the rollup estimate differs from
+    exact COUNT(DISTINCT) within the sketch rsd. Assert the bound both
+    at oracle scale (coupon range: rel_err == 0) and on a synthetic
+    50k-cardinality day — two orders of magnitude past the coupon range,
+    which the sf0.01 oracle gate structurally cannot reach."""
+    from pyspark.sql import functions as F
+
+    rows = E.queries()["sketch_rollup_error"](spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err <= 0.02, f"{r.day}: {r.rel_err}"
+
+    midnight = 1_704_067_200  # 2024-01-01 00:00:00 UTC — one calendar day
+    users = spark.range(50_000).select(
+        F.timestamp_seconds(
+            F.lit(midnight) + (F.col("id") % 3) * 3600
+        ).alias("ts"),
+        F.col("id").alias("user_id"),
+    )
+    hourly = users.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk")
+    )
+    est = (
+        hourly.groupBy(F.date_trunc("day", "h").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert abs(est - 50_000) / 50_000 <= 0.02
+
+
 def test_sketch_rollup_partial_aggregation(spark, sf_smoke):
     """The rollup must keep BOTH aggregates partial-capable: map-side
     partial_hll_sketch_agg before the hour exchange (shuffle carries
