@@ -61,6 +61,11 @@ class FixtureRdsClient:
 
     def __init__(self, root: str):
         self.root = root
+        # one splitlines per (file, mtime), not per portion call: the
+        # real API pages server-side; a fixture that re-reads the whole
+        # file per 10k-line portion turns a 128 MB hour into O(file²)
+        # work and distorts the stream rehearsal's latency numbers
+        self._lines: dict[tuple[str, float], list[str]] = {}
 
     def describe_db_log_files(
         self,
@@ -98,8 +103,13 @@ class FixtureRdsClient:
         NumberOfLines: int = PORTION_LINES,
         **_kw,
     ) -> dict:
-        with open(os.path.join(self.root, LogFileName)) as f:
-            lines = f.read().splitlines(keepends=True)
+        path = os.path.join(self.root, LogFileName)
+        key = (LogFileName, os.path.getmtime(path))
+        lines = self._lines.get(key)
+        if lines is None:
+            with open(path) as f:
+                lines = f.read().splitlines(keepends=True)
+            self._lines = {key: lines}  # hold at most one file
         start = int(Marker)
         take = min(NumberOfLines, self.PORTION_LINES)
         chunk = lines[start : start + take]
