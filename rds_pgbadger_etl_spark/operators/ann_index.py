@@ -59,6 +59,8 @@ def build_ann_index(
     self-join); everything else written here is metadata-sized. Re-runs
     overwrite atomically per Spark's committer (O13 semantics).
     """
+    _CENTROIDS.pop(index_dir, None)  # rebuilt index invalidates the
+    _CODEBOOKS.pop(index_dir, None)  # in-process quantizer cache
     cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").cast("int").alias("cell"),
         F.col("embedding").alias("c_emb"),
@@ -110,6 +112,82 @@ def build_ann_index(
     )
 
 
+def append_to_ann_index(
+    spark: SparkSession,
+    emb_new: DataFrame,
+    index_dir: str,
+    n_tables: int = S.N_TABLES,
+    n_planes: int = S.N_PLANES,
+) -> None:
+    """Incremental index maintenance — the corpus grows, the index never
+    rebuilds. New vectors are encoded against the STORED quantizers
+    (centroids + PQ codebook are immutable once built: the IVF-PQ
+    invariant that makes append O(new), and what keeps old and new codes
+    comparable under one ADC LUT), then their rows APPEND into the
+    cell-partitioned tables — existing partitions' files are never
+    rewritten. Equivalence with a from-scratch build over the union
+    corpus is pinned by tests/test_ann_index.py (same quantizers ⇒
+    identical assignments, codes, bands, and search results)."""
+    cents = spark.read.parquet(f"{index_dir}/centroids").select(
+        "cell", F.col("c_emb")
+    )
+    scored = emb_new.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        S.cosine_batch(F.col("embedding"), F.col("c_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cell").cast("int").alias("cell"))
+        .persist()
+    )
+    try:
+        # PQ-encode against the stored codebook (pq_codes' exact packed-
+        # integer argmin, with `ic` coming from the artifact instead of
+        # the corpus' first PQ_K vectors)
+        cb = spark.read.parquet(f"{index_dir}/codebook")
+        lf = S.pq_long_form(emb_new)
+        d = F.col("iv") - F.col("ic")
+        codes = (
+            lf.join(F.broadcast(cb), ["subspace", "dim"])
+            .groupBy("vec_id", "subspace", "cell")
+            .agg(F.sum(d * d).alias("sq"))
+            .groupBy("vec_id", "subspace")
+            .agg(F.min(F.col("sq") * S.PQ_K + F.col("cell")).alias("packed"))
+            .select(
+                "vec_id",
+                "subspace",
+                (F.col("packed") % S.PQ_K).cast("int").alias("code"),
+            )
+        )
+        (
+            codes.join(cells.select("vec_id", "cell"), "vec_id")
+            .repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{index_dir}/vectors")
+        )
+        (
+            cells.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{index_dir}/raw")
+        )
+    finally:
+        cells.unpersist()
+    (
+        S.lsh_buckets_long(emb_new, n_tables=n_tables, n_planes=n_planes)
+        .select("vec_id", "bucket", "table_id")
+        .repartition("table_id")
+        .write.mode("append")
+        .partitionBy("table_id")
+        .parquet(f"{index_dir}/lsh_buckets")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-side query terms (tiny, exact twins of the distributed formulas).
 
@@ -122,11 +200,23 @@ def _rounded_cosines(q: np.ndarray, mat: np.ndarray) -> np.ndarray:
     return np.round(dots / norms, 6)
 
 
+# The quantizer tables (centroids, PQ codebook) are metadata-sized and
+# immutable once built — every real ANN service pins them in memory.
+# Cached per index_dir so repeated searches in one process pay the two
+# tiny collect jobs once.
+_CENTROIDS: dict[str, tuple] = {}
+_CODEBOOKS: dict[str, np.ndarray] = {}
+
+
 def _read_centroids(spark: SparkSession, index_dir: str):
+    cached = _CENTROIDS.get(index_dir)
+    if cached is not None:
+        return cached
     rows = spark.read.parquet(f"{index_dir}/centroids").collect()
     rows.sort(key=lambda r: r.cell)
     cells = [int(r.cell) for r in rows]
     mat = np.array([r.c_emb for r in rows], dtype=np.float64)
+    _CENTROIDS[index_dir] = (cells, mat)
     return cells, mat
 
 
@@ -148,14 +238,18 @@ def _adc_lut(
 ) -> list[tuple[int, int, int, int]]:
     """(q_id, subspace, code, d) rows: the query's exact integer squared
     distance to every PQ centroid — pq_distances in the local domain."""
-    cb = spark.read.parquet(f"{index_dir}/codebook").collect()
-    # ic[subspace][cell][dim]
-    n_sub = max(r.subspace for r in cb) + 1
-    n_cells = max(r.cell for r in cb) + 1
-    sub_dim = max(r.dim for r in cb) + 1
-    ic = np.zeros((n_sub, n_cells, sub_dim), dtype=np.int64)
-    for r in cb:
-        ic[r.subspace, r.cell, r.dim] = r.ic
+    ic = _CODEBOOKS.get(index_dir)
+    if ic is None:
+        cb = spark.read.parquet(f"{index_dir}/codebook").collect()
+        # ic[subspace][cell][dim]
+        n_sub = max(r.subspace for r in cb) + 1
+        n_cells = max(r.cell for r in cb) + 1
+        sub_dim = max(r.dim for r in cb) + 1
+        ic = np.zeros((n_sub, n_cells, sub_dim), dtype=np.int64)
+        for r in cb:
+            ic[r.subspace, r.cell, r.dim] = r.ic
+        _CODEBOOKS[index_dir] = ic
+    n_sub, n_cells, sub_dim = ic.shape
     lut = []
     for q_id, vec in queries:
         iq = np.round(

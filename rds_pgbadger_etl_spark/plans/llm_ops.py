@@ -2344,6 +2344,43 @@ def ann_index_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_upsert_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Index built on the FIRST HALF of the corpus, remainder appended
+    with append_to_ann_index — encoding new vectors against the stored
+    quantizers, no rebuild."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    key = sf_dir + "#upsert"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_upsert_")
+        emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+        half = emb.count() // 2
+        build_ann_index(spark, emb.filter(F.col("vec_id") < half), d)
+        append_to_ann_index(spark, emb.filter(F.col("vec_id") >= half), d)
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over the half-built-then-appended index. The oracle is the
+    SAME SQL as ann_ivfpq_topk / ann_index_ivfpq_topk: hash equality IS
+    the proof that incremental upsert produces the one-shot index."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_ivfpq_topk(
+        spark,
+        _ann_index_upsert_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -2392,6 +2429,7 @@ QUERIES = {
     "ann_index_ivfpq_topk": (ann_index_ivfpq_topk, _ANN_IVFPQ_SQL),
     "ann_index_ivf_topk": (ann_index_ivf_topk, _ANN_IVF_SQL),
     "ann_index_lsh_topk": (ann_index_lsh_topk, _ANN_LSH_SQL),
+    "ann_index_upsert_topk": (ann_index_upsert_topk, _ANN_IVFPQ_SQL),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
     "near_dup_triangles": (near_dup_triangles, _TRIANGLES_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, _HEAVY_HITTERS_SQL),

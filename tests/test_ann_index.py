@@ -79,6 +79,28 @@ def test_reader_plan_is_pruned_and_corpus_free(spark, index_dir):
     assert any("cell" in x and " IN " in x for x in pf), pf
 
 
+def test_upsert_equals_full_build(spark, index_dir, tmp_path):
+    """build(first half) + append(second half) must be search-equivalent
+    to build(full corpus) for ALL THREE readers: stored quantizers make
+    incremental encoding identical to one-shot encoding."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d2 = str(tmp_path / "upsert_index")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < half), d2)
+    AI.append_to_ann_index(spark, emb.filter(F.col("vec_id") >= half), d2)
+    qs = _queries(spark)
+    for reader in (
+        AI.ann_index_ivfpq_topk,
+        AI.ann_index_ivf_topk,
+        AI.ann_index_lsh_topk,
+    ):
+        assert _rows(reader(spark, d2, qs, K)) == _rows(
+            reader(spark, index_dir, qs, K)
+        ), reader.__name__
+
+
 def test_fresh_session_answers_from_index(spark, index_dir, tmp_path):
     """A brand-new Spark process given ONLY the index directory must
     return the same top-k — with no encode/assignment stage (no corpus
