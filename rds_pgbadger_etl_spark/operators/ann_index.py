@@ -35,7 +35,7 @@ hash-match the in-session ann_*_topk oracles exactly.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -128,20 +128,17 @@ def append_to_ann_index(
     rewritten. Equivalence with a from-scratch build over the union
     corpus is pinned by tests/test_ann_index.py (same quantizers ⇒
     identical assignments, codes, bands, and search results)."""
-    cents = spark.read.parquet(f"{index_dir}/centroids").select(
-        "cell", F.col("c_emb")
-    )
-    scored = emb_new.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        S.cosine_batch(F.col("embedding"), F.col("c_emb")).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    # map-only assignment against the STORED quantizer (same vectorized
+    # kernel and tie-break as similarity.ivf_cells — no join, no shuffle)
+    cell_ids, cent_matrix = _read_centroids(spark, index_dir)
+    assert cell_ids == list(range(len(cell_ids))), "non-contiguous cells"
+    nearest = S.nearest_cell_udf(cent_matrix)
     cells = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cell").cast("int").alias("cell"))
+        emb_new.select(
+            "vec_id",
+            "embedding",
+            nearest(F.col("embedding")).cast("int").alias("cell"),
+        )
         .persist()
     )
     try:
@@ -310,9 +307,8 @@ def ann_index_ivfpq_topk(
         .groupBy("q_id", "vec_id")
         .agg(F.sum("d").alias("adc_dist"))
     )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return S.topk_per_key(
+        scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], k
     )
 
 
@@ -341,9 +337,8 @@ def ann_index_ivf_topk(
             S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return S.topk_per_key(
+        scored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
 
@@ -408,7 +403,6 @@ def ann_index_lsh_topk(
             S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return S.topk_per_key(
+        scored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )

@@ -145,6 +145,40 @@ def lsh_buckets_long(
     )
 
 
+def topk_per_key(
+    scored: DataFrame, key: str, order: list[Column], k: int
+) -> DataFrame:
+    """Distributed per-key top-k WITHOUT a corpus-sized window partition.
+
+    ``Window.partitionBy(q_id)`` alone puts one query's ENTIRE scored
+    stream in one task — the partition-less-window class of failure at
+    100 TB (a handful of queries ⇒ a handful of straggler tasks sorting
+    the corpus). Two phases instead: (1) rank within (key, input
+    partition) — thousands of bounded sorts in parallel — and keep ≤ k
+    rows each; (2) rank the ≤ k x n_partitions survivors per key. Any
+    global top-k row is also top-k within its own partition, and the
+    ordering includes a unique tie-break everywhere, so the result is
+    IDENTICAL to the single-window plan; only the straggler is gone.
+    Shuffle volume is unchanged (phase 1 shuffles the same rows, into
+    (key, pid) groups instead of k giant ones; phase 2 is k x parts).
+    """
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lr",
+            F.row_number().over(
+                Window.partitionBy(key, "_pid").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:
@@ -163,10 +197,8 @@ def brute_force_topk(
             cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return topk_per_key(
+        joined, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
 
@@ -201,10 +233,8 @@ def filtered_topk(
             cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return topk_per_key(
+        joined, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
 
@@ -249,15 +279,35 @@ def lsh_topk(
             cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return topk_per_key(
+        scored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
 
 N_CENTROIDS = 16
 N_PROBE = 2
+
+
+def nearest_cell_udf(cent_matrix: np.ndarray):
+    """Pandas UDF assigning each vector to its nearest centroid by
+    rounded cosine, ties to the LOWER cell id (np.argmax returns the
+    first maximum) — the exact (sim desc, cell asc) top-1 convention of
+    the window/SQL formulation. One matmul per Arrow batch against the
+    closed-over quantizer matrix: the documented dense-numeric-kernel
+    exception to the no-Python-UDF policy (see lsh_buckets_long)."""
+    c = cent_matrix.astype(np.float64)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c, c))
+
+    @F.pandas_udf(T.LongType())
+    def nearest(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        x_norm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        sims = np.round((x @ c.T) / (x_norm[:, None] * c_norm[None, :]), 6)
+        return pd.Series(np.argmax(sims, axis=1).astype("int64"))
+
+    return nearest
 
 
 def ivf_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
@@ -266,26 +316,30 @@ def ivf_cells(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     Centroids are the first ``n_centroids`` vectors by id — a
     deterministic sample both engines can reproduce; production IVF
     refines them with :func:`kmeans_refine` below, which changes only
-    the centroid table, never the plan shape. Assignment is a broadcast
-    cross join against the tiny centroid set + one per-vector top-1
-    window.
+    the centroid table, never the plan shape.
+
+    Assignment is MAP-ONLY: the quantizer is metadata-sized, so it is
+    collected once and closed over in a vectorized kernel — the plan is
+    scan → project, no join, no aggregate, NO SHUFFLE (pinned by
+    test_llm_ops). The previous formulation (broadcast cross join +
+    per-vector window rank) shuffled corpus × n_centroids scored rows —
+    16× the corpus — on what is the expensive pass of an index build at
+    100 TB. Cosines round to 6 decimals before the argmax, the same
+    convention as cosine_batch, so fold-order noise cannot flip an
+    assignment and the DuckDB oracle reproduces it exactly.
     """
     from rds_pgbadger_etl_spark.sources.tables import rebalance
 
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    scored = rebalance(emb).crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        cosine_batch(F.col("embedding"), F.col("c_emb")).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    cent_rows.sort(key=lambda r: r.vec_id)
+    cent_matrix = np.array([r.embedding for r in cent_rows])
+    nearest = nearest_cell_udf(cent_matrix)
+    return rebalance(emb).select(
+        "vec_id", "embedding", nearest(F.col("embedding")).alias("cell")
     )
 
 
@@ -329,10 +383,8 @@ def ivf_topk(
             cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return topk_per_key(
+        scored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
 
@@ -562,11 +614,7 @@ def pq_adc_topk(
         .groupBy("q_id", "vec_id")
         .agg(F.sum("d").alias("adc_dist"))
     )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return topk_per_key(scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], k)
 
 
 def ivfpq_topk(
@@ -627,8 +675,4 @@ def ivfpq_topk(
         .groupBy("q_id", "vec_id")
         .agg(F.sum("d").alias("adc_dist"))
     )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return topk_per_key(scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], k)

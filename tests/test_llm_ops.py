@@ -37,6 +37,40 @@ def test_minhash_identical_texts_collide(spark, sf_smoke):
     assert all(r.jaccard == 1.0 for r in pairs if r.b == r.a + 1_000_000)
 
 
+def test_ivf_cells_assignment_is_map_only(spark, sf_smoke):
+    """The IVF build pass must be MAP-ONLY (scan -> vectorized argmax
+    against the closed-over quantizer): no window, no aggregate, no hash
+    exchange. The previous window formulation shuffled corpus x
+    n_centroids scored rows — 16x the corpus — on the expensive pass of
+    an index build at 100 TB."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    plan = (
+        S.ivf_cells(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "Aggregate" not in plan
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_topk_rankers_have_no_corpus_sized_window_partition(spark, sf_smoke):
+    """Query-side top-k must rank in two phases: a (key, input-partition)
+    local prune before the per-key global rank — a window partitioned by
+    q_id alone sorts one query's whole scored stream in ONE task."""
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    for df in (
+        S.brute_force_topk(emb, [0, 1], 5),
+        S.ivf_topk(emb, [0, 1], 5),
+        S.pq_adc_topk(emb, [0, 1], 5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the local phase ranks within (q_id, _pid=spark_partition_id())
+        assert "_pid" in plan, plan[:500]
+        assert "windowspecdefinition(q_id" in plan
+
+
 def test_pair_jaccard_strategies_agree(spark, sf_smoke):
     """The shuffle verify path (for candidate volumes past what the
     driver should collect — see BENCH_NOTES.md round 6) must return the
