@@ -763,19 +763,21 @@ GROUP BY source
 
 
 def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k (rank window + filter): the 'best K documents per
-    language' selection shape. One shuffle on the partition key; rank
-    runs within partitions — no global sort."""
-    from pyspark.sql import Window
+    """Per-group top-k, two-phase (similarity.topk_per_key): languages
+    are FEW, so a single rank window partitioned by lang puts one
+    language's entire corpus in one task — the local (lang, input
+    partition) prune bounds every sort and the global rank sees ≤
+    k x partitions survivors per language."""
+    from rds_pgbadger_etl_spark.operators.similarity import topk_per_key
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
-    )
-    return (
-        docs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("lang", "doc_id", "n_chars", "rnk")
+    return topk_per_key(
+        docs.select("lang", "doc_id", "n_chars"),
+        "lang",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        3,
+    ).select(
+        "lang", "doc_id", "n_chars", F.col("rank").cast("int").alias("rnk")
     )
 
 
@@ -791,7 +793,13 @@ WHERE rnk <= 3
 
 def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quantile bucketing per language (curriculum phases by doc
-    length): equal-frequency bins with a deterministic tiebreak."""
+    length): equal-frequency bins with a deterministic tiebreak.
+
+    Scale note: exact ntile needs each language's full order in one
+    window partition; at 100 TB use the quality_deciles stratified plan
+    (percentile_approx cut points per lang → window BY (lang, stratum)
+    with exact offset arithmetic — rank-equivalent, bounded partitions,
+    plans/llm_ops.quality_deciles)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")

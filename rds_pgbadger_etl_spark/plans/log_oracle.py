@@ -546,16 +546,20 @@ FROM lines GROUP BY error_severity, db
 # one rank window; ties at equal timestamps break on the payload text
 # for a deterministic example set.
 def log_error_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from rds_pgbadger_etl_spark.operators.similarity import topk_per_key
 
     parsed = _parsed(spark, sf_dir)
-    w = Window.partitionBy("level").orderBy(
-        F.col("event_ts").desc(), F.col("payload").asc()
-    )
+    # two-phase top-k: only TWO window-partition values exist (ERROR,
+    # WARNING) — a plain rank window would sort each level's whole
+    # event stream in one task at 100 TB
     return (
-        parsed.filter(F.col("level").isin("ERROR", "WARNING"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
+        topk_per_key(
+            parsed.filter(F.col("level").isin("ERROR", "WARNING")),
+            "level",
+            [F.col("event_ts").desc(), F.col("payload").asc()],
+            3,
+        )
+        .withColumnRenamed("rank", "rnk")
         .select(
             "level",
             F.col("rnk").cast("int").alias("rnk"),

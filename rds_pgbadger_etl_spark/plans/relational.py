@@ -1028,6 +1028,12 @@ FROM events GROUP BY user_bucket
 # deterministic (tie-broken) ordering; the filter keeps the top 0.5% —
 # the "flag outlier rows by in-group rank" shape. Both engines evaluate
 # (rank-1)/(n-1) on identical integers, so the doubles compare bit-equal.
+# Scale note: exact per-group percent_rank needs the full group order
+# (o_orderstatus has 3 values → 3 giant window partitions at 100 TB).
+# The scale-safe plan for this filter shape is the quality_deciles
+# technique (plans/llm_ops.py:~1709): percentile_approx cut point with
+# rank-error slack → prune to the ~0.6% survivors → exact window on the
+# survivors + group counts from a pre-agg for the (rank-1)/(n-1) offset.
 def q25_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
@@ -1451,22 +1457,34 @@ FROM changes
 # no join), then rank on the ROUNDED |z| so float fold-order can't
 # reorder near-ties; tie-break on event_id keeps the top-5 set exact.
 def q37_extreme_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.operators.similarity import topk_per_key
+
     ev = load_table(spark, sf_dir, "events")
-    wstats = Window.partitionBy("event_type")
-    z = F.round(
-        (F.col("value") - F.avg("value").over(wstats))
-        / F.stddev_samp("value").over(wstats),
-        6,
+    # per-type stats via a map-side-combined hash aggregate broadcast
+    # back by key — an unordered stats WINDOW over event_type would
+    # instead shuffle+sort the full event stream into a handful of
+    # type-sized partitions; same for the rank: two-phase top-k, never
+    # one task per event_type
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_avg"),
+        F.stddev_samp("value").alias("_sd"),
     )
-    wrank = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("z")).desc(), F.col("event_id")
-    )
-    return (
+    scored = (
         ev.select("event_type", "event_id", "value")
-        .withColumn("z", z)
-        .withColumn("rnk", F.row_number().over(wrank))
-        .filter(F.col("rnk") <= 5)
-        .select("event_type", "event_id", "value", "z", F.col("rnk").cast("int").alias("rnk"))
+        .join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "z",
+            F.round((F.col("value") - F.col("_avg")) / F.col("_sd"), 6),
+        )
+    )
+    return topk_per_key(
+        scored, "event_type", [F.abs(F.col("z")).desc(), F.col("event_id")], 5
+    ).select(
+        "event_type",
+        "event_id",
+        "value",
+        "z",
+        F.col("rank").cast("int").alias("rnk"),
     )
 
 
