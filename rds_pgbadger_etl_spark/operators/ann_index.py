@@ -85,7 +85,10 @@ def build_ann_index(
     # one assignment pass feeds both partitioned layouts
     cells = cells.persist()
     try:
-        codes = S.pq_codes(emb).select("vec_id", "subspace", "code")
+        # vectorized encoder (map-only) — bit-identical to the long-form
+        # reference S.pq_codes, pinned by test; at 100 TB the encode pass
+        # must not fan out corpus x dims x k rows through aggregates
+        codes = S.pq_codes_fast(emb)
         (
             codes.join(cells.select("vec_id", "cell"), "vec_id")
             .repartition("cell")
@@ -142,24 +145,10 @@ def append_to_ann_index(
         .persist()
     )
     try:
-        # PQ-encode against the stored codebook (pq_codes' exact packed-
-        # integer argmin, with `ic` coming from the artifact instead of
-        # the corpus' first PQ_K vectors)
-        cb = spark.read.parquet(f"{index_dir}/codebook")
-        lf = S.pq_long_form(emb_new)
-        d = F.col("iv") - F.col("ic")
-        codes = (
-            lf.join(F.broadcast(cb), ["subspace", "dim"])
-            .groupBy("vec_id", "subspace", "cell")
-            .agg(F.sum(d * d).alias("sq"))
-            .groupBy("vec_id", "subspace")
-            .agg(F.min(F.col("sq") * S.PQ_K + F.col("cell")).alias("packed"))
-            .select(
-                "vec_id",
-                "subspace",
-                (F.col("packed") % S.PQ_K).cast("int").alias("code"),
-            )
-        )
+        # PQ-encode against the STORED codebook with the vectorized
+        # kernel (map-only; same integer argmin + tie-break as the
+        # long-form reference path)
+        codes = S.pq_codes_fast(emb_new, ic=_load_codebook(spark, index_dir))
         (
             codes.join(cells.select("vec_id", "cell"), "vec_id")
             .repartition("cell")
@@ -217,6 +206,22 @@ def _read_centroids(spark: SparkSession, index_dir: str):
     return cells, mat
 
 
+def _load_codebook(spark: SparkSession, index_dir: str) -> np.ndarray:
+    """Stored integer codebook as ``ic[subspace][cell][dim]`` (cached
+    per index_dir — metadata-sized, immutable once built)."""
+    ic = _CODEBOOKS.get(index_dir)
+    if ic is None:
+        cb = spark.read.parquet(f"{index_dir}/codebook").collect()
+        n_sub = max(r.subspace for r in cb) + 1
+        n_cells = max(r.cell for r in cb) + 1
+        sub_dim = max(r.dim for r in cb) + 1
+        ic = np.zeros((n_sub, n_cells, sub_dim), dtype=np.int64)
+        for r in cb:
+            ic[r.subspace, r.cell, r.dim] = r.ic
+        _CODEBOOKS[index_dir] = ic
+    return ic
+
+
 def _probe_cells(
     queries: list[Query], cells: list[int], mat: np.ndarray, n_probe: int
 ) -> list[tuple[int, int]]:
@@ -235,17 +240,7 @@ def _adc_lut(
 ) -> list[tuple[int, int, int, int]]:
     """(q_id, subspace, code, d) rows: the query's exact integer squared
     distance to every PQ centroid — pq_distances in the local domain."""
-    ic = _CODEBOOKS.get(index_dir)
-    if ic is None:
-        cb = spark.read.parquet(f"{index_dir}/codebook").collect()
-        # ic[subspace][cell][dim]
-        n_sub = max(r.subspace for r in cb) + 1
-        n_cells = max(r.cell for r in cb) + 1
-        sub_dim = max(r.dim for r in cb) + 1
-        ic = np.zeros((n_sub, n_cells, sub_dim), dtype=np.int64)
-        for r in cb:
-            ic[r.subspace, r.cell, r.dim] = r.ic
-        _CODEBOOKS[index_dir] = ic
+    ic = _load_codebook(spark, index_dir)
     n_sub, n_cells, sub_dim = ic.shape
     lut = []
     for q_id, vec in queries:

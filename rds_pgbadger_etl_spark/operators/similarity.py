@@ -583,6 +583,79 @@ def pq_codes(emb: DataFrame) -> DataFrame:
     )
 
 
+def _half_up(p: np.ndarray) -> np.ndarray:
+    """HALF_UP rounding (away from zero on .5) — the exact semantics of
+    Spark's ``round()`` (BigDecimal HALF_UP) so kernel-quantized
+    components match ``pq_long_form``'s ``F.round(xf * SCALE)`` bit for
+    bit; np.round would round half-to-even and flip components landing
+    exactly on .5."""
+    return np.where(
+        p >= 0, np.floor(p + 0.5), -np.floor(-p + 0.5)
+    ).astype(np.int64)
+
+
+def pq_encode_udf(ic: np.ndarray):
+    """Vectorized PQ encoder closed over the integer codebook
+    ``ic[m][k][sub]``: per Arrow batch, quantize components (HALF_UP,
+    PQ_INT_SCALE) and argmin exact integer squared distances per
+    subspace (ties to the lower cell — np.argmin returns the first
+    minimum, matching pq_codes' packed-integer min). Returns the m
+    codes as one array column."""
+    m, _k, sub = ic.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        iq = _half_up(x * PQ_INT_SCALE)
+        out = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            qs = iq[:, s * sub : (s + 1) * sub]
+            # (n, k): exact integer distances, no float anywhere
+            d = ((qs[:, None, :] - ic[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return encode
+
+
+def pq_codes_fast(emb: DataFrame, ic: np.ndarray | None = None) -> DataFrame:
+    """(vec_id, subspace, code) via the vectorized encoder — the
+    production encode pass :func:`pq_distances` documents ("for
+    production-size codebooks swap the inner product for a Pandas-UDF
+    batch kernel"). MAP-ONLY: no join, no aggregate, no shuffle — the
+    long-form reference path fans out corpus x dims x k rows through two
+    aggregates, which is the right oracle-checkable formulation and the
+    wrong 100 TB one. Bit-identical codes are pinned by
+    tests/test_llm_ops.py::test_pq_codes_fast_matches_reference (integer
+    distance domain + HALF_UP quantization + first-minimum ties).
+
+    ``ic`` is the integer codebook ``[m][k][sub]``; derived from the
+    corpus' first PQ_K vectors (the deterministic-sample convention)
+    when not given.
+    """
+    if ic is None:
+        rows = (
+            emb.filter(F.col("vec_id") < PQ_K)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        rows.sort(key=lambda r: r.vec_id)
+        flat = _half_up(
+            np.array([r.embedding for r in rows], dtype=np.float64)
+            * PQ_INT_SCALE
+        )  # (k, dim)
+        ic = np.stack(
+            [flat[:, s * PQ_SUB : (s + 1) * PQ_SUB] for s in range(PQ_M)]
+        )  # (m, k, sub)
+    encode = pq_encode_udf(ic)
+    return emb.select(
+        "vec_id",
+        F.posexplode(encode(F.col("embedding"))).alias("subspace", "code"),
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_ids: list[int],

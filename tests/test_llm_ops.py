@@ -71,6 +71,28 @@ def test_topk_rankers_have_no_corpus_sized_window_partition(spark, sf_smoke):
         assert "windowspecdefinition(q_id" in plan
 
 
+def test_pq_codes_fast_matches_reference(spark, sf_oracle):
+    """The vectorized encode kernel must produce BIT-IDENTICAL codes to
+    the long-form reference path on the full oracle corpus: exact
+    integer distance domain, HALF_UP quantization (Spark round()
+    semantics, not np.round's half-to-even), first-minimum tie-break."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    ref = {
+        (r.vec_id, r.subspace): r.code
+        for r in S.pq_codes(emb).select("vec_id", "subspace", "code").collect()
+    }
+    fast = {
+        (r.vec_id, r.subspace): r.code for r in S.pq_codes_fast(emb).collect()
+    }
+    assert fast == ref and len(ref) > 0
+    # and the kernel plan is map-only: no join, no aggregate, no shuffle
+    plan = (
+        S.pq_codes_fast(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Aggregate" not in plan
+    assert "hashpartitioning" not in plan
+
+
 def test_pair_jaccard_strategies_agree(spark, sf_smoke):
     """The shuffle verify path (for candidate volumes past what the
     driver should collect — see BENCH_NOTES.md round 6) must return the

@@ -1,0 +1,154 @@
+"""ANN-index scale rehearsal — build/search the persisted index at GB
+scale (the artifact's twin of the parse/dedup/stream rehearsals).
+
+Generates a deterministic synthetic embedding corpus (n x 64 float32,
+seeded rand), builds the on-disk IVF-PQ/LSH index with
+operators/ann_index.build_ann_index (map-only assignment + map-only
+vectorized PQ encode after round 6), and measures at 1x/2x:
+
+- build wall time + per-stage shuffle bytes (expect ~zero shuffle on
+  assignment/encode; the only exchanges are the partitionBy writes),
+- artifact sizes (codes ≈ 2 bytes/vector of search payload vs 256 B raw),
+- warm search latency from the artifact (ivfpq reader, best of 3) and
+  the bytes actually scanned by the pruned search vs the raw corpus —
+  the IVF partition-pruning ratio delivered, not claimed,
+- brute-force exact search over the raw corpus for the same queries, as
+  the latency baseline.
+
+Usage:  python tools/ann_rehearsal.py [n_vecs]
+Corpus parquet under $REHEARSAL_DIR (default /tmp/ann_rehearsal),
+reused when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.parse_rehearsal import stage_metrics  # noqa: E402
+
+BASE = os.environ.get("REHEARSAL_DIR", "/tmp/ann_rehearsal")
+DIM = 64
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def main() -> None:
+    n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    corpus = f"{BASE}/emb_{n_vecs}"
+    evdir = f"{BASE}/eventlog"
+    index_dir = f"{BASE}/index_{n_vecs}"
+    os.makedirs(evdir, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.operators import similarity as S
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ann-rehearsal",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+
+    t_gen = 0.0
+    if not os.path.isdir(corpus):
+        t0 = time.perf_counter()
+        cols = F.array(
+            *[F.rand(seed=1000 + j).cast("float") for j in range(DIM)]
+        )
+        (
+            spark.range(n_vecs)
+            .select(F.col("id").alias("vec_id"), cols.alias("embedding"))
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(corpus)
+        )
+        t_gen = time.perf_counter() - t0
+    corpus_bytes = _dir_bytes(corpus)
+    emb = spark.read.parquet(corpus)
+
+    # --- build ---------------------------------------------------------
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    AI.build_ann_index(spark, emb, index_dir)
+    t_build = time.perf_counter() - t0
+    sizes = {
+        part: round(_dir_bytes(f"{index_dir}/{part}") / 1e6, 1)
+        for part in ("vectors", "raw", "lsh_buckets", "centroids", "codebook")
+    }
+
+    # --- search --------------------------------------------------------
+    q_rows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in q_rows]
+
+    def best_of_3(fn):
+        runs = []
+        for _ in range(3):
+            t = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t)
+        return round(min(runs), 3)
+
+    t_index_search = best_of_3(
+        lambda: AI.ann_index_ivfpq_topk(spark, index_dir, queries, 10)
+    )
+    t_ivf_flat = best_of_3(
+        lambda: AI.ann_index_ivf_topk(spark, index_dir, queries, 10)
+    )
+    t_brute = best_of_3(
+        lambda: S.brute_force_topk(emb, [q for q, _ in queries], 10)
+    )
+
+    # pruning delivered: partitions the ivfpq reader actually scans
+    df = AI.ann_index_ivfpq_topk(spark, index_dir, queries, 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pruned = "PartitionFilters" in plan and " IN " in plan
+
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    time.sleep(2)
+
+    stages = stage_metrics(evdir)
+    print(
+        json.dumps(
+            {
+                "app_id": app_id,
+                "n_vecs": n_vecs,
+                "corpus_mb": round(corpus_bytes / 1e6, 1),
+                "gen_sec": round(t_gen, 1),
+                "build_sec": round(t_build, 1),
+                "index_mb": sizes,
+                "search_ivfpq_sec": t_index_search,
+                "search_ivf_flat_sec": t_ivf_flat,
+                "search_brute_sec": t_brute,
+                "partition_pruned": pruned,
+                "total_shuffle_write_mb": round(
+                    sum(s["shuffle_write_mb"] for s in stages), 1
+                ),
+                "total_spill_mb": round(
+                    sum(s["spill_mb"] for s in stages), 1
+                ),
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
