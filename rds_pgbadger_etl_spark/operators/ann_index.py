@@ -51,20 +51,34 @@ def build_ann_index(
     n_centroids: int = S.N_CENTROIDS,
     n_tables: int = S.N_TABLES,
     n_planes: int = S.N_PLANES,
+    refine_iters: int = 0,
 ) -> None:
     """Encode the corpus once and land every staging table on disk.
 
     One IVF assignment pass + one PQ encode pass + one LSH banding pass
-    over ``emb`` (each a broadcast-join / map-side plan, no corpus
-    self-join); everything else written here is metadata-sized. Re-runs
-    overwrite atomically per Spark's committer (O13 semantics).
+    over ``emb`` (all map-only vectorized kernels over the
+    metadata-sized quantizers — zero shuffle; the only exchanges are the
+    partitionBy writes); everything else written here is metadata-sized.
+    Re-runs overwrite atomically per Spark's committer (O13 semantics).
+
+    ``refine_iters > 0`` trains the coarse quantizer with Lloyd's
+    k-means (similarity.kmeans_centroids — the production refinement the
+    ivf_cells docstring describes) before assignment; the artifact
+    layout and every reader are unchanged, because readers derive
+    probes from the STORED centroid table, whatever produced it.
     """
     _CENTROIDS.pop(index_dir, None)  # rebuilt index invalidates the
     _CODEBOOKS.pop(index_dir, None)  # in-process quantizer cache
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").cast("int").alias("cell"),
-        F.col("embedding").alias("c_emb"),
-    )
+    if refine_iters > 0:
+        cents = S.kmeans_centroids(emb, n_centroids, refine_iters + 1).select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("c_emb").cast("array<float>").alias("c_emb"),
+        )
+    else:
+        cents = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("embedding").alias("c_emb"),
+        )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
     codebook = (
@@ -79,8 +93,16 @@ def build_ann_index(
     )
     codebook.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
 
-    cells = S.ivf_cells(emb, n_centroids).select(
-        "vec_id", "embedding", F.col("cell").cast("int").alias("cell")
+    # map-only assignment against the JUST-WRITTEN centroid table (the
+    # same kernel and semantics as similarity.ivf_cells; for
+    # refine_iters=0 the matrix is identical, so so are the cells)
+    cell_ids, cent_matrix = _read_centroids(spark, index_dir)
+    assert cell_ids == list(range(len(cell_ids))), "non-contiguous cells"
+    nearest = S.nearest_cell_udf(cent_matrix)
+    cells = emb.select(
+        "vec_id",
+        "embedding",
+        nearest(F.col("embedding")).cast("int").alias("cell"),
     )
     # one assignment pass feeds both partitioned layouts
     cells = cells.persist()

@@ -445,6 +445,19 @@ def kmeans_refine(
     run the update on a fixed-rate hash sample (mini-batch k-means) —
     same plan, sampled input; iteration count stays a small constant,
     so the whole refinement is ~n_iters corpus scans."""
+    return _assign_cells(emb, kmeans_centroids(emb, k, n_iters)).select(
+        "vec_id", F.col("cell").alias("cluster"), "dist"
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = KMEANS_K, n_iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """The centroid table :func:`kmeans_refine` trains — deterministic
+    init (first ``k`` vectors), ``n_iters - 1`` assign→recompute rounds
+    — exposed so the persisted ANN index can be built on REFINED
+    centroids (ann_index.build_ann_index(refine_iters=...)) instead of
+    the raw deterministic sample. Returns (cell, c_emb<array<double>>)."""
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), as_double(F.col("embedding")).alias("c_emb")
     )
@@ -460,9 +473,7 @@ def kmeans_refine(
             .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
             .select("cell", F.transform("s", lambda x: x["c"]).alias("c_emb"))
         )
-    return _assign_cells(emb, cents).select(
-        "vec_id", F.col("cell").alias("cluster"), "dist"
-    )
+    return cents
 
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:

@@ -2375,6 +2375,68 @@ def _ann_index_upsert_shared(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _ann_index_refined_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Index whose coarse quantizer is kmeans-REFINED (2 Lloyd rounds)
+    instead of the deterministic first-N sample — the production
+    refinement wired into the artifact build."""
+    from rds_pgbadger_etl_spark.operators.ann_index import build_ann_index
+
+    key = sf_dir + "#refined"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_refined_")
+        build_ann_index(
+            spark,
+            rebalance(load_table(spark, sf_dir, "embeddings")),
+            d,
+            refine_iters=2,
+        )
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+_REFINED_RECALL_K = 10
+
+
+def ann_index_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 vs exact brute-force truth for the persisted artifact
+    under BOTH coarse quantizers — the deterministic first-N sample and
+    the kmeans-refined one (refine_iters=2). Rows-only by design (the
+    metric grades approximation quality, same rationale as
+    ann_recall_report); the fixed denominator is |queries| x k so a
+    variant returning short lists is penalized, not excused. This is
+    the registry-auditable answer to 'does refining the quantizer
+    change delivered recall on THIS corpus?'."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    truth = (
+        S.brute_force_topk(emb, _QUERY_IDS, _REFINED_RECALL_K)
+        .select("q_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    qvecs = _query_vectors(spark, sf_dir)
+    variants = [
+        ("first_n", _ann_index_shared(spark, sf_dir)),
+        ("kmeans_refined", _ann_index_refined_shared(spark, sf_dir)),
+    ]
+    cands = None
+    for name, d in variants:
+        got = AI.ann_index_ivfpq_topk(
+            spark, d, qvecs, _REFINED_RECALL_K
+        ).select(F.lit(name).alias("variant"), "q_id", "vec_id")
+        cands = got if cands is None else cands.unionByName(got)
+    denom = len(_QUERY_IDS) * _REFINED_RECALL_K
+    return (
+        cands.join(F.broadcast(truth), ["q_id", "vec_id"], "left")
+        .groupBy("variant")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+        .withColumn("recall_at_k", F.round(F.col("n_hits") / F.lit(denom), 4))
+    )
+
+
 def ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search over the half-built-then-appended index. The oracle is the
     SAME SQL as ann_ivfpq_topk / ann_index_ivfpq_topk: hash equality IS
@@ -2438,6 +2500,7 @@ QUERIES = {
     "ann_index_ivf_topk": (ann_index_ivf_topk, _ANN_IVF_SQL),
     "ann_index_lsh_topk": (ann_index_lsh_topk, _ANN_LSH_SQL),
     "ann_index_upsert_topk": (ann_index_upsert_topk, _ANN_IVFPQ_SQL),
+    "ann_index_refined_recall": (ann_index_refined_recall, None),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
     "near_dup_triangles": (near_dup_triangles, _TRIANGLES_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, _HEAVY_HITTERS_SQL),

@@ -101,6 +101,44 @@ def test_upsert_equals_full_build(spark, index_dir, tmp_path):
         ), reader.__name__
 
 
+def test_refined_build_and_recall_query(spark, index_dir, tmp_path):
+    """refine_iters wires kmeans_centroids into the artifact build: the
+    refined index must serve well-formed top-k from its own stored
+    quantizer, and the registered recall audit must report both
+    variants with sane recall (the refined variant is graded, not
+    assumed better — uniform synthetic corpora need not reward it)."""
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.plans.llm_ops import (
+        ann_index_refined_recall,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "refined_index")
+    AI.build_ann_index(spark, emb, d, refine_iters=2)
+    # the stored quantizer is the refined one, not the first-N sample
+    stored = {
+        r.cell: list(r.c_emb)
+        for r in spark.read.parquet(f"{d}/centroids").collect()
+    }
+    first_n = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    }
+    assert stored.keys() == set(range(16))
+    assert any(stored[c] != first_n[c] for c in stored)
+
+    got = AI.ann_index_ivfpq_topk(spark, d, _queries(spark), K)
+    per_q = {r.q_id for r in got.collect()}
+    assert per_q == set(QUERY_IDS)
+    assert got.count() == len(QUERY_IDS) * K
+
+    rows = {r.variant: r for r in ann_index_refined_recall(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"first_n", "kmeans_refined"}
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_k <= 1.0 and r.n_hits >= 0
+
+
 def test_fresh_session_answers_from_index(spark, index_dir, tmp_path):
     """A brand-new Spark process given ONLY the index directory must
     return the same top-k — with no encode/assignment stage (no corpus
