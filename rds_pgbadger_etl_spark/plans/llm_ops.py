@@ -2375,6 +2375,30 @@ def _ann_index_upsert_shared(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def embed_documents_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-inference stage (operators/inference.embed_documents):
+    text → embedding vectors through the real mapInPandas plumbing with
+    the deterministic stub encoder, exploded to scalar (doc_id, dim,
+    val) rows so the driver canonicalizer can hash it against the
+    DuckDB md5-projection twin bit for bit — the full inference
+    data-path is oracle-gated even though the model itself is a stub."""
+    from rds_pgbadger_etl_spark.operators.inference import embed_documents
+
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    return embed_documents(docs).select(
+        "doc_id", F.posexplode("embedding").alias("dim", "_f")
+    ).select("doc_id", "dim", F.col("_f").cast("double").alias("val"))
+
+
+_EMBED_DOCS_SQL = """
+SELECT doc_id, cast(j AS int) AS dim,
+       CAST(CAST(((CAST('0x' || substr(md5(md5(text) || ':' || j), 1, 8)
+                   AS bigint) % 2000001) - 1000000) / 1000000.0
+            AS real) AS double) AS val
+FROM documents, generate_series(0, 15) t(j)
+"""
+
+
 def _ann_index_refined_shared(spark: SparkSession, sf_dir: str) -> str:
     """Index whose coarse quantizer is kmeans-REFINED (2 Lloyd rounds)
     instead of the deterministic first-N sample — the production
@@ -2501,6 +2525,7 @@ QUERIES = {
     "ann_index_lsh_topk": (ann_index_lsh_topk, _ANN_LSH_SQL),
     "ann_index_upsert_topk": (ann_index_upsert_topk, _ANN_IVFPQ_SQL),
     "ann_index_refined_recall": (ann_index_refined_recall, None),
+    "embed_documents_batch": (embed_documents_batch, _EMBED_DOCS_SQL),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
     "near_dup_triangles": (near_dup_triangles, _TRIANGLES_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, _HEAVY_HITTERS_SQL),

@@ -71,6 +71,38 @@ def test_topk_rankers_have_no_corpus_sized_window_partition(spark, sf_smoke):
         assert "windowspecdefinition(q_id" in plan
 
 
+def test_embed_documents_plumbing(spark, sf_smoke):
+    """The batch-inference operator's Spark contract: map-only plan
+    (no shuffle — the stage scales with input splits), stable schema,
+    dim-length float vectors, partitioning-invariant output, and the
+    vectors feed the ANN machinery unchanged."""
+    from rds_pgbadger_etl_spark.operators.inference import (
+        EMBED_DIM,
+        embed_documents,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    emb = embed_documents(docs)
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "Join" not in plan
+
+    rows = {r.doc_id: r.embedding for r in emb.collect()}
+    assert len(rows) == 40
+    assert all(len(v) == EMBED_DIM for v in rows.values())
+    # deterministic under a different physical partitioning
+    rows2 = {
+        r.doc_id: r.embedding
+        for r in embed_documents(docs.repartition(7)).collect()
+    }
+    assert rows == rows2
+
+    # output plugs into the similarity operators unchanged
+    vecs = emb.withColumnRenamed("doc_id", "vec_id")
+    ids = sorted(rows)[:2]
+    top = S.brute_force_topk(vecs, ids, 3).collect()
+    assert {r.q_id for r in top} == set(ids)
+
+
 def test_pq_codes_fast_matches_reference(spark, sf_oracle):
     """The vectorized encode kernel must produce BIT-IDENTICAL codes to
     the long-form reference path on the full oracle corpus: exact
