@@ -1028,22 +1028,40 @@ FROM events GROUP BY user_bucket
 # deterministic (tie-broken) ordering; the filter keeps the top 0.5% —
 # the "flag outlier rows by in-group rank" shape. Both engines evaluate
 # (rank-1)/(n-1) on identical integers, so the doubles compare bit-equal.
-# Scale note: exact per-group percent_rank needs the full group order
-# (o_orderstatus has 3 values → 3 giant window partitions at 100 TB).
-# The scale-safe plan for this filter shape is the quality_deciles
-# technique (plans/llm_ops.py:~1709): percentile_approx cut point with
-# rank-error slack → prune to the ~0.6% survivors → exact window on the
-# survivors + group counts from a pre-agg for the (rank-1)/(n-1) offset.
+#
+# SCALE-SAFE EXACT FORMULATION (round 6): a naive percent_rank window
+# needs the full group order — o_orderstatus has 3 values, so 3
+# corpus-sized window partitions at 100 TB. Instead: (1) per-group n
+# from a hash aggregate; (2) an approx cut point with rank-error slack
+# (percentile_approx accuracy 10k ⇒ rank error ≤ n/10⁴; pruning at the
+# 0.99 quantile can therefore never drop a true pr ≥ 0.995 row);
+# (3) the exact window runs only on the ~1% survivors, DESCENDING, and
+# the full-group ASC rank is recovered arithmetically: the ordering is
+# a TOTAL order (o_orderkey tie-break), so asc_rank = n - desc_rank + 1,
+# pr = (asc_rank-1)/(n-1) = (n - desc_rank)/(n-1), cd = asc_rank/n.
+# Hash equality with the full-window DuckDB oracle is the proof that
+# the pruned plan is exact, not approximate.
 def q25_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    stats = od.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx("o_totalprice", 0.99, 10_000).alias("_cut"),
+    )
+    survivors = od.join(F.broadcast(stats), "o_orderstatus").filter(
+        F.col("o_totalprice") >= F.col("_cut")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    n, dr = F.col("_n"), F.col("_dr")
     return (
-        od.select(
+        survivors.withColumn("_dr", F.row_number().over(w))
+        .select(
             "o_orderstatus",
             "o_orderkey",
             "o_totalprice",
-            F.percent_rank().over(w).alias("pr"),
-            F.cume_dist().over(w).alias("cd"),
+            ((n - dr) / (n - F.lit(1))).alias("pr"),
+            ((n - dr + F.lit(1)) / n).alias("cd"),
         )
         .filter(F.col("pr") >= 0.995)
     )
