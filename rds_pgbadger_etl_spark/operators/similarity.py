@@ -146,7 +146,7 @@ def lsh_buckets_long(
 
 
 def topk_per_key(
-    scored: DataFrame, key: str, order: list[Column], k: int
+    scored: DataFrame, key: str | list[str], order: list[Column], k: int
 ) -> DataFrame:
     """Distributed per-key top-k WITHOUT a corpus-sized window partition.
 
@@ -162,18 +162,19 @@ def topk_per_key(
     Shuffle volume is unchanged (phase 1 shuffles the same rows, into
     (key, pid) groups instead of k giant ones; phase 2 is k x parts).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     local = (
         scored.withColumn("_pid", F.spark_partition_id())
         .withColumn(
             "_lr",
             F.row_number().over(
-                Window.partitionBy(key, "_pid").orderBy(*order)
+                Window.partitionBy(*keys, "_pid").orderBy(*order)
             ),
         )
         .filter(F.col("_lr") <= k)
         .drop("_pid", "_lr")
     )
-    w = Window.partitionBy(key).orderBy(*order)
+    w = Window.partitionBy(*keys).orderBy(*order)
     return local.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )

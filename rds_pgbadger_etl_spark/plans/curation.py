@@ -327,16 +327,22 @@ _STRATUM_K = 2
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-phase per-stratum pick (few strata — see similarity.topk_per_key)
+    from rds_pgbadger_etl_spark.operators.similarity import topk_per_key
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang", "source").orderBy("skey")
     return (
-        docs.select(
-            "lang", "source", "doc_id",
-            C.training_order_key("doc_id", seed="strat:").alias("skey"),
+        topk_per_key(
+            docs.select(
+                "lang", "source", "doc_id",
+                C.training_order_key("doc_id", seed="strat:").alias("skey"),
+            ),
+            ["lang", "source"],
+            [F.col("skey").asc(), F.col("doc_id").asc()],
+            _STRATUM_K,
         )
-        .withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= _STRATUM_K)
-        .drop("skey")
+        .withColumn("rk", F.col("rank").cast("int"))
+        .drop("skey", "rank")
     )
 
 

@@ -1437,13 +1437,16 @@ def canonical_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.filter(F.col("is_canonical") == 1).select("doc_id"), "doc_id"
     )
     rk = hex_hash64(F.col("doc_id").cast("string"), seed="canon:")
-    w = Window.partitionBy("source").orderBy(rk.asc(), F.col("doc_id").asc())
-    return (
-        canon.select("doc_id", "source", "n_chars")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= CANONICAL_SAMPLE_K)
-        .select("doc_id", "source", "n_chars")
-    )
+    # two-phase per-source sample pick (sources are FEW — a single rank
+    # window would sort one source's whole corpus in one task)
+    from rds_pgbadger_etl_spark.operators.similarity import topk_per_key
+
+    return topk_per_key(
+        canon.select("doc_id", "source", "n_chars"),
+        "source",
+        [rk.asc(), F.col("doc_id").asc()],
+        CANONICAL_SAMPLE_K,
+    ).select("doc_id", "source", "n_chars")
 
 
 _CANONICAL_SAMPLE_SQL = f"""
