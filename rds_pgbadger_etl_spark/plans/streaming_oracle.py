@@ -387,8 +387,60 @@ FROM events GROUP BY date_trunc('hour', ts)
 """
 
 
+def stream_embed_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streamed inference — the batch-inference operator
+    (operators/inference.embed_documents, Arrow-batched mapInPandas with
+    the deterministic stub encoder) running INSIDE the micro-batch
+    pipeline: inference-at-ingest, the pattern that embeds documents as
+    they arrive instead of in a later batch sweep. availableNow, append
+    to a memory sink (stateless operators end-to-end, so exactly-once
+    rows). The oracle is the same md5-projection computed by DuckDB over
+    the batch table — hash equality proves the STREAMING execution of
+    the encoder produces the batch answer. A ~1% event slice keeps the
+    oracle compare bounded; props may be NULL → both engines encode ''.
+    """
+    from rds_pgbadger_etl_spark.operators.inference import embed_documents
+    from rds_pgbadger_etl_spark.streaming.ingest import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    def launch(name: str, ckpt: str) -> DataFrame:
+        stream = read_event_stream(spark, sf_dir).filter(
+            F.col("event_id") % 97 == 0
+        )
+        emb = embed_documents(
+            stream.select(
+                F.col("event_id").alias("doc_id"),
+                F.coalesce("props", F.lit("")).alias("text"),
+            )
+        )
+        out = emb.select(
+            F.col("doc_id").alias("event_id"),
+            F.posexplode("embedding").alias("dim", "_f"),
+        ).select(
+            "event_id", "dim", F.col("_f").cast("double").alias("val")
+        )
+        run_available_now(out, ckpt, name, output_mode="append")
+        return spark.table(name)
+
+    return _run_stream_cached(spark, sf_dir, "embed_props", launch)
+
+
+_STREAM_EMBED_SQL = """
+SELECT event_id, cast(j AS int) AS dim,
+       CAST(CAST(((CAST('0x' || substr(md5(md5(coalesce(props, ''))
+                                       || ':' || j), 1, 8)
+                   AS bigint) % 2000001) - 1000000) / 1000000.0
+            AS real) AS double) AS val
+FROM events, generate_series(0, 15) t(j)
+WHERE event_id % 97 = 0
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
+    "stream_embed_props": (stream_embed_props, _STREAM_EMBED_SQL),
     "stream_sketch_users": (stream_sketch_users, _STREAM_SKETCH_SQL),
     "sliding_window_counts": (sliding_window_counts, _SLIDING_SQL),
     "stream_enrich_counts": (stream_enrich_counts, _STREAM_ENRICH_SQL),
