@@ -49,3 +49,72 @@ def oracle_exact_avg(expr: str) -> str:
         f"cast(sum(cast(({expr}) as {_DECIMAL})) as double)"
         f" / cast(count({expr}) as double)"
     )
+
+
+def segmented_cumsum(
+    df,
+    seg_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+):
+    """Exact running sum of ``value_col`` within each segment
+    (``seg_cols``) in ``order_cols`` order — WITHOUT a segment-sized
+    window partition. A plain ``sum().over(partitionBy(seg).orderBy(...)
+    .rowsBetween(unboundedPreceding, currentRow))`` puts a segment's
+    entire stream in one sorted task; with a handful of segments (per
+    source, per status) that is the cumsum flavor of the corpus-sized-
+    window straggler at 100 TB.
+
+    Distributed prefix-sum instead (the splitwise-parse offset
+    technique, generalized):
+
+    1. ``repartitionByRange(seg + order)`` — ranges are contiguous and
+       partition ids ascend in key order (RangePartitioner contract),
+       and correctness never depends on WHERE a boundary falls, only on
+       the ordering, so sampling variance in the boundaries is harmless.
+       ``order_cols`` must make the order total (unique tie-break) —
+       same requirement the single-window formulation has for
+       determinism.
+    2. a partition-LOCAL cumsum per (segment, partition): bounded sorts,
+       fully parallel;
+    3. per-(segment, partition) partial sums → per-segment running
+       offsets over the ~``segments x partitions`` partials (metadata-
+       sized window) → broadcast back and add.
+
+    Result is row-identical to the single-window plan (pinned by the
+    token_budget_mix / pack_sequences / packing_efficiency oracles,
+    whose SQL twins still use the plain window).
+    """
+    from pyspark.sql import Window
+
+    keys = [*seg_cols, *order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartitionByRange(n, *[F.col(c) for c in keys]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy(*seg_cols, "_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partials = base.groupBy(*seg_cols, "_pid").agg(
+        F.sum(value_col).alias("_psum")
+    )
+    off_w = (
+        Window.partitionBy(*seg_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        *seg_cols,
+        "_pid",
+        F.coalesce(F.sum("_psum").over(off_w), F.lit(0)).alias("_off"),
+    )
+    return (
+        base.withColumn("_local", F.sum(value_col).over(local_w))
+        .join(F.broadcast(offsets), [*seg_cols, "_pid"])
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )

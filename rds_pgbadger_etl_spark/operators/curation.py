@@ -185,21 +185,22 @@ def chunk_windows(docs: DataFrame, chunk: int = CHUNK_TOKENS) -> DataFrame:
 def pack_bins(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Assign each doc to a training bin by the cumulative token offset
     of the docs before it (per source, doc_id order): ``bin =
-    start_offset // budget``. One window cumsum per source partition —
-    no global sort, no driver loop."""
-    from pyspark.sql import Window
-
+    start_offset // budget``. The running offset is the distributed
+    prefix sum (functions/agg.segmented_cumsum) — bounded
+    partition-local cumsums + per-source offsets, never one sorted task
+    per source; no global sort, no driver loop."""
+    from rds_pgbadger_etl_spark.functions.agg import segmented_cumsum
     from rds_pgbadger_etl_spark.operators.text import n_tokens
 
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = n_tokens("text")
     return (
-        docs.select("doc_id", "source", toks.alias("toks"))
-        .withColumn("cum", F.sum("toks").over(w))
+        segmented_cumsum(
+            docs.select("doc_id", "source", toks.alias("toks")),
+            ["source"],
+            ["doc_id"],
+            "toks",
+            out_col="cum",
+        )
         .select(
             "doc_id",
             "source",

@@ -1073,25 +1073,27 @@ CHAR_BUDGET_PER_SOURCE = 20_000
 def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-bounded corpus mixing: each source contributes documents —
     in seeded-hash order, so the draw is uniform and re-run-stable —
-    until its running character budget is exhausted. One window cumsum
-    per source partition (single shuffle on source); the budget filter
-    is a pure predicate on the cumulative sum. This is how a pipeline
-    hits an exact per-source token budget without a global sort or a
-    driver-side loop; at 100 TB the window shuffles (source, doc_id,
-    n_chars) triples only — never the text."""
-    from pyspark.sql import Window
+    until its running character budget is exhausted; the budget filter
+    is a pure predicate on the cumulative sum. The running sum is the
+    distributed prefix sum (functions/agg.segmented_cumsum): sources
+    are FEW, so a single per-source cumsum window would sort one
+    source's whole stream in one task — instead bounded partition-local
+    cumsums plus metadata-sized per-source offsets, row-identical to
+    the window (the oracle still uses the plain SQL window: hash
+    equality is the proof). Only (source, doc_id, n_chars) triples move
+    — never the text."""
+    from rds_pgbadger_etl_spark.functions.agg import segmented_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     rk = hex_hash64(F.col("doc_id").cast("string"), seed="budget:")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(rk.asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = docs.select("doc_id", "source", "n_chars", rk.alias("_rk"))
     return (
-        docs.select("doc_id", "source", "n_chars")
-        .withColumn("cum_chars", F.sum("n_chars").over(w))
+        segmented_cumsum(
+            base, ["source"], ["_rk", "doc_id"], "n_chars",
+            out_col="cum_chars",
+        )
         .filter(F.col("cum_chars") <= CHAR_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_chars", "cum_chars")
     )
 
 

@@ -118,3 +118,40 @@ def test_train_val_test_split_stable_and_proportional(spark, sf_oracle):
         .collect()
     }
     assert all(full[d] == s for d, s in half.items())
+
+
+def test_segmented_cumsum_matches_single_window(spark):
+    """The distributed prefix sum must be row-identical to the plain
+    per-segment cumsum window, regardless of input partitioning — the
+    single-window plan is the semantics, segmented_cumsum is the
+    100 TB-safe execution (bounded local sorts + metadata-sized
+    offsets, no segment-sized window partition)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.functions.agg import segmented_cumsum
+
+    df = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 3).alias("seg"),
+            F.col("id").alias("k"),
+            (F.col("id") % 7 + 1).alias("v"),
+        )
+        .repartition(13)  # scrambled physical layout on purpose
+    )
+    got = segmented_cumsum(df, ["seg"], ["k"], "v", num_partitions=8)
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = df.withColumn("cum", F.sum("v").over(w))
+    cols = ["seg", "k", "v", "cum"]
+    assert sorted(map(str, got.select(cols).collect())) == sorted(
+        map(str, exp.select(cols).collect())
+    )
+    # and the plan has no segment-sized window: the only windows run
+    # over (seg, _pid) locals and the per-segment offset partials
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan
