@@ -81,6 +81,7 @@ def main() -> None:
         "q01_pricing_summary", "q09_percentiles", "log_top_queries",
         "dedup_near_pairs", "ann_cosine_topk", "text_stats",
         "stream_hourly_counts", "multimodal_features",
+        "ann_index_ivfpq_topk",  # the persisted-index subsystem (round 6)
     ]
     missing_headline = [k for k in headline if k not in timings]
     assert not missing_headline, (
