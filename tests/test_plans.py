@@ -75,15 +75,25 @@ def test_pivot_is_single_linear_job(spark, sf_oracle):
     assert "pivotfirst" in plan and "SortAggregate" not in plan
 
 
-def test_pack_sequences_single_shuffle_window(spark, sf_oracle):
+def test_pack_sequences_no_segment_sized_window(spark, sf_oracle):
+    """pack_bins runs the distributed prefix sum (round 6,
+    functions/agg.segmented_cumsum): every window in the plan involves
+    ``_pid`` — either the partition-LOCAL cumsum (bounded sorts) or the
+    metadata-sized per-segment offset pass over (segment × partition)
+    partials — and the offsets come back via a broadcast join. The shape
+    this replaces (one cumsum window partitioned by ``source`` alone,
+    which this test previously pinned as 'single exchange + single
+    window') put one source's entire stream in one sorted task: shuffle-
+    count-optimal and straggler-bound. The prefix sum pays a few extra
+    NARROW-row exchanges for bounded partitions everywhere."""
     import re
 
     plan = _formatted_plan(spark, E.queries()["pack_sequences"](spark, sf_oracle))
-    # ONE exchange total: the cumsum window shuffles on source, and the
-    # downstream (source, bin) aggregate reuses that partitioning
-    # (source is a prefix of the grouping) — no second wide shuffle
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
-    assert len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)) == 1
+    specs = re.findall(
+        r"windowspecdefinition\((.*?), specifiedwindowframe", plan
+    )
+    assert specs and all("_pid" in s for s in specs), specs
+    assert "BroadcastHashJoin" in plan  # per-segment offsets broadcast back
 
 
 def test_training_order_is_topk(spark, sf_oracle):
