@@ -174,15 +174,37 @@ def run_pipeline(
     return {"files": len(selected), **quality}
 
 
+def _parse_hour(name: str) -> tuple[str, int]:
+    """(log_date, log_hour) from a log file name ending in YYYY-MM-DD-HH
+    (reference rds_pgbadger.py:120). Anchored regex, loud failure: a
+    non-conforming name (e.g. a ``.gz`` suffix) would otherwise build a
+    wrong predicate and silently drop that hour from the report."""
+    import re
+
+    m = re.search(r"(\d{4}-\d{2}-\d{2})-(\d{2})$", name)
+    if m is None:
+        raise ValueError(
+            f"log file name {name!r} does not end in YYYY-MM-DD-HH;"
+            " cannot derive its (log_date, log_hour) partition"
+        )
+    return m.group(1), int(m.group(2))
+
+
 def _hours_predicate(file_names: list[str]):
     """Partition predicate for the (log_date, log_hour) hours named by
     ``file_names`` (…YYYY-MM-DD-HH): an OR of literal equalities, which
-    the parquet scan turns into partition pruning."""
+    the parquet scan turns into partition pruning.
+
+    The hour is parsed with an anchored regex, not fixed suffix slices:
+    a selected name that does not end exactly in YYYY-MM-DD-HH (say a
+    compressed ``…-2024-01-02-07.gz``) must fail loudly here rather
+    than silently building a wrong predicate that drops that hour from
+    the run's report."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    hours = sorted({(n[-13:][:10], int(n[-2:])) for n in file_names})
+    hours = sorted({_parse_hour(n) for n in file_names})
     return reduce(
         lambda acc, dh: acc
         | ((F.col("log_date") == dh[0]) & (F.col("log_hour") == dh[1])),
@@ -210,8 +232,7 @@ def _write_hourly_reports(spark, out_dir: str, file_names: list[str]) -> None:
 
     stored = spark.read.parquet(os.path.join(out_dir, "events"))
     for name in file_names:
-        stamp = name[-13:]  # YYYY-MM-DD-HH (reference rds_pgbadger.py:120)
-        d, h = stamp[:10], int(stamp[-2:])
+        d, h = _parse_hour(name)
         ev_h = stored.filter(
             (F.col("log_date") == d) & (F.col("log_hour") == h)
         )

@@ -266,9 +266,12 @@ def _adc_lut(
     n_sub, n_cells, sub_dim = ic.shape
     lut = []
     for q_id, vec in queries:
-        iq = np.round(
-            np.asarray(vec, dtype=np.float64) * S.PQ_INT_SCALE
-        ).astype(np.int64)
+        # HALF_UP, not np.round: every other PQ quantization path
+        # (pq_long_form's F.round, pq_encode_udf's _half_up) rounds
+        # half away from zero; banker's rounding here would flip any
+        # query component landing exactly on .5 and silently break the
+        # bit-identical parity with the in-session ivfpq_topk twin.
+        iq = S._half_up(np.asarray(vec, dtype=np.float64) * S.PQ_INT_SCALE)
         for s in range(n_sub):
             qs = iq[s * sub_dim : (s + 1) * sub_dim]
             d = ((ic[s] - qs) ** 2).sum(axis=1)

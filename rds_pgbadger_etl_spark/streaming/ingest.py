@@ -475,6 +475,15 @@ def run_available_now_to_parquet(
             and time.monotonic() < deadline
         ):
             time.sleep(0.05)
+        if str(q.id) not in listener.terminated:
+            # Returning listener.totals here would silently hand back a
+            # possibly partial count — the exact undercount the listener
+            # rewrite was meant to eliminate. Fail loudly instead.
+            raise TimeoutError(
+                "streaming listener never delivered the terminated event"
+                f" for query {q.id} within 60s; sink row count would be"
+                " unreliable"
+            )
         return listener.totals.get(str(q.id), 0)
     finally:
         spark.streams.removeListener(listener)

@@ -204,3 +204,19 @@ def test_run_pipeline_splitwise_strategy(spark, tmp_path):
     w_rows = sorted(map(str, w.select(cols).collect()))
     s_rows = sorted(map(str, s.select(cols).collect()))
     assert w_rows == s_rows and len(w_rows) > 0
+
+
+def test_parse_hour_anchored_and_loud():
+    """_parse_hour reads the trailing YYYY-MM-DD-HH via an anchored
+    regex and fails loudly on non-conforming names (a .gz suffix would
+    otherwise silently build a wrong partition predicate and drop the
+    hour from the run's report — ADVICE r6)."""
+    import pytest
+
+    from rds_pgbadger_etl_spark.cli import _parse_hour
+
+    assert _parse_hour("postgresql.log.2024-01-02-07") == ("2024-01-02", 7)
+    with pytest.raises(ValueError, match="YYYY-MM-DD-HH"):
+        _parse_hour("postgresql.log.2024-01-02-07.gz")
+    with pytest.raises(ValueError, match="YYYY-MM-DD-HH"):
+        _parse_hour("README.txt")
