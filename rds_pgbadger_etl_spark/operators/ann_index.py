@@ -426,3 +426,107 @@ def ann_index_lsh_topk(
     return S.topk_per_key(
         scored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
+
+
+# --------------------------------------------------------------------------
+# Index maintenance: compaction + layout audit.
+
+# The three partitioned artifact tables and their partition columns.
+_PARTITIONED_TABLES = {
+    "vectors": "cell",
+    "raw": "cell",
+    "lsh_buckets": "table_id",
+}
+
+
+def _data_files(path: str) -> list[str]:
+    """Relative paths of the parquet data files under a table dir."""
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.relpath(os.path.join(root, f), path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    tables: tuple[str, ...] = ("vectors", "raw", "lsh_buckets"),
+) -> dict:
+    """Rewrite each partitioned artifact table so every partition holds
+    one file-set again, and return per-table file counts before/after.
+
+    ``append_to_ann_index`` lands one file-set per cell per batch —
+    correct, but N hourly upserts give N small files per hot cell, and
+    a partition-pruned search then pays N footer reads + N row-group
+    seeks per probed cell: the small-files degradation a real user hits
+    first at 100 TB. Compaction is the standard maintenance pass: read
+    the table, cluster by its partition column (all rows of a cell land
+    in one task ⇒ exactly one file per cell), write to a temp path, and
+    swap directories — the O13 atomic-temp-path pattern: readers see
+    the OLD complete table until the rename, then the NEW complete one;
+    a crash mid-write leaves the live table untouched. Row content is
+    untouched (pinned bit-identical by tests/test_ann_index.py), so the
+    immutable-quantizer invariant and every reader are unaffected.
+    """
+    import os
+    import shutil
+
+    stats = {}
+    for t in tables:
+        pc = _PARTITIONED_TABLES[t]
+        src = f"{index_dir}/{t}"
+        tmp = f"{index_dir}/_{t}.compacting"
+        old = f"{index_dir}/_{t}.old"
+        before = len(_data_files(src))
+        (
+            spark.read.parquet(src)
+            .repartition(F.col(pc))
+            .write.mode("overwrite")
+            .partitionBy(pc)
+            .parquet(tmp)
+        )
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        stats[t] = {
+            "files_before": before,
+            "files_after": len(_data_files(src)),
+        }
+    return stats
+
+
+def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Layout audit over the partitioned artifact tables: one row per
+    table with rows/partition skew and files/partition — the numbers
+    that tell an operator WHEN to run :func:`compact_ann_index` (rising
+    ``max_part_files``) and whether the partitioning is balanced
+    (``max_part_rows`` vs ``avg_part_rows``). Rows-only by design: the
+    physical file layout is Spark-side state with no SQL-expressible
+    DuckDB twin."""
+    out = None
+    for t, pc in _PARTITIONED_TABLES.items():
+        per_part = (
+            spark.read.parquet(f"{index_dir}/{t}")
+            .groupBy(F.col(pc).cast("long").alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct(F.col("_metadata.file_path")).alias("files"),
+            )
+        )
+        summary = per_part.agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("rows").alias("rows"),
+            F.sum("files").cast("long").alias("files"),
+            F.max("rows").alias("max_part_rows"),
+            F.round(F.avg("rows"), 2).alias("avg_part_rows"),
+            F.max("files").cast("long").alias("max_part_files"),
+        ).select(F.lit(t).alias("table"), "*")
+        out = summary if out is None else out.unionByName(summary)
+    return out.orderBy("table")

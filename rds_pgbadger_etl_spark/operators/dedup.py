@@ -125,6 +125,63 @@ def shingle_profile(
     )
 
 
+# Auto verify-strategy cutover: the dedup rehearsal (BENCH_NOTES.md)
+# measured the broadcast verify going 3.0× superlinear at ~1.8·10⁵
+# candidate pairs (pair rows carrying shingle sets materialize on the
+# driver); below ~10⁵ the broadcast plan wins by skipping the pair-side
+# shuffles entirely.
+AUTO_VERIFY_PAIRS = 100_000
+
+
+def resolve_verify_strategy(strategy: str, cands: DataFrame) -> str:
+    """``"auto"`` → ``"broadcast"`` or ``"shuffle"`` by candidate count.
+
+    The count is cheap where it matters: every pipeline here persists
+    ``cands`` before verification (the band self-join feeds multiple
+    consumers), so counting materializes work that the verify join needs
+    anyway. Explicit strategies pass through untouched.
+    """
+    if strategy != "auto":
+        return strategy
+    return "shuffle" if cands.count() > AUTO_VERIFY_PAIRS else "broadcast"
+
+
+def _verify_join(
+    pairs: DataFrame,
+    profile: DataFrame,
+    id_col: str,
+    strategy: str,
+) -> DataFrame:
+    """(a, b, sa, sb) rows — each candidate pair joined to both sides'
+    shingle sets — via one of two join shapes shared by the whole dedup
+    family (Jaccard AND containment verify score over the same rows):
+
+    ``"broadcast"`` (right when the candidate side is small, the common
+    high-precision-LSH case): both joins broadcast and the set
+    intersection runs per-pair on two in-memory arrays — no exploded
+    shingle join, no pair-level shuffle. The broadcasts are forced, not
+    left to AQE: the first broadcasts the bare (a, b) id pairs against
+    the partitioned profile; the second broadcasts that result (|pairs|
+    rows, each shingle_set capped at TEXT_CAP entries).
+
+    ``"shuffle"`` — for candidate volumes past what a driver should
+    collect (the second broadcast materializes |pairs| shingle sets
+    driver-side; the dedup rehearsal measured it going superlinear past
+    ~10⁵ pairs, BENCH_NOTES.md): two hash-partitioned joins keyed on
+    the pair ids; the profile shuffles once per side, nothing lands on
+    the driver, and pair volume is bounded by the cluster.
+
+    ``"auto"`` — :func:`resolve_verify_strategy` picks by |pairs|.
+    """
+    strategy = resolve_verify_strategy(strategy, pairs)
+    prof_a = profile.select(F.col(id_col).alias("a"), F.col("shingle_set").alias("sa"))
+    prof_b = profile.select(F.col(id_col).alias("b"), F.col("shingle_set").alias("sb"))
+    if strategy == "shuffle":
+        return pairs.select("a", "b").join(prof_a, "a").join(prof_b, "b")
+    with_a = prof_a.join(F.broadcast(pairs.select("a", "b")), "a")
+    return prof_b.join(F.broadcast(with_a), "b")
+
+
 def pair_jaccard(
     pairs: DataFrame,
     profile: DataFrame,
@@ -133,37 +190,18 @@ def pair_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over per-doc distinct shingle sets for given pairs.
 
-    ``strategy="broadcast"`` (default — right when the candidate side is
-    small, the common high-precision-LSH case): both joins broadcast and
-    the set intersection runs per-pair on two in-memory arrays — no
-    exploded shingle join, no pair-level shuffle. The broadcasts are
-    forced, not left to AQE: the first broadcasts the bare (a, b) id
-    pairs against the partitioned profile; the second broadcasts that
-    result (|pairs| rows, each shingle_set capped at TEXT_CAP entries).
-
-    ``strategy="shuffle"`` — for candidate volumes past what a driver
-    should collect (the second broadcast materializes |pairs| shingle
-    sets driver-side; the dedup rehearsal measured it going superlinear
-    past ~10⁵ pairs, BENCH_NOTES.md): two hash-partitioned joins keyed
-    on the pair ids; the profile shuffles once per side, nothing lands
-    on the driver, and pair volume is bounded by the cluster.
+    Join shape (broadcast vs shuffle vs auto) is :func:`_verify_join`'s
+    — shared with the containment score so every verifier in the family
+    gets the same scale escape hatch.
     """
-    prof_a = profile.select(F.col(id_col).alias("a"), F.col("shingle_set").alias("sa"))
-    prof_b = profile.select(F.col(id_col).alias("b"), F.col("shingle_set").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     jaccard = (
         inter.cast("double")
         / (F.size("sa") + F.size("sb") - inter).cast("double")
     ).alias("jaccard")
-    if strategy == "shuffle":
-        return (
-            pairs.select("a", "b")
-            .join(prof_a, "a")
-            .join(prof_b, "b")
-            .select("a", "b", jaccard)
-        )
-    with_a = prof_a.join(F.broadcast(pairs.select("a", "b")), "a")
-    return prof_b.join(F.broadcast(with_a), "b").select("a", "b", jaccard)
+    return _verify_join(pairs, profile, id_col, strategy).select(
+        "a", "b", jaccard
+    )
 
 
 def candidate_shingle_sets(
@@ -203,10 +241,13 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    verify_strategy: str = "broadcast",
+    verify_strategy: str = "auto",
 ) -> DataFrame:
     """X2 end-to-end: shingle → MinHash → LSH bands → candidates →
-    Jaccard verify → pairs above threshold.
+    Jaccard verify → pairs above threshold. ``verify_strategy="auto"``
+    counts the (persisted) candidates and picks broadcast below
+    ``AUTO_VERIFY_PAIRS``, shuffle above — the rehearsal-measured
+    cutover, applied without the caller having to know it exists.
 
     Two passes by design: pass 1 aggregates numeric MinHash sigs only
     (narrow shuffle, no arrays); pass 2 re-shingles just the candidate
@@ -227,41 +268,120 @@ def near_dup_pairs(
     )
 
 
+def _containment_score(verified: DataFrame) -> DataFrame:
+    """|A∩B| / min(|A|,|B|) over (a, b, sa, sb) verify rows."""
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return verified.select(
+        "a",
+        "b",
+        (
+            inter.cast("double")
+            / F.least(F.size("sa"), F.size("sb")).cast("double")
+        ).alias("containment"),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    verify_strategy: str = "auto",
 ) -> DataFrame:
     """Containment scoring over LSH candidate pairs: |A∩B| / min(|A|,|B|)
     — catches subset duplication (one doc quoting/excerpting another)
     that symmetric Jaccard under-scores when sizes differ. Same plan
     shape as :func:`near_dup_pairs` (profile → bands → candidates →
-    broadcast verify). Caveat, documented on purpose: MinHash bands
-    collide by RESEMBLANCE, so a tiny doc fully contained in a huge one
-    may not become a candidate; a dedicated containment pipeline bands
-    on the smaller side's shingles (prefix bands) to recover that
-    recall — the verify math here is the same either way.
+    verify), and the verify join is the SAME two-path
+    :func:`_verify_join` — the broadcast shape the rehearsal measured
+    going 3.0× superlinear past ~10⁵ candidates is no longer hard-coded
+    here; ``"auto"`` picks shuffle past ``AUTO_VERIFY_PAIRS``.
+
+    Recall caveat, documented on purpose: MinHash bands collide by
+    RESEMBLANCE, so a tiny doc fully contained in a huge one may never
+    become a candidate here; :func:`containment_prefix_pairs` is the
+    dedicated pipeline that recovers exactly that recall (prefix-filter
+    candidates on the smaller side's rarest shingles) — the verify math
+    is shared.
     """
     sigs = minhash_signatures(char_shingles(df, id_col, text_col), id_col).persist()
     cands = candidate_pairs(lsh_bands(sigs, id_col), id_col).persist()
     prof = candidate_shingle_sets(df, cands, id_col, text_col)
-    prof_a = prof.select(F.col(id_col).alias("a"), F.col("shingle_set").alias("sa"))
-    prof_b = prof.select(F.col(id_col).alias("b"), F.col("shingle_set").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    with_a = prof_a.join(F.broadcast(cands.select("a", "b")), "a")
-    return (
-        prof_b.join(F.broadcast(with_a), "b")
-        .select(
-            "a",
-            "b",
-            (
-                inter.cast("double")
-                / F.least(F.size("sa"), F.size("sb")).cast("double")
-            ).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
+    return _containment_score(
+        _verify_join(cands, prof, id_col, verify_strategy)
+    ).filter(F.col("containment") >= threshold)
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    verify_strategy: str = "auto",
+) -> DataFrame:
+    """Containment with GUARANTEED recall via prefix filtering (the
+    AllPairs/PPJoin candidate scheme, adapted to the min-side
+    containment denominator) — the recovery pipeline for the recall gap
+    :func:`containment_pairs` documents: resemblance bands need the
+    pair to LOOK alike overall, so a 1-shingle excerpt inside a
+    1000-shingle host never collides; prefix filtering only needs ONE
+    shared rare shingle.
+
+    Exactness argument (pigeonhole): take each doc's distinct shingles
+    in a global canonical order and call the first
+    ``floor((1-t)·|S|) + 1`` its *prefix*. For a pair (A, B) with
+    containment ≥ t, the smaller side A misses at most ``(1-t)·|A|``
+    of its shingles from B — fewer than its prefix length — so at
+    least one prefix shingle of A appears in B. Joining every doc's
+    prefix against every doc's full shingle postings therefore
+    generates a SUPERSET of all qualifying pairs; the exact verify then
+    makes the output precisely "all pairs with containment ≥ t"
+    (candidate-order-independent, hence SQL-oracle-checkable by the
+    same formula).
+
+    The canonical order is ascending *document frequency* (ties by
+    shingle) — the PPJoin ordering: prefixes hold each doc's RAREST
+    shingles, so the postings actually probed are the short tails of
+    the df distribution, which simultaneously shrinks the candidate
+    join and removes the hot-key skew a hash order would hit on common
+    shingles. All orderings are correct; frequency order is the one
+    that scales.
+
+    Plan: one exploded-shingle aggregation for (doc, shingle) distinct
+    rows, one tiny df-count aggregate, a rank window partitioned BY DOC
+    (bounded at TEXT_CAP rows per partition — no corpus-sized window),
+    the prefix⋈postings equi-join on shingle, then the shared
+    :func:`_verify_join` + :func:`_containment_score`.
+    """
+    from pyspark.sql import Window
+
+    sh = char_shingles(df, id_col, text_col).distinct().persist()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
     )
+    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+    prefix = ranked.filter(F.col("_rk") <= prefix_len).select(
+        F.col(id_col).alias("_pa"), "shingle"
+    )
+    postings = sh.select(F.col(id_col).alias("_pb"), "shingle")
+    cands = (
+        prefix.join(postings, "shingle")
+        .filter(F.col("_pa") != F.col("_pb"))
+        .select(
+            F.least("_pa", "_pb").alias("a"),
+            F.greatest("_pa", "_pb").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    prof = candidate_shingle_sets(df, cands, id_col, text_col)
+    return _containment_score(
+        _verify_join(cands, prof, id_col, verify_strategy)
+    ).filter(F.col("containment") >= threshold)
 
 
 WORD_NGRAM_N = 3

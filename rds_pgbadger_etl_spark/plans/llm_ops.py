@@ -1419,6 +1419,40 @@ WHERE cast(i.inter AS double) / cast(least(na.n, nb.n) AS double) >= 0.8
 """
 
 
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: containment with GUARANTEED recall — prefix-filter candidates
+    (rarest shingles of the smaller side) instead of resemblance bands,
+    recovering the tiny-excerpt-inside-huge-doc pairs the LSH pipeline
+    documents as missable. Output is candidate-order-independent
+    ("all pairs with containment >= t"), so the oracle is the direct
+    brute-force formula, not a replay of the candidate scheme."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_prefix_pairs(docs, threshold=0.8)
+
+
+# The prefix-filtered pipeline provably generates a superset of all
+# qualifying pairs (pigeonhole on the smaller side's prefix), and exact
+# verification then cuts it to precisely "all pairs >= t" — so the
+# oracle computes that set directly over the full inverted index.
+_CONTAINMENT_PREFIX_SQL = f"""
+WITH sh0 AS ({_SH_SQL}),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter
+  FROM s sa JOIN s sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT i.a, i.b,
+       cast(i.inter AS double) / cast(least(na.n, nb.n) AS double)
+         AS containment
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a
+JOIN sizes nb ON nb.doc_id = i.b
+WHERE cast(i.inter AS double) / cast(least(na.n, nb.n) AS double) >= 0.8
+"""
+
+
 CANONICAL_SAMPLE_K = 20
 
 
@@ -2380,6 +2414,18 @@ def _ann_index_upsert_shared(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout audit over the build+append index (the upsert staging):
+    rows/partition skew and files/partition per artifact table — the
+    operator-facing numbers that say when to run compact_ann_index
+    (max_part_files rises one file-set per append; here build+append ⇒
+    2 for the cell-partitioned tables). Rows-only by design: physical
+    file layout has no SQL-expressible DuckDB twin."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_stats(spark, _ann_index_upsert_shared(spark, sf_dir))
+
+
 def embed_documents_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-inference stage (operators/inference.embed_documents):
     text → embedding vectors through the real mapInPandas plumbing with
@@ -2523,6 +2569,10 @@ QUERIES = {
     "quality_deciles": (quality_deciles, _QUALITY_DECILES_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
+    "dedup_containment_prefix": (
+        dedup_containment_prefix,
+        _CONTAINMENT_PREFIX_SQL,
+    ),
     "text_readability": (text_readability, _READABILITY_SQL),
     "ann_recall_report": (ann_recall_report, None),
     "ann_index_ivfpq_topk": (ann_index_ivfpq_topk, _ANN_IVFPQ_SQL),
@@ -2530,6 +2580,7 @@ QUERIES = {
     "ann_index_lsh_topk": (ann_index_lsh_topk, _ANN_LSH_SQL),
     "ann_index_upsert_topk": (ann_index_upsert_topk, _ANN_IVFPQ_SQL),
     "ann_index_refined_recall": (ann_index_refined_recall, None),
+    "ann_index_stats": (ann_index_stats, None),
     "embed_documents_batch": (embed_documents_batch, _EMBED_DOCS_SQL),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
     "near_dup_triangles": (near_dup_triangles, _TRIANGLES_SQL),

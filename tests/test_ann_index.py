@@ -183,3 +183,56 @@ def test_fresh_session_answers_from_index(spark, index_dir, tmp_path):
         ln for ln in out.stdout.splitlines() if ln.startswith("ROWS_JSON:")
     )
     assert json.loads(line[len("ROWS_JSON:"):]) == expected
+
+
+def test_compaction_preserves_search_and_reduces_files(spark, tmp_path):
+    """N appends → compact_ann_index: every reader's results must be
+    BIT-IDENTICAL before/after (compaction rewrites layout, never rows)
+    and the per-table data-file counts must drop back to one file-set
+    per partition (the append path lands one per batch)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "idx")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    # build on 40%, then three appends of 20% each
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < n * 2 // 5), d)
+    for lo, hi in ((2, 3), (3, 4), (4, 5)):
+        AI.append_to_ann_index(
+            spark,
+            emb.filter(
+                (F.col("vec_id") >= n * lo // 5) & (F.col("vec_id") < n * hi // 5)
+            ),
+            d,
+        )
+    qs = _queries(spark)
+    before = {
+        "ivfpq": _rows(AI.ann_index_ivfpq_topk(spark, d, qs, K)),
+        "ivf": _rows(AI.ann_index_ivf_topk(spark, d, qs, K)),
+        "lsh": _rows(AI.ann_index_lsh_topk(spark, d, qs, K)),
+    }
+    stats_before = {
+        r.table: r
+        for r in AI.ann_index_stats(spark, d).collect()
+    }
+    # 1 build + 3 appends = up to 4 file-sets in any hot partition
+    assert stats_before["vectors"].max_part_files > 1
+
+    fstats = AI.compact_ann_index(spark, d)
+    for t, s in fstats.items():
+        assert s["files_after"] < s["files_before"], (t, s)
+
+    after = {
+        "ivfpq": _rows(AI.ann_index_ivfpq_topk(spark, d, qs, K)),
+        "ivf": _rows(AI.ann_index_ivf_topk(spark, d, qs, K)),
+        "lsh": _rows(AI.ann_index_lsh_topk(spark, d, qs, K)),
+    }
+    assert after == before
+    stats_after = {
+        r.table: r for r in AI.ann_index_stats(spark, d).collect()
+    }
+    for t in ("vectors", "raw", "lsh_buckets"):
+        assert stats_after[t].max_part_files == 1, t
+        # row content untouched
+        assert stats_after[t].rows == stats_before[t].rows, t
+        assert stats_after[t].n_partitions == stats_before[t].n_partitions, t

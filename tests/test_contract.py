@@ -49,6 +49,10 @@ def test_every_query_has_oracle_or_documented_exception(spark):
         # ann_recall_report (a SQL twin would re-implement the index);
         # invariants tested in test_ann_index.py
         "ann_index_refined_recall",
+        # physical file-layout audit (rows/partition, files/partition)
+        # of the persisted index — Spark-side state with no SQL twin;
+        # compaction semantics pinned in test_ann_index.py
+        "ann_index_stats",
     }
 
 

@@ -486,3 +486,63 @@ def test_heavy_hitter_pruning_is_lossless(spark):
     }
     assert got == exact
     assert ("hot", 400) in got
+
+
+def test_containment_verify_strategies_agree(spark, sf_smoke):
+    """containment_pairs now routes through the same two-path
+    _verify_join as pair_jaccard (round-6 rehearsal measured the
+    broadcast verify superlinear past ~1e5 candidates): the shuffle
+    path must return the exact rows of the broadcast path."""
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    clones = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.union(clones)
+    b = D.containment_pairs(corpus, verify_strategy="broadcast")
+    s = D.containment_pairs(corpus, verify_strategy="shuffle")
+    rows_b = sorted(map(str, b.select("a", "b", "containment").collect()))
+    rows_s = sorted(map(str, s.select("a", "b", "containment").collect()))
+    assert rows_b == rows_s and len(rows_b) >= 40
+
+
+def test_auto_verify_strategy_picks_by_candidate_count(spark):
+    """"auto" resolves to broadcast below AUTO_VERIFY_PAIRS and shuffle
+    above — the measured cutover, applied without caller knowledge."""
+    small = spark.range(10).selectExpr("id AS a", "id + 1 AS b")
+    big = spark.range(D.AUTO_VERIFY_PAIRS + 1).selectExpr(
+        "id AS a", "id + 1 AS b"
+    )
+    assert D.resolve_verify_strategy("auto", small) == "broadcast"
+    assert D.resolve_verify_strategy("auto", big) == "shuffle"
+    assert D.resolve_verify_strategy("shuffle", small) == "shuffle"
+    assert D.resolve_verify_strategy("broadcast", big) == "broadcast"
+
+
+def _excerpt_corpus(spark):
+    """One tiny excerpt doc whose shingle set is fully contained in a
+    much larger host doc: resemblance between the pair is ~0.07, far
+    below what two 2-sig MinHash bands can catch."""
+    import hashlib
+
+    host = "".join(
+        hashlib.md5(f"host{i}".encode()).hexdigest() for i in range(16)
+    )  # 512 unique-ish chars -> ~497 shingles
+    excerpt = host[100:148]  # 48 chars -> 33 shingles, every one in host
+    return spark.createDataFrame(
+        [(1, host), (2, excerpt)], "doc_id long, text string"
+    )
+
+
+def test_resemblance_bands_miss_planted_excerpt(spark):
+    """Assert the documented recall gap IS real on this fixture: the
+    LSH containment pipeline produces no candidate for the excerpt pair
+    (its resemblance ~0.07 makes a band collision essentially
+    impossible), so the pair is silently lost."""
+    docs = _excerpt_corpus(spark)
+    assert D.containment_pairs(docs, threshold=0.8).collect() == []
+
+
+def test_containment_prefix_recovers_excerpt_pair(spark):
+    """The prefix-filter pipeline must catch exactly that pair at
+    containment 1.0 — the pigeonhole guarantee in action."""
+    docs = _excerpt_corpus(spark)
+    got = D.containment_prefix_pairs(docs, threshold=0.8).collect()
+    assert [(r.a, r.b, r.containment) for r in got] == [(1, 2, 1.0)]

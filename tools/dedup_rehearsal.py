@@ -134,6 +134,23 @@ def main() -> None:
     n_pairs = pairs.count()
     t_verify = time.perf_counter() - t0
 
+    # --- stage 3b: containment verify over the same candidates --------
+    # Round 7: containment_pairs shares _verify_join with pair_jaccard,
+    # so the same strategy (shuffle past AUTO_VERIFY_PAIRS) must keep
+    # this leg linear in candidate volume too — this is the measurement
+    # the r6 verdict asked for.
+    from rds_pgbadger_etl_spark.operators.dedup import (
+        _containment_score,
+        _verify_join,
+    )
+
+    t0 = time.perf_counter()
+    cont = _containment_score(
+        _verify_join(cands, prof, "doc_id", verify_strategy)
+    ).filter(F.col("containment") >= 0.8)
+    n_containment = cont.count()
+    t_containment = time.perf_counter() - t0
+
     # --- stage 4: connected components + canonical selection ----------
     t0 = time.perf_counter()
     assign = dedup_cluster_assignments(docs, pairs=pairs.select("a", "b"))
@@ -185,6 +202,8 @@ def main() -> None:
         "sigs_sec": round(t_sigs, 1),
         "cands_sec": round(t_cands, 1),
         "verify_sec": round(t_verify, 1),
+        "containment_sec": round(t_containment, 1),
+        "n_containment_pairs": n_containment,
         "cluster_sec": round(t_cluster, 1),
         "write_sec": round(t_write, 1),
         "total_sec": round(t_sigs + t_cands + t_verify + t_cluster + t_write, 1),
