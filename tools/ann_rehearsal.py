@@ -120,6 +120,35 @@ def main() -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
     pruned = "PartitionFilters" in plan and " IN " in plan
 
+    # --- append leg (round 7): upsert 10%, search, compact, search ----
+    # The lifecycle a real user runs hourly: append_to_ann_index lands
+    # one file-set per cell per batch, so files/cell grows with batch
+    # count until compact_ann_index rewrites each partition to one set.
+    files_fresh = len(AI._data_files(f"{index_dir}/vectors"))
+    n_new = n_vecs // 10
+    new_cols = F.array(
+        *[F.rand(seed=2000 + j).cast("float") for j in range(DIM)]
+    )
+    emb_new = (
+        spark.range(n_vecs, n_vecs + n_new)
+        .select(F.col("id").alias("vec_id"), new_cols.alias("embedding"))
+        .repartition(16)
+    )
+    t0 = time.perf_counter()
+    AI.append_to_ann_index(spark, emb_new, index_dir)
+    t_append = time.perf_counter() - t0
+    files_appended = len(AI._data_files(f"{index_dir}/vectors"))
+    t_search_post_append = best_of_3(
+        lambda: AI.ann_index_ivfpq_topk(spark, index_dir, queries, 10)
+    )
+    t0 = time.perf_counter()
+    compact_stats = AI.compact_ann_index(spark, index_dir)
+    t_compact = time.perf_counter() - t0
+    files_compacted = len(AI._data_files(f"{index_dir}/vectors"))
+    t_search_post_compact = best_of_3(
+        lambda: AI.ann_index_ivfpq_topk(spark, index_dir, queries, 10)
+    )
+
     app_id = spark.sparkContext.applicationId
     spark.stop()
     time.sleep(2)
@@ -138,6 +167,15 @@ def main() -> None:
                 "search_ivf_flat_sec": t_ivf_flat,
                 "search_brute_sec": t_brute,
                 "partition_pruned": pruned,
+                "append_pct": 10,
+                "append_sec": round(t_append, 1),
+                "vector_files_fresh": files_fresh,
+                "vector_files_after_append": files_appended,
+                "vector_files_after_compact": files_compacted,
+                "search_post_append_sec": t_search_post_append,
+                "compact_sec": round(t_compact, 1),
+                "compact_stats": compact_stats,
+                "search_post_compact_sec": t_search_post_compact,
                 "total_shuffle_write_mb": round(
                     sum(s["shuffle_write_mb"] for s in stages), 1
                 ),
