@@ -196,6 +196,50 @@ def append_to_ann_index(
     )
 
 
+def delete_from_ann_index(spark: SparkSession, vec_ids, index_dir: str) -> None:
+    """Logical delete — the third lifecycle verb (build / append / delete).
+
+    Deleted ids land in a ``tombstones/`` side table (append-only
+    parquet; a DataFrame writes distributed, a Python iterable becomes a
+    driver-sized single file). Nothing in the partitioned tables is
+    rewritten: every reader anti-joins its scan against the tombstones
+    (broadcast — the set is metadata-sized BETWEEN compactions, which is
+    the operational contract: bulk deletes should be followed by
+    :func:`compact_ann_index`, which applies tombstones physically
+    during its partition rewrite and then clears them). The quantizers
+    are untouched — centroids/codebook derive from the build-time
+    corpus and stay valid for the survivors, exactly as with append."""
+    if isinstance(vec_ids, DataFrame):
+        df = vec_ids.select(F.col("vec_id").cast("long"))
+    else:
+        df = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id long"
+        ).coalesce(1)
+    df.write.mode("append").parquet(f"{index_dir}/tombstones")
+
+
+def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The distinct tombstoned ids, or None when none exist. (Local-FS
+    existence probe; an object-store deployment would swap in the
+    Hadoop FileSystem API — same contract.)"""
+    import os
+
+    path = f"{index_dir}/tombstones"
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("vec_id").distinct()
+
+
+def _live(spark: SparkSession, index_dir: str, df: DataFrame) -> DataFrame:
+    """Filter a scan of an artifact table down to non-deleted rows —
+    broadcast anti-join against the (metadata-sized) tombstones; a
+    no-op plan when no tombstones exist."""
+    tomb = _tombstones(spark, index_dir)
+    if tomb is None:
+        return df
+    return df.join(F.broadcast(tomb), "vec_id", "left_anti")
+
+
 # --------------------------------------------------------------------------
 # Driver-side query terms (tiny, exact twins of the distributed formulas).
 
@@ -317,8 +361,12 @@ def ann_index_ivfpq_topk(
     probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
     lut_df = spark.createDataFrame(lut, _LUT_SCHEMA)
 
-    vectors = spark.read.parquet(f"{index_dir}/vectors").where(
-        _cell_predicate(probes)
+    vectors = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(f"{index_dir}/vectors").where(
+            _cell_predicate(probes)
+        ),
     )
     scored = (
         vectors.join(F.broadcast(probes_df), "cell")
@@ -346,7 +394,11 @@ def ann_index_ivf_topk(
     probes = _probe_cells(queries, cells, mat, n_probe)
     probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
 
-    raw = spark.read.parquet(f"{index_dir}/raw").where(_cell_predicate(probes))
+    raw = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(f"{index_dir}/raw").where(_cell_predicate(probes)),
+    )
     scored = (
         raw.join(F.broadcast(probes_df), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -406,7 +458,9 @@ def ann_index_lsh_topk(
         pairs,
         F.lit(False),
     )
-    buckets = spark.read.parquet(f"{index_dir}/lsh_buckets").where(pred)
+    buckets = _live(
+        spark, index_dir, spark.read.parquet(f"{index_dir}/lsh_buckets").where(pred)
+    )
     cands = (
         buckets.join(F.broadcast(qb_df), ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -473,10 +527,19 @@ def compact_ann_index(
     a crash mid-write leaves the live table untouched. Row content is
     untouched (pinned bit-identical by tests/test_ann_index.py), so the
     immutable-quantizer invariant and every reader are unaffected.
+
+    Pending tombstones (see :func:`delete_from_ann_index`) are applied
+    PHYSICALLY here — the rewrite anti-joins each table against them,
+    and once every partitioned table has been rewritten the tombstone
+    side table is cleared: readers stop paying the logical filter, and
+    the deleted rows' storage is actually reclaimed. Partial-table
+    compactions keep the tombstones (the anti-join is idempotent, so a
+    survivor table stays correct either way).
     """
     import os
     import shutil
 
+    tomb = _tombstones(spark, index_dir)
     stats = {}
     for t in tables:
         pc = _PARTITIONED_TABLES[t]
@@ -484,9 +547,11 @@ def compact_ann_index(
         tmp = f"{index_dir}/_{t}.compacting"
         old = f"{index_dir}/_{t}.old"
         before = len(_data_files(src))
+        table_df = spark.read.parquet(src)
+        if tomb is not None:
+            table_df = table_df.join(F.broadcast(tomb), "vec_id", "left_anti")
         (
-            spark.read.parquet(src)
-            .repartition(F.col(pc))
+            table_df.repartition(F.col(pc))
             .write.mode("overwrite")
             .partitionBy(pc)
             .parquet(tmp)
@@ -499,6 +564,8 @@ def compact_ann_index(
             "files_before": before,
             "files_after": len(_data_files(src)),
         }
+    if tomb is not None and set(_PARTITIONED_TABLES) <= set(tables):
+        shutil.rmtree(f"{index_dir}/tombstones")
     return stats
 
 

@@ -2414,6 +2414,62 @@ def _ann_index_upsert_shared(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+# Static so the SQL twin can name the same ids: a 100-id block that
+# excludes the query ids (0-4) and exists at every sf (min corpus 500).
+_DELETE_IDS = list(range(20, 120))
+
+
+def _ann_index_delete_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Full-corpus index with a block of ids tombstoned — the delete
+    lifecycle verb: nothing rewritten, readers anti-join the
+    (metadata-sized) tombstone table."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+    )
+
+    key = sf_dir + "#delete"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_delete_")
+        build_ann_index(
+            spark, rebalance(load_table(spark, sf_dir, "embeddings")), d
+        )
+        delete_from_ann_index(spark, _DELETE_IDS, d)
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_index_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 lifecycle: IVF-PQ search over an index with tombstoned ids —
+    deleted vectors must vanish from results and survivors take their
+    ranks, with zero partition rewrites. Oracle = the ivfpq twin minus
+    the deleted ids, so the tombstone anti-join is hash-checked exactly;
+    the physical-apply path (compaction clears tombstones, results
+    unchanged) is pinned in tests/test_ann_index.py."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_ivfpq_topk(
+        spark,
+        _ann_index_delete_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+# The twin is the ivfpq SQL with the tombstoned ids excluded from cell
+# membership — the exact relational meaning of the reader's anti-join.
+_MEMBER_GUARD = "WHERE a.vec_id <> p.q_id"
+assert _MEMBER_GUARD in _ANN_IVFPQ_SQL
+_ANN_DELETE_SQL = _ANN_IVFPQ_SQL.replace(
+    _MEMBER_GUARD,
+    _MEMBER_GUARD
+    + f" AND a.vec_id NOT IN ({', '.join(map(str, _DELETE_IDS))})",
+)
+
+
 def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout audit over the build+append index (the upsert staging):
     rows/partition skew and files/partition per artifact table — the
@@ -2579,6 +2635,7 @@ QUERIES = {
     "ann_index_ivf_topk": (ann_index_ivf_topk, _ANN_IVF_SQL),
     "ann_index_lsh_topk": (ann_index_lsh_topk, _ANN_LSH_SQL),
     "ann_index_upsert_topk": (ann_index_upsert_topk, _ANN_IVFPQ_SQL),
+    "ann_index_delete_topk": (ann_index_delete_topk, _ANN_DELETE_SQL),
     "ann_index_refined_recall": (ann_index_refined_recall, None),
     "ann_index_stats": (ann_index_stats, None),
     "embed_documents_batch": (embed_documents_batch, _EMBED_DOCS_SQL),

@@ -236,3 +236,65 @@ def test_compaction_preserves_search_and_reduces_files(spark, tmp_path):
         # row content untouched
         assert stats_after[t].rows == stats_before[t].rows, t
         assert stats_after[t].n_partitions == stats_before[t].n_partitions, t
+
+
+def test_delete_tombstones_then_compaction_applies(spark, tmp_path):
+    """delete_from_ann_index: tombstoned ids vanish from every reader's
+    results with zero partition rewrites (logical delete), survivors
+    take the vacated ranks, and a later compaction applies the
+    tombstones physically — results identical to the logical path, the
+    tombstone side table cleared, the rows actually gone from disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "idx")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    AI.build_ann_index(spark, emb, d)
+    qs = _queries(spark)
+
+    # tombstone every baseline ivfpq hit → the filter provably bites
+    baseline = AI.ann_index_ivfpq_topk(spark, d, qs, K).collect()
+    victims = sorted({int(r.vec_id) for r in baseline})
+    assert victims
+    files_before = len(AI._data_files(f"{d}/vectors"))
+    AI.delete_from_ann_index(spark, victims, d)
+    # logical: nothing rewritten
+    assert len(AI._data_files(f"{d}/vectors")) == files_before
+
+    for reader in (
+        AI.ann_index_ivfpq_topk,
+        AI.ann_index_ivf_topk,
+        AI.ann_index_lsh_topk,
+    ):
+        res = reader(spark, d, qs, K).collect()
+        assert res, reader.__name__
+        assert not ({int(r.vec_id) for r in res} & set(victims)), (
+            reader.__name__
+        )
+    # survivors fill the vacated ranks — still a full k per query
+    assert (
+        AI.ann_index_ivfpq_topk(spark, d, qs, K).count()
+        == len(QUERY_IDS) * K
+    )
+
+    logical = {
+        "ivfpq": _rows(AI.ann_index_ivfpq_topk(spark, d, qs, K)),
+        "ivf": _rows(AI.ann_index_ivf_topk(spark, d, qs, K)),
+        "lsh": _rows(AI.ann_index_lsh_topk(spark, d, qs, K)),
+    }
+    AI.compact_ann_index(spark, d)
+    assert not os.path.isdir(f"{d}/tombstones")
+    after = {
+        "ivfpq": _rows(AI.ann_index_ivfpq_topk(spark, d, qs, K)),
+        "ivf": _rows(AI.ann_index_ivf_topk(spark, d, qs, K)),
+        "lsh": _rows(AI.ann_index_lsh_topk(spark, d, qs, K)),
+    }
+    assert after == logical
+    # physically reclaimed
+    assert (
+        spark.read.parquet(f"{d}/raw")
+        .filter(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
