@@ -1,0 +1,192 @@
+"""Persisted dedup signature store (SURVEY X2 — the incremental-ingest
+artifact, the dedup sibling of operators/ann_index.py).
+
+`near_dup_pairs` is the right shape for deduping a corpus ONCE; the
+operational question at 100 TB is different: an hourly batch of new
+documents must be checked against everything already ingested without
+re-shingling, re-hashing, or even re-reading the old corpus. This module
+persists the per-document dedup state exactly once — the LSH band table
+(candidate generation) and the distinct shingle sets (exact verify) —
+and `dedup_index_lookup` answers "which stored docs does each new doc
+near-duplicate?" touching only the store and the new batch:
+
+- ``bands/``    (doc_id, band) **partitioned by pfx** (the band's first
+  two hex chars, 256 partitions): a lookup probes only the partitions
+  its new bands hash into — for an hourly batch that is a
+  partition-pruned scan, and the equi-join on ``band`` does the rest.
+- ``profiles/`` (doc_id, shingle_set) **partitioned by bucket**
+  (``pmod(hash(doc_id), 64)``): the verify step reads only the buckets
+  holding candidate old ids.
+
+All hashing is the same md5-derived family as operators/dedup.py, so
+the store is bit-compatible with the in-session pipeline and the DuckDB
+oracle (plans/llm_ops.py `dedup_index_lookup`): build-then-lookup is
+hash-checked against the one-shot SQL that never materializes a store.
+
+Scale notes: encode is the same single wide shuffle as
+`shingle_profile` (explode is map-side, min/collect_set agg is the
+exchange); the partitionBy writes are the only other exchanges.
+`append_to_dedup_index` is O(new batch) — existing partitions' files
+are never rewritten (one file-set per partition per batch; see
+compact_ann_index for the same maintenance pattern). The verify join
+reuses the family's two-path strategy (`_verify_join`'s shapes):
+broadcast below `AUTO_VERIFY_PAIRS` candidates, shuffle above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.operators.dedup import (
+    char_shingles,
+    lsh_bands,
+    resolve_verify_strategy,
+    shingle_profile,
+)
+
+PFX_LEN = 2  # band partition prefix: 2 hex chars -> 256 partitions
+N_BUCKETS = 64  # profile partitions
+
+
+def _bucket(id_col: str) -> F.Column:
+    return F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(N_BUCKETS))
+
+
+def _encode(docs: DataFrame, id_col: str, text_col: str):
+    """(profiles, bands) for a document batch — ONE wide shuffle (the
+    shingle_profile hash-aggregate); bands derive from the sigs already
+    in the profile row, no second pass over text."""
+    prof = shingle_profile(char_shingles(docs, id_col, text_col), id_col)
+    prof = prof.persist()
+    bands = lsh_bands(prof, id_col)
+    return prof, bands
+
+
+def _write(prof: DataFrame, bands: DataFrame, index_dir: str, id_col: str, mode: str) -> None:
+    (
+        bands.withColumn("pfx", F.substring("band", 1, PFX_LEN))
+        .repartition(F.col("pfx"))
+        .write.mode(mode)
+        .partitionBy("pfx")
+        .parquet(f"{index_dir}/bands")
+    )
+    (
+        prof.select(id_col, "shingle_set")
+        .withColumn("bucket", _bucket(id_col))
+        .repartition(F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/profiles")
+    )
+
+
+def build_dedup_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Encode the corpus once and persist its dedup state (bands +
+    shingle profiles). Re-runs overwrite atomically per Spark's
+    committer (O13 semantics)."""
+    prof, bands = _encode(docs, id_col, text_col)
+    try:
+        _write(prof, bands, index_dir, id_col, "overwrite")
+    finally:
+        prof.unpersist()
+
+
+def append_to_dedup_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Admit a new batch into the store — O(batch): the batch is encoded
+    with the same deterministic hash family and its rows APPEND into the
+    band/profile partitions; nothing existing is rewritten. Identical to
+    having built the store over the union corpus (same per-doc rows by
+    construction — the hashes depend only on the doc), pinned by
+    tests/test_dedup_index.py."""
+    prof, bands = _encode(docs, id_col, text_col)
+    try:
+        _write(prof, bands, index_dir, id_col, "append")
+    finally:
+        prof.unpersist()
+
+
+def dedup_index_lookup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    verify_strategy: str = "auto",
+) -> DataFrame:
+    """Near-dup check of a new batch AGAINST THE STORE: (old_id, new_id,
+    jaccard) for every stored document a new document near-duplicates —
+    the old corpus is never re-read, let alone re-shingled.
+
+    Plan: encode the batch (one wide shuffle over the BATCH only);
+    probe ``bands/`` partition-pruned to the batch's band prefixes
+    (≤256 values, collected from the batch's own bands — metadata-sized
+    by construction) with an equi-join on ``band``; verify candidates
+    against ``profiles/`` pruned to the candidates' buckets, via the
+    family's two-path verify (broadcast below AUTO_VERIFY_PAIRS
+    candidates, shuffle above — resolve_verify_strategy)."""
+    prof_new, bands_new = _encode(new_docs, id_col, text_col)
+    bands_new = bands_new.withColumn(
+        "pfx", F.substring("band", 1, PFX_LEN)
+    ).persist()
+    pfxs = sorted(
+        r.pfx for r in bands_new.select("pfx").distinct().collect()
+    )
+    stored_bands = (
+        spark.read.parquet(f"{index_dir}/bands")
+        .where(F.col("pfx").isin(pfxs))
+        .select(F.col(id_col).alias("old_id"), "band")
+    )
+    cands = (
+        stored_bands.join(
+            bands_new.select(F.col(id_col).alias("new_id"), "band"),
+            "band",
+        )
+        .filter(F.col("old_id") != F.col("new_id"))
+        .select("old_id", "new_id")
+        .distinct()
+        .persist()
+    )
+    strategy = resolve_verify_strategy(verify_strategy, cands)
+    buckets = sorted(
+        r.b
+        for r in cands.select(
+            F.pmod(F.abs(F.hash("old_id")), F.lit(N_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    prof_old = (
+        spark.read.parquet(f"{index_dir}/profiles")
+        .where(F.col("bucket").isin(buckets))
+        .select(F.col(id_col).alias("old_id"), F.col("shingle_set").alias("so"))
+    )
+    pn = prof_new.select(
+        F.col(id_col).alias("new_id"), F.col("shingle_set").alias("sn")
+    )
+    if strategy == "shuffle":
+        verified = cands.join(prof_old, "old_id").join(pn, "new_id")
+    else:
+        with_old = prof_old.join(F.broadcast(cands), "old_id")
+        verified = pn.join(F.broadcast(with_old), "new_id")
+    inter = F.size(F.array_intersect("so", "sn"))
+    jaccard = (
+        inter.cast("double")
+        / (F.size("so") + F.size("sn") - inter).cast("double")
+    ).alias("jaccard")
+    return verified.select("old_id", "new_id", jaccard).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -1453,6 +1453,95 @@ WHERE cast(i.inter AS double) / cast(least(na.n, nb.n) AS double) >= 0.8
 """
 
 
+# ---------------------------------------------------------------------------
+# X2 incremental-ingest artifact: the persisted dedup signature store
+# (operators/dedup_index.py). The registered staging exercises the FULL
+# lifecycle — build on 40% of the corpus, append another 40% (O(batch),
+# no rewrite), then look up the remaining 20% as the "new batch" — so
+# the oracle (the one-shot SQL over the union, no store anywhere)
+# hash-checks build, append, and lookup in one query.
+_DEDUP_INDEX_DIRS: dict[str, str] = {}
+
+
+def _dedup_index_shared(spark: SparkSession, sf_dir: str) -> str:
+    from rds_pgbadger_etl_spark.operators.dedup_index import (
+        append_to_dedup_index,
+        build_dedup_index,
+    )
+
+    d = _DEDUP_INDEX_DIRS.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dedup_index_")
+        docs = load_table(spark, sf_dir, "documents")
+        build_dedup_index(spark, docs.filter(F.col("doc_id") % 10 < 4), d)
+        append_to_dedup_index(
+            spark,
+            docs.filter(
+                (F.col("doc_id") % 10 >= 4) & (F.col("doc_id") % 10 < 8)
+            ),
+            d,
+        )
+        _DEDUP_INDEX_DIRS[sf_dir] = d
+    return d
+
+
+def dedup_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: near-dup check of a new batch (doc_id%10 >= 8) against the
+    persisted signature store holding the other 80% — the old corpus is
+    never re-read or re-shingled; candidates come from the store's
+    partition-pruned band table, verification from its shingle-profile
+    buckets. Oracle = the same pipeline as one SQL over the union
+    corpus, restricted to (old, new) role pairs."""
+    from rds_pgbadger_etl_spark.operators.dedup_index import (
+        dedup_index_lookup as _lookup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _lookup(
+        spark,
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        _dedup_index_shared(spark, sf_dir),
+        threshold=0.5,
+    )
+
+
+_DEDUP_INDEX_SQL = f"""
+WITH sh0 AS ({_SH_SQL}),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh0 GROUP BY doc_id),
+bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id,
+           unnest([md5(cast(sig1 AS varchar) || ':' || cast(sig2 AS varchar)),
+                   md5(cast(sig3 AS varchar) || ':' || cast(sig4 AS varchar))])
+             AS band
+    FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS old_id, r.doc_id AS new_id
+  FROM bands l JOIN bands r ON l.band = r.band
+  WHERE l.doc_id % 10 < 8 AND r.doc_id % 10 >= 8
+),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.old_id, c.new_id, count(*) AS inter
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.old_id
+  JOIN s sb ON sb.doc_id = c.new_id AND sb.shingle = sa.shingle
+  GROUP BY c.old_id, c.new_id
+)
+SELECT i.old_id, i.new_id,
+       cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double)
+         AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.old_id
+JOIN sizes nb ON nb.doc_id = i.new_id
+WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.5
+"""
+
+
 CANONICAL_SAMPLE_K = 20
 
 
@@ -2629,6 +2718,7 @@ QUERIES = {
         dedup_containment_prefix,
         _CONTAINMENT_PREFIX_SQL,
     ),
+    "dedup_index_lookup": (dedup_index_lookup, _DEDUP_INDEX_SQL),
     "text_readability": (text_readability, _READABILITY_SQL),
     "ann_recall_report": (ann_recall_report, None),
     "ann_index_ivfpq_topk": (ann_index_ivfpq_topk, _ANN_IVFPQ_SQL),

@@ -1,0 +1,128 @@
+"""Persisted dedup signature store (operators/dedup_index.py): lookup
+parity with the in-session pipeline, append == one-shot build, and the
+partition-pruned probe plan (the incremental-ingest contract: a new
+batch dedups against the corpus without the corpus being re-read)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.operators import dedup as D
+from rds_pgbadger_etl_spark.operators import dedup_index as DI
+from rds_pgbadger_etl_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+THRESHOLD = 0.5
+
+
+def _rows(df):
+    return sorted(map(str, df.select(sorted(df.columns)).collect()))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """40 synthetic documents; ids with doc_id%10 < 8 play the stored
+    corpus, >= 8 the new batch. One planted cross-role near-dup pair
+    (18 copies 11) guarantees the lookup provably bites."""
+    rows = []
+    for i in range(40):
+        rows.append((i, f"document number {i} talks about topic {i % 7} " * 8))
+    texts = dict(rows)
+    rows[18] = (18, texts[11] + "tiny tail")
+    rows[29] = (29, texts[3])
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _expected(docs):
+    """The same answer with no store anywhere: in-session bands over the
+    union corpus, candidates restricted to (old, new) role pairs, exact
+    Jaccard verify via the family's shared join."""
+    prof = D.shingle_profile(D.char_shingles(docs))
+    bands = prof.select(
+        "doc_id", F.explode(
+            F.array(
+                F.md5(F.concat_ws(":", "sig1", "sig2")),
+                F.md5(F.concat_ws(":", "sig3", "sig4")),
+            )
+        ).alias("band"),
+    ).distinct()
+    old_b = bands.filter(F.col("doc_id") % 10 < 8).select(
+        F.col("doc_id").alias("a"), "band"
+    )
+    new_b = bands.filter(F.col("doc_id") % 10 >= 8).select(
+        F.col("doc_id").alias("b"), "band"
+    )
+    cands = old_b.join(new_b, "band").select("a", "b").distinct()
+    return (
+        D.pair_jaccard(cands, prof)
+        .filter(F.col("jaccard") >= THRESHOLD)
+        .select(
+            F.col("a").alias("old_id"),
+            F.col("b").alias("new_id"),
+            "jaccard",
+        )
+    )
+
+
+def test_lookup_matches_in_session_and_bites(spark, docs, tmp_path):
+    d = str(tmp_path / "store")
+    DI.build_dedup_index(spark, docs.filter(F.col("doc_id") % 10 < 8), d)
+    got = DI.dedup_index_lookup(
+        spark, docs.filter(F.col("doc_id") % 10 >= 8), d, threshold=THRESHOLD
+    )
+    got_rows = _rows(got)
+    assert got_rows == _rows(_expected(docs))
+    # the planted cross dups are found
+    found = {(int(r.old_id), int(r.new_id)) for r in got.collect()}
+    assert (11, 18) in found and (3, 29) in found
+
+
+def test_append_equals_one_shot_build(spark, docs, tmp_path):
+    """build(40%) + append(40%) must be indistinguishable from one
+    build(80%) — same per-doc rows by construction (hashes depend only
+    on the doc), so lookups are bit-identical."""
+    one_shot = str(tmp_path / "one")
+    incr = str(tmp_path / "incr")
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    DI.build_dedup_index(spark, old, one_shot)
+    DI.build_dedup_index(spark, docs.filter(F.col("doc_id") % 10 < 4), incr)
+    DI.append_to_dedup_index(
+        spark,
+        docs.filter((F.col("doc_id") % 10 >= 4) & (F.col("doc_id") % 10 < 8)),
+        incr,
+    )
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    assert _rows(
+        DI.dedup_index_lookup(spark, new, incr, threshold=THRESHOLD)
+    ) == _rows(
+        DI.dedup_index_lookup(spark, new, one_shot, threshold=THRESHOLD)
+    )
+
+
+def test_lookup_plan_is_partition_pruned(spark, tmp_path):
+    """A small batch's probe must be a partition-pruned scan of the
+    band table (pfx IN (...) PartitionFilters) and a bucket-pruned scan
+    of the profiles — the store is never scanned in full."""
+    d = str(tmp_path / "store")
+    real = load_table(spark, SF_SMOKE, "documents")
+    DI.build_dedup_index(spark, real.filter(F.col("doc_id") % 10 < 8), d)
+    batch = real.filter(F.col("doc_id") % 10 >= 8).limit(3)
+    got = DI.dedup_index_lookup(spark, batch, d, threshold=THRESHOLD)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "pfx" in plan and "bucket" in plan
+    # 3 docs -> at most 6 bands -> at most 6 of 256 pfx partitions probed
+    import re
+
+    pfx_filters = re.findall(r"pfx#\d+ IN \(([^)]*)\)", plan)
+    assert pfx_filters and len(pfx_filters[0].split(",")) <= 6
+
+
+def test_verify_strategy_plumbed(spark, docs, tmp_path):
+    d = str(tmp_path / "store")
+    DI.build_dedup_index(spark, docs.filter(F.col("doc_id") % 10 < 8), d)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    assert _rows(
+        DI.dedup_index_lookup(spark, new, d, verify_strategy="shuffle")
+    ) == _rows(DI.dedup_index_lookup(spark, new, d, verify_strategy="broadcast"))
