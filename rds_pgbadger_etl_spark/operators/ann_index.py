@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rds_pgbadger_etl_spark.operators import index_maintenance as M
 from rds_pgbadger_etl_spark.operators import similarity as S
 
 Query = tuple[int, list[float]]
@@ -209,35 +210,14 @@ def delete_from_ann_index(spark: SparkSession, vec_ids, index_dir: str) -> None:
     during its partition rewrite and then clears them). The quantizers
     are untouched — centroids/codebook derive from the build-time
     corpus and stay valid for the survivors, exactly as with append."""
-    if isinstance(vec_ids, DataFrame):
-        df = vec_ids.select(F.col("vec_id").cast("long"))
-    else:
-        df = spark.createDataFrame(
-            [(int(v),) for v in vec_ids], "vec_id long"
-        ).coalesce(1)
-    df.write.mode("append").parquet(f"{index_dir}/tombstones")
-
-
-def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """The distinct tombstoned ids, or None when none exist. (Local-FS
-    existence probe; an object-store deployment would swap in the
-    Hadoop FileSystem API — same contract.)"""
-    import os
-
-    path = f"{index_dir}/tombstones"
-    if not os.path.isdir(path):
-        return None
-    return spark.read.parquet(path).select("vec_id").distinct()
+    M.write_tombstones(spark, vec_ids, index_dir, "vec_id")
 
 
 def _live(spark: SparkSession, index_dir: str, df: DataFrame) -> DataFrame:
     """Filter a scan of an artifact table down to non-deleted rows —
     broadcast anti-join against the (metadata-sized) tombstones; a
     no-op plan when no tombstones exist."""
-    tomb = _tombstones(spark, index_dir)
-    if tomb is None:
-        return df
-    return df.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return M.live(spark, index_dir, df, "vec_id")
 
 
 # --------------------------------------------------------------------------
@@ -493,18 +473,7 @@ _PARTITIONED_TABLES = {
 }
 
 
-def _data_files(path: str) -> list[str]:
-    """Relative paths of the parquet data files under a table dir."""
-    import os
-
-    out = []
-    for root, _dirs, files in os.walk(path):
-        out.extend(
-            os.path.relpath(os.path.join(root, f), path)
-            for f in files
-            if f.endswith(".parquet")
-        )
-    return out
+_data_files = M.data_files
 
 
 def compact_ann_index(
@@ -536,37 +505,9 @@ def compact_ann_index(
     compactions keep the tombstones (the anti-join is idempotent, so a
     survivor table stays correct either way).
     """
-    import os
-    import shutil
-
-    tomb = _tombstones(spark, index_dir)
-    stats = {}
-    for t in tables:
-        pc = _PARTITIONED_TABLES[t]
-        src = f"{index_dir}/{t}"
-        tmp = f"{index_dir}/_{t}.compacting"
-        old = f"{index_dir}/_{t}.old"
-        before = len(_data_files(src))
-        table_df = spark.read.parquet(src)
-        if tomb is not None:
-            table_df = table_df.join(F.broadcast(tomb), "vec_id", "left_anti")
-        (
-            table_df.repartition(F.col(pc))
-            .write.mode("overwrite")
-            .partitionBy(pc)
-            .parquet(tmp)
-        )
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old)
-        stats[t] = {
-            "files_before": before,
-            "files_after": len(_data_files(src)),
-        }
-    if tomb is not None and set(_PARTITIONED_TABLES) <= set(tables):
-        shutil.rmtree(f"{index_dir}/tombstones")
-    return stats
+    return M.compact_index(
+        spark, index_dir, _PARTITIONED_TABLES, tables, "vec_id"
+    )
 
 
 def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -577,23 +518,4 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     (``max_part_rows`` vs ``avg_part_rows``). Rows-only by design: the
     physical file layout is Spark-side state with no SQL-expressible
     DuckDB twin."""
-    out = None
-    for t, pc in _PARTITIONED_TABLES.items():
-        per_part = (
-            spark.read.parquet(f"{index_dir}/{t}")
-            .groupBy(F.col(pc).cast("long").alias("part"))
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.countDistinct(F.col("_metadata.file_path")).alias("files"),
-            )
-        )
-        summary = per_part.agg(
-            F.count(F.lit(1)).alias("n_partitions"),
-            F.sum("rows").alias("rows"),
-            F.sum("files").cast("long").alias("files"),
-            F.max("rows").alias("max_part_rows"),
-            F.round(F.avg("rows"), 2).alias("avg_part_rows"),
-            F.max("files").cast("long").alias("max_part_files"),
-        ).select(F.lit(t).alias("table"), "*")
-        out = summary if out is None else out.unionByName(summary)
-    return out.orderBy("table")
+    return M.index_stats(spark, index_dir, _PARTITIONED_TABLES)

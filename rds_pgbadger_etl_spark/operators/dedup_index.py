@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rds_pgbadger_etl_spark.operators import index_maintenance as M
 from rds_pgbadger_etl_spark.operators.dedup import (
     char_shingles,
     lsh_bands,
@@ -47,6 +48,9 @@ from rds_pgbadger_etl_spark.operators.dedup import (
 
 PFX_LEN = 2  # band partition prefix: 2 hex chars -> 256 partitions
 N_BUCKETS = 64  # profile partitions
+
+# table name -> partition column (the shared-maintenance mapping)
+_PARTITIONED_TABLES = {"bands": "pfx", "profiles": "bucket"}
 
 
 def _bucket(id_col: str) -> F.Column:
@@ -145,11 +149,12 @@ def dedup_index_lookup(
     pfxs = sorted(
         r.pfx for r in bands_new.select("pfx").distinct().collect()
     )
-    stored_bands = (
-        spark.read.parquet(f"{index_dir}/bands")
-        .where(F.col("pfx").isin(pfxs))
-        .select(F.col(id_col).alias("old_id"), "band")
-    )
+    stored_bands = M.live(
+        spark,
+        index_dir,
+        spark.read.parquet(f"{index_dir}/bands").where(F.col("pfx").isin(pfxs)),
+        id_col,
+    ).select(F.col(id_col).alias("old_id"), "band")
     cands = (
         stored_bands.join(
             bands_new.select(F.col(id_col).alias("new_id"), "band"),
@@ -190,3 +195,32 @@ def dedup_index_lookup(
     return verified.select("old_id", "new_id", jaccard).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def delete_from_dedup_index(spark: SparkSession, doc_ids, index_dir: str) -> None:
+    """Logical delete (takedowns, canonical-dedup removals): ids land in
+    the ``tombstones/`` side table; lookups anti-join the band probe
+    against it (filtering candidates suffices — a doc that can't become
+    a candidate can't reach verify), and :func:`compact_dedup_index`
+    applies the tombstones physically then clears them. Same lifecycle
+    as the ANN index (operators/index_maintenance.py)."""
+    M.write_tombstones(spark, doc_ids, index_dir, "doc_id")
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    tables: tuple[str, ...] = ("bands", "profiles"),
+) -> dict:
+    """Rewrite each store table to one file-set per partition (appends
+    land one file-set per batch), applying any pending tombstones
+    physically — the shared atomic-temp-path maintenance pass."""
+    return M.compact_index(
+        spark, index_dir, _PARTITIONED_TABLES, tables, "doc_id"
+    )
+
+
+def dedup_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Layout audit (rows/partition skew, files/partition) — rows-only
+    by design, same contract as ann_index_stats."""
+    return M.index_stats(spark, index_dir, _PARTITIONED_TABLES)

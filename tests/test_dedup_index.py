@@ -126,3 +126,61 @@ def test_verify_strategy_plumbed(spark, docs, tmp_path):
     assert _rows(
         DI.dedup_index_lookup(spark, new, d, verify_strategy="shuffle")
     ) == _rows(DI.dedup_index_lookup(spark, new, d, verify_strategy="broadcast"))
+
+
+def test_delete_then_compaction_applies(spark, docs, tmp_path):
+    """Tombstoned docs vanish from lookup results (logical, zero
+    rewrites); compaction applies tombstones physically — results
+    identical, side table cleared, rows gone from the profiles."""
+    import os
+
+    d = str(tmp_path / "store")
+    DI.build_dedup_index(spark, docs.filter(F.col("doc_id") % 10 < 8), d)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    base = DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD).collect()
+    victims = sorted({int(r.old_id) for r in base})
+    assert victims  # the planted cross dups guarantee hits
+    DI.delete_from_dedup_index(spark, victims, d)
+    got = DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD)
+    assert not ({int(r.old_id) for r in got.collect()} & set(victims))
+    logical = _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
+    DI.compact_dedup_index(spark, d)
+    assert not os.path.isdir(f"{d}/tombstones")
+    assert (
+        _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
+        == logical
+    )
+    assert (
+        spark.read.parquet(f"{d}/profiles")
+        .filter(F.col("doc_id").isin(victims))
+        .count()
+        == 0
+    )
+
+
+def test_store_compaction_after_append(spark, tmp_path):
+    """build + append leaves >1 file-set in hot partitions; compaction
+    restores one file-set per partition with lookups bit-identical."""
+    real = load_table(spark, SF_SMOKE, "documents")
+    d = str(tmp_path / "store")
+    DI.build_dedup_index(spark, real.filter(F.col("doc_id") % 10 < 4), d)
+    DI.append_to_dedup_index(
+        spark,
+        real.filter((F.col("doc_id") % 10 >= 4) & (F.col("doc_id") % 10 < 8)),
+        d,
+    )
+    stats = {r.table: r for r in DI.dedup_index_stats(spark, d).collect()}
+    assert stats["bands"].max_part_files > 1
+    new = real.filter(F.col("doc_id") % 10 >= 8)
+    before = _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
+    fstats = DI.compact_dedup_index(spark, d)
+    for t, s in fstats.items():
+        assert s["files_after"] <= s["files_before"], (t, s)
+    after = {r.table: r for r in DI.dedup_index_stats(spark, d).collect()}
+    for t in ("bands", "profiles"):
+        assert after[t].max_part_files == 1, t
+        assert after[t].rows == stats[t].rows, t
+    assert (
+        _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
+        == before
+    )
