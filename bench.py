@@ -13,10 +13,27 @@ that steady-state production runs don't, and single-shot numbers on a
 shared box carry multi-second noisy-neighbor spikes — observed 0.4s ->
 7s on an untouched query between consecutive runs).
 
+Session hygiene (round 8, VERDICT r7 #1): one shared JVM running 165
+queries x 3 evaluations accumulates state — query-local ``.persist()``
+staging is re-created per evaluation and never unpersisted, and the
+block-manager/catalog pressure that follows inflated the r7 official
+total ~35% while fresh-session probes showed every plan unchanged. The
+runner now releases session state between query FAMILIES (the sorted
+registry keeps families contiguous): unpersist-all via
+``spark.catalog.clearCache()``, drop the shared-staging handles
+(plans/_shared) and the ranged-cumsum cache (functions/agg). Within a
+family, shared staging still persists — warm numbers measure plans, not
+rebuilds (and a post-release rebuild lands in run 1 of 3; ``warm`` is
+the min). A FRESH-SESSION spot-check leg (subprocess re-running the
+headline queries in a new JVM) lands in ``bench_detail.json`` as
+``fresh_session_spot`` so residual drift is detected mechanically:
+in-session warm vs fresh-session warm for the same query should agree
+within noise; a growing gap means the hygiene regressed, not the plans.
+
 The stdout line is kept TINY (~300 bytes). Round 2's ~9 KB line and
 round 3's ~3.5 KB line both overflowed the driver's capture buffer and
 came back ``parsed: null``, so the full per-query dict no longer goes to
-stdout at all. The ``queries`` key now carries only a fixed set of eight
+stdout at all. The ``queries`` key carries only a fixed set of nine
 headline queries (one per major subsystem); every query's three runs,
 cold and warm numbers live in ``.benchmarks/bench_detail.json``.
 """
@@ -25,33 +42,59 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
+# One headline query per subsystem — keeps the stdout line ~300 bytes
+# so the driver's capture buffer cannot truncate it again.
+HEADLINE = [
+    "q01_pricing_summary", "q09_percentiles", "log_top_queries",
+    "dedup_near_pairs", "ann_cosine_topk", "text_stats",
+    "stream_hourly_counts", "multimodal_features",
+    "ann_index_ivfpq_topk",  # the persisted-index subsystem (round 6)
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from rds_pgbadger_etl_spark.session import get_spark
+def _family(name: str) -> str:
+    return name.split("_", 1)[0]
+
+
+def _release_session_state(spark) -> None:
+    """Between-family session hygiene: unpersist EVERYTHING (catches the
+    query-local persists operators create per evaluation), drop the
+    shared-staging handles so the next family rebuilds cleanly, and
+    release the ranged-cumsum cache. On-disk staging (ANN/dedup index
+    temp dirs) is left alone — it is the artifact under test, and disk
+    state does not pressure the block manager."""
+    from rds_pgbadger_etl_spark.functions import agg
+    from rds_pgbadger_etl_spark.plans import _shared
+
+    for df in _shared._CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _shared._CACHE.clear()
+    agg.clear_ranged_cache()
+    spark.catalog.clearCache()
+
+
+def run_queries(spark, sf_dir: str, only: list[str] | None = None):
+    """Time every registered query (or the ``only`` subset): 3 runs
+    each, noop sink, with between-family state release."""
     import __spark_entry__ as entry_mod
-
-    spark = get_spark(app_name="bench", cpus=cpus)
-
-    # Warm the JVM/codegen paths AND the Python-worker/Arrow channel so
-    # per-query numbers measure steady state, not process spin-up.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    from pyspark.sql import functions as F
-
-    from rds_pgbadger_etl_spark.operators.similarity import cosine_batch
-
-    arr = F.array(F.lit(1.0), F.lit(2.0))
-    spark.range(1_000).select(cosine_batch(arr, arr)).collect()
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    prev_family = None
     for name, fn in sorted(entry_mod.queries().items()):
+        if only is not None and name not in only:
+            continue
+        fam = _family(name)
+        if prev_family is not None and fam != prev_family:
+            _release_session_state(spark)
+        prev_family = fam
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -64,26 +107,80 @@ def main() -> None:
             "cold": round(runs[0], 4),
             "warm": round(min(runs), 4),
         }
+    return timings, detail
+
+
+def _fresh_session_spot(sf_dir: str, cpus: str) -> dict | None:
+    """Re-run the headline queries in a brand-new JVM (subprocess) and
+    return their warm numbers — the drift detector: a query whose
+    in-session warm exceeds its fresh-session warm by a lot means the
+    shared session is inflating, not the plan."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--spot"],
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+             "SPARK_GRAFT_CPUS": cpus},
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        return {"error": out.stderr[-500:]}
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return {"error": "no JSON line in spot output"}
+
+
+def _build_session(cpus: str):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    # Warm the JVM/codegen paths AND the Python-worker/Arrow channel so
+    # per-query numbers measure steady state, not process spin-up.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.operators.similarity import cosine_batch
+
+    arr = F.array(F.lit(1.0), F.lit(2.0))
+    spark.range(1_000).select(cosine_batch(arr, arr)).collect()
+    return spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spot_mode = "--spot" in sys.argv[1:]
+
+    spark = _build_session(cpus)
+    timings, detail = run_queries(
+        spark, sf_dir, only=HEADLINE if spot_mode else None
+    )
+
+    if spot_mode:
+        # child leg: one small JSON line for the parent to parse
+        print(json.dumps(
+            {k: d["warm"] for k, d in detail.items()}, separators=(",", ":")
+        ))
+        spark.stop()
+        return
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cold_total = round(sum(d["cold"] for d in detail.values()), 4)
+    spot = _fresh_session_spot(sf_dir, cpus)
     os.makedirs(".benchmarks", exist_ok=True)
     with open(".benchmarks/bench_detail.json", "w") as f:
         json.dump(
             {"sf_dir": sf_dir, "cpus": cpus, "cold_total": cold_total,
-             "queries": detail},
+             "fresh_session_spot": spot, "queries": detail},
             f,
             indent=1,
         )
-    # One headline query per subsystem — keeps the stdout line ~300 bytes
-    # so the driver's capture buffer cannot truncate it again.
-    headline = [
-        "q01_pricing_summary", "q09_percentiles", "log_top_queries",
-        "dedup_near_pairs", "ann_cosine_topk", "text_stats",
-        "stream_hourly_counts", "multimodal_features",
-        "ann_index_ivfpq_topk",  # the persisted-index subsystem (round 6)
-    ]
-    missing_headline = [k for k in headline if k not in timings]
+    missing_headline = [k for k in HEADLINE if k not in timings]
     assert not missing_headline, (
         f"headline queries renamed/removed from the registry: "
         f"{missing_headline} — update the headline list"
@@ -94,7 +191,7 @@ def main() -> None:
                 "metric": "total_query_wall_time",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
-                "queries": {k: timings[k] for k in headline if k in timings},
+                "queries": {k: timings[k] for k in HEADLINE if k in timings},
                 "n_queries": len(timings),
                 "cold_total": cold_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -25,7 +25,24 @@ _DECIMAL = "decimal(18,6)"
 
 # One pinned materialization of segmented_cumsum's range-partitioned
 # base per (app, input, keys): see the determinism note in the function.
+# Bounded LRU (insertion-ordered dict): evicted entries are unpersisted,
+# so distinct inputs cannot accrete MEMORY_AND_DISK persists for the
+# life of the process.
 _RANGED: dict = {}
+_RANGED_MAX = 8
+
+
+def clear_ranged_cache() -> None:
+    """Unpersist and drop every pinned ranged materialization — call
+    when a workload family that used :func:`segmented_cumsum` finishes
+    (bench.py does, between families) or after the underlying source
+    changed outside the file-list fingerprint's visibility."""
+    while _RANGED:
+        _, cached = _RANGED.popitem()
+        try:
+            cached.unpersist()
+        except Exception:
+            pass  # session already stopped: nothing to release
 
 
 def exact_sum(col: Column | str, alias: str | None = None) -> Column:
@@ -117,12 +134,19 @@ def segmented_cumsum(
     # plans/_shared.shared_df; narrow rows, the same data a staging
     # table would hold at 100 TB). Keyed by the input's semantic hash so
     # bench/test loops re-invoking the same consumer reuse one cache
-    # entry instead of accreting a new persist per call.
+    # entry instead of accreting a new persist per call. semanticHash
+    # alone hashes the PLAN, not the data — a parquet path receiving
+    # appends keeps the same plan hash — so the key also fingerprints
+    # the input file list: new or rewritten files (Spark part-file
+    # names are unique per write) change the fingerprint and miss the
+    # cache instead of silently returning stale rows. Bounded LRU;
+    # evictions unpersist (see _RANGED_MAX / clear_ranged_cache).
     from pyspark.storagelevel import StorageLevel
 
     key = (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
+        tuple(sorted(df.inputFiles())),
         tuple(seg_cols),
         tuple(order_cols),
         value_col,
@@ -130,12 +154,16 @@ def segmented_cumsum(
     )
     base = _RANGED.get(key)
     if base is None:
+        while len(_RANGED) >= _RANGED_MAX:  # LRU eviction, oldest first
+            _RANGED.pop(next(iter(_RANGED))).unpersist()
         base = (
             df.repartitionByRange(n, *[F.col(c) for c in keys])
             .withColumn("_pid", F.spark_partition_id())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _RANGED[key] = base
+    else:  # LRU touch: re-insert at the back
+        _RANGED[key] = _RANGED.pop(key)
     local_w = (
         Window.partitionBy(*seg_cols, "_pid")
         .orderBy(*order_cols)

@@ -80,7 +80,7 @@ def build_ann_index(
             F.col("vec_id").cast("int").alias("cell"),
             F.col("embedding").alias("c_emb"),
         )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cents.coalesce(1).write.mode("overwrite").parquet(M.table_path(index_dir, "centroids"))
 
     codebook = (
         S.pq_long_form(emb)
@@ -92,7 +92,7 @@ def build_ann_index(
             F.col("iv").alias("ic"),
         )
     )
-    codebook.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    codebook.coalesce(1).write.mode("overwrite").parquet(M.table_path(index_dir, "codebook"))
 
     # map-only assignment against the JUST-WRITTEN centroid table (the
     # same kernel and semantics as similarity.ivf_cells; for
@@ -117,13 +117,13 @@ def build_ann_index(
             .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(f"{index_dir}/vectors")
+            .parquet(M.table_path(index_dir, "vectors"))
         )
         (
             cells.repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(f"{index_dir}/raw")
+            .parquet(M.table_path(index_dir, "raw"))
         )
     finally:
         cells.unpersist()
@@ -134,7 +134,7 @@ def build_ann_index(
         .repartition("table_id")
         .write.mode("overwrite")
         .partitionBy("table_id")
-        .parquet(f"{index_dir}/lsh_buckets")
+        .parquet(M.table_path(index_dir, "lsh_buckets"))
     )
 
 
@@ -177,13 +177,13 @@ def append_to_ann_index(
             .repartition("cell")
             .write.mode("append")
             .partitionBy("cell")
-            .parquet(f"{index_dir}/vectors")
+            .parquet(M.table_path(index_dir, "vectors"))
         )
         (
             cells.repartition("cell")
             .write.mode("append")
             .partitionBy("cell")
-            .parquet(f"{index_dir}/raw")
+            .parquet(M.table_path(index_dir, "raw"))
         )
     finally:
         cells.unpersist()
@@ -193,7 +193,7 @@ def append_to_ann_index(
         .repartition("table_id")
         .write.mode("append")
         .partitionBy("table_id")
-        .parquet(f"{index_dir}/lsh_buckets")
+        .parquet(M.table_path(index_dir, "lsh_buckets"))
     )
 
 
@@ -244,7 +244,7 @@ def _read_centroids(spark: SparkSession, index_dir: str):
     cached = _CENTROIDS.get(index_dir)
     if cached is not None:
         return cached
-    rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+    rows = spark.read.parquet(M.table_path(index_dir, "centroids")).collect()
     rows.sort(key=lambda r: r.cell)
     cells = [int(r.cell) for r in rows]
     mat = np.array([r.c_emb for r in rows], dtype=np.float64)
@@ -257,7 +257,7 @@ def _load_codebook(spark: SparkSession, index_dir: str) -> np.ndarray:
     per index_dir — metadata-sized, immutable once built)."""
     ic = _CODEBOOKS.get(index_dir)
     if ic is None:
-        cb = spark.read.parquet(f"{index_dir}/codebook").collect()
+        cb = spark.read.parquet(M.table_path(index_dir, "codebook")).collect()
         n_sub = max(r.subspace for r in cb) + 1
         n_cells = max(r.cell for r in cb) + 1
         sub_dim = max(r.dim for r in cb) + 1
@@ -344,7 +344,7 @@ def ann_index_ivfpq_topk(
     vectors = _live(
         spark,
         index_dir,
-        spark.read.parquet(f"{index_dir}/vectors").where(
+        spark.read.parquet(M.table_path(index_dir, "vectors")).where(
             _cell_predicate(probes)
         ),
     )
@@ -377,7 +377,7 @@ def ann_index_ivf_topk(
     raw = _live(
         spark,
         index_dir,
-        spark.read.parquet(f"{index_dir}/raw").where(_cell_predicate(probes)),
+        spark.read.parquet(M.table_path(index_dir, "raw")).where(_cell_predicate(probes)),
     )
     scored = (
         raw.join(F.broadcast(probes_df), "cell")
@@ -439,7 +439,7 @@ def ann_index_lsh_topk(
         F.lit(False),
     )
     buckets = _live(
-        spark, index_dir, spark.read.parquet(f"{index_dir}/lsh_buckets").where(pred)
+        spark, index_dir, spark.read.parquet(M.table_path(index_dir, "lsh_buckets")).where(pred)
     )
     cands = (
         buckets.join(F.broadcast(qb_df), ["table_id", "bucket"])
@@ -447,7 +447,7 @@ def ann_index_lsh_topk(
         .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    raw = spark.read.parquet(f"{index_dir}/raw").select("vec_id", "embedding")
+    raw = spark.read.parquet(M.table_path(index_dir, "raw")).select("vec_id", "embedding")
     scored = (
         cands.join(raw, "vec_id")
         .join(F.broadcast(_queries_df(spark, queries)), "q_id")
@@ -490,10 +490,14 @@ def compact_ann_index(
     seeks per probed cell: the small-files degradation a real user hits
     first at 100 TB. Compaction is the standard maintenance pass: read
     the table, cluster by its partition column (all rows of a cell land
-    in one task ⇒ exactly one file per cell), write to a temp path, and
-    swap directories — the O13 atomic-temp-path pattern: readers see
-    the OLD complete table until the rename, then the NEW complete one;
-    a crash mid-write leaves the live table untouched. Row content is
+    in one task ⇒ exactly one file per cell), write it to a NEW
+    generation directory, and publish with the atomic manifest flip
+    (operators/index_maintenance.py module docstring): readers resolve
+    paths through the manifest, so at any instant they see the OLD
+    complete table or the NEW complete one — never a half-swapped dir —
+    and the superseded generation is retained one cycle for readers
+    already scanning it; a crash mid-write leaves the manifest (and
+    readers) on the old generation. Row content is
     untouched (pinned bit-identical by tests/test_ann_index.py), so the
     immutable-quantizer invariant and every reader are unaffected.
 

@@ -363,7 +363,16 @@ def containment_prefix_pairs(
         .withColumn("_rk", F.row_number().over(w))
         .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
     )
-    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+    # Exact-integer guard: when (1-t)·|S| is mathematically an integer
+    # (t=0.8, |S|=5 → 1.0) the FP product can land one ulp BELOW it
+    # (0.2·5 = 0.9999999999999998) and floor() would shorten the prefix
+    # by one — dropping pairs whose containment sits exactly at the
+    # threshold and voiding the pigeonhole guarantee. |S| ≤ TEXT_CAP=512
+    # bounds the FP error at ~1e-13, so +1e-9 corrects every
+    # exactly-integer case without ever crossing a genuinely
+    # non-integer value; over-length prefixes only ADD candidates
+    # (still a superset — the verify stays exact).
+    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("_sz") + F.lit(1e-9)) + 1
     prefix = ranked.filter(F.col("_rk") <= prefix_len).select(
         F.col(id_col).alias("_pa"), "shingle"
     )

@@ -73,7 +73,7 @@ def _write(prof: DataFrame, bands: DataFrame, index_dir: str, id_col: str, mode:
         .repartition(F.col("pfx"))
         .write.mode(mode)
         .partitionBy("pfx")
-        .parquet(f"{index_dir}/bands")
+        .parquet(M.table_path(index_dir, "bands"))
     )
     (
         prof.select(id_col, "shingle_set")
@@ -81,7 +81,7 @@ def _write(prof: DataFrame, bands: DataFrame, index_dir: str, id_col: str, mode:
         .repartition(F.col("bucket"))
         .write.mode(mode)
         .partitionBy("bucket")
-        .parquet(f"{index_dir}/profiles")
+        .parquet(M.table_path(index_dir, "profiles"))
     )
 
 
@@ -152,7 +152,7 @@ def dedup_index_lookup(
     stored_bands = M.live(
         spark,
         index_dir,
-        spark.read.parquet(f"{index_dir}/bands").where(F.col("pfx").isin(pfxs)),
+        spark.read.parquet(M.table_path(index_dir, "bands")).where(F.col("pfx").isin(pfxs)),
         id_col,
     ).select(F.col(id_col).alias("old_id"), "band")
     cands = (
@@ -175,7 +175,7 @@ def dedup_index_lookup(
         .collect()
     )
     prof_old = (
-        spark.read.parquet(f"{index_dir}/profiles")
+        spark.read.parquet(M.table_path(index_dir, "profiles"))
         .where(F.col("bucket").isin(buckets))
         .select(F.col(id_col).alias("old_id"), F.col("shingle_set").alias("so"))
     )
@@ -197,14 +197,18 @@ def dedup_index_lookup(
     )
 
 
-def delete_from_dedup_index(spark: SparkSession, doc_ids, index_dir: str) -> None:
+def delete_from_dedup_index(
+    spark: SparkSession, doc_ids, index_dir: str, key_type: str = "long"
+) -> None:
     """Logical delete (takedowns, canonical-dedup removals): ids land in
     the ``tombstones/`` side table; lookups anti-join the band probe
     against it (filtering candidates suffices — a doc that can't become
     a candidate can't reach verify), and :func:`compact_dedup_index`
     applies the tombstones physically then clears them. Same lifecycle
-    as the ANN index (operators/index_maintenance.py)."""
-    M.write_tombstones(spark, doc_ids, index_dir, "doc_id")
+    as the ANN index (operators/index_maintenance.py). ``key_type``
+    must match the store's doc_id dtype (string-id corpora pass
+    ``"string"``); mismatches raise instead of tombstoning NULLs."""
+    M.write_tombstones(spark, doc_ids, index_dir, "doc_id", key_type)
 
 
 def compact_dedup_index(
@@ -214,7 +218,8 @@ def compact_dedup_index(
 ) -> dict:
     """Rewrite each store table to one file-set per partition (appends
     land one file-set per batch), applying any pending tombstones
-    physically — the shared atomic-temp-path maintenance pass."""
+    physically — the shared generation-manifest maintenance pass
+    (atomic manifest flip; see operators/index_maintenance.py)."""
     return M.compact_index(
         spark, index_dir, _PARTITIONED_TABLES, tables, "doc_id"
     )

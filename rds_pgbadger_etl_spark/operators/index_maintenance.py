@@ -8,25 +8,88 @@ are tombstones the readers anti-join, and a periodic compaction rewrites
 each partition to one file-set, applies pending tombstones physically,
 and clears them. This module is that lifecycle, written once:
 
-- :func:`compact_index` — per-partition rewrite with the O13
-  atomic-temp-path swap (readers see the old complete table until the
-  rename, a crash mid-write leaves the live table untouched).
+- :func:`compact_index` — per-table rewrite into a NEW generation
+  directory, published by an atomic manifest flip (see below).
 - :func:`index_stats` — rows/partition skew and files/partition, the
   numbers that say WHEN to compact.
 - :func:`write_tombstones` / :func:`tombstones` / :func:`live` — the
   logical-delete side table and the reader filter.
+- :func:`table_path` — the ONE path-resolution point every reader and
+  writer goes through.
 
-Each artifact module passes its own ``tables`` mapping (table name →
-partition column) and tombstone key column.
+Generation manifest (the O13 atomic swap, reader-safe edition):
+each table's current directory is resolved through ``_MANIFEST.json``
+(table name → directory name; a missing entry means the bare
+``{index_dir}/{table}`` dir, which is generation 0). Compaction writes
+the rewritten table to ``{table}__g{N+1}``, then publishes it by
+rewriting the manifest via write-temp + ``os.rename`` — atomic on
+POSIX, so a reader resolving paths at any instant sees either the old
+generation or the new one, never a missing table. The superseded
+generation is RETAINED until the next compaction (retention = 1), so a
+reader that resolved just before the flip still scans a complete table.
+A crash before the flip leaves the manifest — and therefore readers —
+on the old generation; the half-written ``__g{N+1}`` dir is simply
+overwritten by the next compaction. (An object-store deployment would
+swap the rename for a conditional-put of the manifest object — same
+contract.)
+
+Tombstones and concurrent deletes: compaction snapshots the tombstone
+FILES it read at start and, after every table is rewritten, deletes
+exactly those files — tombstones appended mid-compaction survive and
+keep filtering reads until the next compaction applies them.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _read_manifest(index_dir: str) -> dict:
+    path = os.path.join(index_dir, _MANIFEST)
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _write_manifest(index_dir: str, mapping: dict) -> None:
+    """Publish a new table→directory mapping atomically (POSIX rename)."""
+    path = os.path.join(index_dir, _MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(mapping, fh)
+    os.rename(tmp, path)
+
+
+def table_path(index_dir: str, table: str) -> str:
+    """Current directory of an artifact table — manifest-resolved; a
+    table the manifest doesn't mention lives at the bare path
+    (generation 0). Every artifact reader and writer resolves through
+    here so a compaction flip is visible to all of them at once."""
+    return f"{index_dir}/{_read_manifest(index_dir).get(table, table)}"
+
+
+def _gen_of(dirname: str, table: str) -> int:
+    m = re.fullmatch(re.escape(table) + r"__g(\d+)", dirname)
+    return int(m.group(1)) if m else 0
+
+
+def _generation_dirs(index_dir: str, table: str) -> list[str]:
+    """All on-disk generation dirs of a table (bare = gen 0)."""
+    pat = re.compile(re.escape(table) + r"(__g\d+)?")
+    return [
+        os.path.join(index_dir, d)
+        for d in os.listdir(index_dir)
+        if pat.fullmatch(d) and os.path.isdir(os.path.join(index_dir, d))
+    ]
 
 
 def data_files(path: str) -> list[str]:
@@ -42,28 +105,62 @@ def data_files(path: str) -> list[str]:
 
 
 def write_tombstones(
-    spark: SparkSession, keys, index_dir: str, key_col: str
+    spark: SparkSession, keys, index_dir: str, key_col: str,
+    key_type: str = "long",
 ) -> None:
     """Append deleted keys to the ``tombstones/`` side table — logical
     delete: nothing in the partitioned tables is rewritten. A DataFrame
-    writes distributed; a Python iterable becomes one driver-sized file."""
+    writes distributed; a Python iterable becomes one driver-sized file.
+
+    ``key_type`` must match the artifact table's key dtype (each caller
+    pins its own). A DataFrame whose keys don't survive the cast raises
+    rather than silently tombstoning NULLs (which would delete nothing).
+    """
     if isinstance(keys, DataFrame):
-        df = keys.select(F.col(key_col).cast("long"))
+        both = keys.select(
+            F.col(key_col).alias("_orig"),
+            # try_cast: NULL on malformed input even under ANSI mode,
+            # so the mismatch raises OUR error below, not a task failure
+            F.col(key_col).try_cast(key_type).alias(key_col),
+        )
+        bad = both.where(
+            F.col("_orig").isNotNull() & F.col(key_col).isNull()
+        ).take(1)
+        if bad:
+            raise ValueError(
+                f"tombstone keys do not cast cleanly to {key_type!r}: "
+                f"example {bad[0]['_orig']!r}"
+            )
+        df = both.select(key_col)
     else:
+        # schema-pinned createDataFrame raises loudly on mismatched types
         df = spark.createDataFrame(
-            [(int(v),) for v in keys], f"{key_col} long"
+            [(v,) for v in keys], f"{key_col} {key_type}"
         ).coalesce(1)
     df.write.mode("append").parquet(f"{index_dir}/tombstones")
+
+
+def _tombstone_files(index_dir: str) -> list[str]:
+    """Absolute paths of the tombstone parquet files present NOW — the
+    snapshot unit compaction reads and later clears."""
+    path = f"{index_dir}/tombstones"
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
 
 
 def tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """The distinct tombstoned keys, or None when none exist. (Local-FS
     existence probe; an object-store deployment would swap in the
     Hadoop FileSystem API — same contract.)"""
-    path = f"{index_dir}/tombstones"
-    if not os.path.isdir(path):
+    files = _tombstone_files(index_dir)
+    if not files:
         return None
-    return spark.read.parquet(path).distinct()
+    return spark.read.parquet(*files).distinct()
 
 
 def live(
@@ -89,15 +186,23 @@ def compact_index(
     file-set again; apply pending tombstones physically during the
     rewrite, and clear them once every table has been rewritten
     (partial-table compactions keep them — the anti-join is idempotent).
-    Returns per-table file counts before/after."""
+
+    Each table is rewritten into a fresh generation directory and
+    published by the atomic manifest flip (module docstring); the
+    superseded generation stays on disk until the NEXT compaction so
+    in-flight readers never lose their table. Only the tombstone files
+    snapshotted at entry are cleared — deletes racing the compaction
+    survive. Returns per-table file counts before/after."""
     todo = compact_tables or tuple(tables)
-    tomb = tombstones(spark, index_dir) if tombstone_key else None
+    tomb_files = _tombstone_files(index_dir) if tombstone_key else []
+    tomb = (
+        spark.read.parquet(*tomb_files).distinct() if tomb_files else None
+    )
     stats = {}
     for t in todo:
         pc = tables[t]
-        src = f"{index_dir}/{t}"
-        tmp = f"{index_dir}/_{t}.compacting"
-        old = f"{index_dir}/_{t}.old"
+        src = table_path(index_dir, t)
+        new_dir = f"{index_dir}/{t}__g{_gen_of(os.path.basename(src), t) + 1}"
         before = len(data_files(src))
         table_df = spark.read.parquet(src)
         if tomb is not None:
@@ -108,18 +213,23 @@ def compact_index(
             table_df.repartition(F.col(pc))
             .write.mode("overwrite")
             .partitionBy(pc)
-            .parquet(tmp)
+            .parquet(new_dir)
         )
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old)
+        manifest = _read_manifest(index_dir)
+        manifest[t] = os.path.basename(new_dir)
+        _write_manifest(index_dir, manifest)  # the atomic publish
+        # retention = 1: keep the just-superseded generation for
+        # readers that resolved before the flip; drop anything older.
+        for g in _generation_dirs(index_dir, t):
+            if g not in (src, new_dir):
+                shutil.rmtree(g)
         stats[t] = {
             "files_before": before,
-            "files_after": len(data_files(src)),
+            "files_after": len(data_files(new_dir)),
         }
     if tomb is not None and set(tables) <= set(todo):
-        shutil.rmtree(f"{index_dir}/tombstones")
+        for f in tomb_files:
+            os.remove(f)
     return stats
 
 
@@ -133,7 +243,7 @@ def index_stats(
     out = None
     for t, pc in tables.items():
         per_part = (
-            spark.read.parquet(f"{index_dir}/{t}")
+            spark.read.parquet(table_path(index_dir, t))
             .groupBy(F.col(pc).alias("part"))
             .agg(
                 F.count(F.lit(1)).alias("rows"),

@@ -13,6 +13,7 @@ import textwrap
 import pytest
 
 from rds_pgbadger_etl_spark.operators import ann_index as AI
+from rds_pgbadger_etl_spark.operators import index_maintenance as M
 from rds_pgbadger_etl_spark.operators import similarity as S
 from rds_pgbadger_etl_spark.sources.tables import load_table
 from tests.conftest import SF_SMOKE
@@ -119,7 +120,7 @@ def test_refined_build_and_recall_query(spark, index_dir, tmp_path):
     # the stored quantizer is the refined one, not the first-N sample
     stored = {
         r.cell: list(r.c_emb)
-        for r in spark.read.parquet(f"{d}/centroids").collect()
+        for r in spark.read.parquet(M.table_path(d, "centroids")).collect()
     }
     first_n = {
         int(r.vec_id): [float(x) for x in r.embedding]
@@ -257,10 +258,10 @@ def test_delete_tombstones_then_compaction_applies(spark, tmp_path):
     baseline = AI.ann_index_ivfpq_topk(spark, d, qs, K).collect()
     victims = sorted({int(r.vec_id) for r in baseline})
     assert victims
-    files_before = len(AI._data_files(f"{d}/vectors"))
+    files_before = len(AI._data_files(M.table_path(d, "vectors")))
     AI.delete_from_ann_index(spark, victims, d)
     # logical: nothing rewritten
-    assert len(AI._data_files(f"{d}/vectors")) == files_before
+    assert len(AI._data_files(M.table_path(d, "vectors"))) == files_before
 
     for reader in (
         AI.ann_index_ivfpq_topk,
@@ -284,7 +285,7 @@ def test_delete_tombstones_then_compaction_applies(spark, tmp_path):
         "lsh": _rows(AI.ann_index_lsh_topk(spark, d, qs, K)),
     }
     AI.compact_ann_index(spark, d)
-    assert not os.path.isdir(f"{d}/tombstones")
+    assert M._tombstone_files(d) == []
     after = {
         "ivfpq": _rows(AI.ann_index_ivfpq_topk(spark, d, qs, K)),
         "ivf": _rows(AI.ann_index_ivf_topk(spark, d, qs, K)),
@@ -293,7 +294,7 @@ def test_delete_tombstones_then_compaction_applies(spark, tmp_path):
     assert after == logical
     # physically reclaimed
     assert (
-        spark.read.parquet(f"{d}/raw")
+        spark.read.parquet(M.table_path(d, "raw"))
         .filter(F.col("vec_id").isin(victims))
         .count()
         == 0

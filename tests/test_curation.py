@@ -155,3 +155,36 @@ def test_segmented_cumsum_matches_single_window(spark):
     # over (seg, _pid) locals and the per-segment offset partials
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "_pid" in plan
+
+
+def test_segmented_cumsum_cache_sees_appended_data(spark, tmp_path):
+    """Regression for the stale-cache bug: the pinned ranged base was
+    keyed on semanticHash alone, which hashes the PLAN — a parquet path
+    that receives an append keeps the same plan hash, so a second call
+    silently returned the pre-append materialization. The key now
+    fingerprints the input file list; the appended rows must show up."""
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.functions import agg as A
+
+    p = str(tmp_path / "cumsum_src")
+    spark.range(100).select(
+        (F.col("id") % 2).alias("seg"), F.col("id").alias("k"),
+        F.lit(1).alias("v"),
+    ).write.parquet(p)
+
+    def total():
+        df = spark.read.parquet(p)  # identical plan both times
+        out = A.segmented_cumsum(df, ["seg"], ["k"], "v", num_partitions=4)
+        return out.agg(F.sum("cum").alias("s")).collect()[0]["s"]
+
+    before = total()
+    spark.range(100, 200).select(
+        (F.col("id") % 2).alias("seg"), F.col("id").alias("k"),
+        F.lit(1).alias("v"),
+    ).write.mode("append").parquet(p)
+    assert total() > before  # appended rows visible, not the stale cache
+    # eviction bound holds and clear releases everything
+    assert len(A._RANGED) <= A._RANGED_MAX
+    A.clear_ranged_cache()
+    assert A._RANGED == {}

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from rds_pgbadger_etl_spark.operators import dedup as D
 from rds_pgbadger_etl_spark.operators import dedup_index as DI
+from rds_pgbadger_etl_spark.operators import index_maintenance as M
 from rds_pgbadger_etl_spark.sources.tables import load_table
 from tests.conftest import SF_SMOKE
 
@@ -145,13 +146,13 @@ def test_delete_then_compaction_applies(spark, docs, tmp_path):
     assert not ({int(r.old_id) for r in got.collect()} & set(victims))
     logical = _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
     DI.compact_dedup_index(spark, d)
-    assert not os.path.isdir(f"{d}/tombstones")
+    assert M._tombstone_files(d) == []
     assert (
         _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
         == logical
     )
     assert (
-        spark.read.parquet(f"{d}/profiles")
+        spark.read.parquet(M.table_path(d, "profiles"))
         .filter(F.col("doc_id").isin(victims))
         .count()
         == 0

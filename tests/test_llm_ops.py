@@ -546,3 +546,26 @@ def test_containment_prefix_recovers_excerpt_pair(spark):
     docs = _excerpt_corpus(spark)
     got = D.containment_prefix_pairs(docs, threshold=0.8).collect()
     assert [(r.a, r.b, r.containment) for r in got] == [(1, 2, 1.0)]
+
+
+def test_containment_prefix_exact_integer_boundary(spark):
+    """Regression for the FP prefix-length bug: with t=0.8 and |S_A|=5,
+    (1-t)*|S| is mathematically 1.0 but FP computes
+    0.2*5 = 0.9999999999999998, so an unguarded floor() gives
+    prefix_len=1 instead of 2. Doc A's single RAREST shingle (df-order
+    prefix) is exactly the one shingle B does NOT share (df=1 vs df=2
+    for the shared four), so the one-shingle prefix provably generates
+    no candidate and the pair — containment exactly 4/5 = t — is
+    silently dropped. The epsilon-guarded floor must keep it."""
+    # A: 20 unique chars -> exactly 5 distinct 16-char shingles.
+    a = "abcdefghijklmnopqrst"
+    # B: A's first 19 chars (A's shingles 1-4) + unrelated filler; the
+    # junction windows contain digits so none equals A's 5th shingle.
+    b = a[:19] + "0123456789012345678901234567890123456789"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    got = D.containment_prefix_pairs(docs, threshold=0.8).collect()
+    assert [(r.a, r.b, round(r.containment, 6)) for r in got] == [
+        (1, 2, 0.8)
+    ]
