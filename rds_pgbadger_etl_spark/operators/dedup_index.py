@@ -122,6 +122,16 @@ def append_to_dedup_index(
         prof.unpersist()
 
 
+def dedup_index_exists(index_dir: str) -> bool:
+    """Whether the store has been built (its band table is on disk) —
+    the first-batch probe incremental ingestion needs before it can
+    look anything up. (Local-FS check; an object-store deployment would
+    swap in the Hadoop FileSystem API — same contract.)"""
+    import os
+
+    return os.path.isdir(M.table_path(index_dir, "bands"))
+
+
 def dedup_index_lookup(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -143,6 +153,28 @@ def dedup_index_lookup(
     family's two-path verify (broadcast below AUTO_VERIFY_PAIRS
     candidates, shuffle above — resolve_verify_strategy)."""
     prof_new, bands_new = _encode(new_docs, id_col, text_col)
+    result, _pinned = _lookup_encoded(
+        spark, prof_new, bands_new, index_dir, id_col, threshold,
+        verify_strategy,
+    )
+    return result
+
+
+def _lookup_encoded(
+    spark: SparkSession,
+    prof_new: DataFrame,
+    bands_new: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    verify_strategy: str = "auto",
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The lookup body over a PRE-ENCODED batch — incremental ingestion
+    encodes each micro-batch exactly once and shares (prof, bands)
+    between this flagging step and the subsequent store append. Returns
+    (result, pinned): ``pinned`` are the DataFrames persisted while
+    building the plan; callers that consume the result eagerly (the
+    streaming foreachBatch) unpersist them afterwards."""
     bands_new = bands_new.withColumn(
         "pfx", F.substring("band", 1, PFX_LEN)
     ).persist()
@@ -192,9 +224,10 @@ def dedup_index_lookup(
         inter.cast("double")
         / (F.size("so") + F.size("sn") - inter).cast("double")
     ).alias("jaccard")
-    return verified.select("old_id", "new_id", jaccard).filter(
+    result = verified.select("old_id", "new_id", jaccard).filter(
         F.col("jaccard") >= threshold
     )
+    return result, [bands_new, cands]
 
 
 def delete_from_dedup_index(

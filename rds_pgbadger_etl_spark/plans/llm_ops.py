@@ -1542,6 +1542,81 @@ WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.5
 """
 
 
+def _dedup_index_delete_shared(spark: SparkSession, sf_dir: str) -> str:
+    """The delete-lifecycle staging: the same 80% store, with every old
+    id ≡ 0 (mod 10) tombstoned — a stratum chosen static so the SQL twin
+    can name it, and verified non-empty in the baseline lookup result at
+    every test sf (the filter provably bites in the hash-checked path,
+    not just in tests)."""
+    from rds_pgbadger_etl_spark.operators.dedup_index import (
+        build_dedup_index,
+        delete_from_dedup_index,
+    )
+
+    key = sf_dir + "#delete"
+    d = _DEDUP_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dedup_index_delete_")
+        docs = load_table(spark, sf_dir, "documents")
+        build_dedup_index(spark, docs.filter(F.col("doc_id") % 10 < 8), d)
+        delete_from_dedup_index(
+            spark,
+            docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"),
+            d,
+        )
+        _DEDUP_INDEX_DIRS[key] = d
+    return d
+
+
+def dedup_index_delete_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 lifecycle: the batch lookup over a store with tombstoned ids —
+    deleted documents must vanish from the near-dup flags with zero
+    partition rewrites (the tombstone anti-join filters the band probe,
+    so a deleted doc can never even become a candidate). Oracle = the
+    lookup twin minus the tombstoned stratum, so ``M.live`` is
+    hash-checked in the oracled path — the dedup sibling of
+    ``ann_index_delete_topk``; the physical-apply path (compaction
+    clears tombstones, results unchanged) is pinned in
+    tests/test_dedup_index.py."""
+    from rds_pgbadger_etl_spark.operators.dedup_index import (
+        dedup_index_lookup as _lookup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _lookup(
+        spark,
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        _dedup_index_delete_shared(spark, sf_dir),
+        threshold=0.5,
+    )
+
+
+def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 lifecycle: layout audit over the build+append signature store
+    (the shared staging): rows/partition skew and files/partition per
+    artifact table — the numbers that say when to run
+    compact_dedup_index (max_part_files rises one file-set per append;
+    here build+append ⇒ 2). Rows-only by design: physical file layout
+    has no SQL-expressible DuckDB twin — the ann_index_stats contract."""
+    from rds_pgbadger_etl_spark.operators import dedup_index as DI
+
+    return DI.dedup_index_stats(spark, _dedup_index_shared(spark, sf_dir))
+
+
+# The twin is the lookup SQL minus the tombstoned stratum — the exact
+# relational meaning of the reader's anti-join on the band probe.
+_LOOKUP_GUARD = (
+    "WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double)"
+    " >= 0.5"
+)
+assert _LOOKUP_GUARD in _DEDUP_INDEX_SQL
+_DEDUP_DELETE_SQL = _DEDUP_INDEX_SQL.replace(
+    _LOOKUP_GUARD, _LOOKUP_GUARD + " AND (i.old_id % 10) <> 0"
+)
+
+
 CANONICAL_SAMPLE_K = 20
 
 
@@ -2719,6 +2794,11 @@ QUERIES = {
         _CONTAINMENT_PREFIX_SQL,
     ),
     "dedup_index_lookup": (dedup_index_lookup, _DEDUP_INDEX_SQL),
+    "dedup_index_delete_lookup": (
+        dedup_index_delete_lookup,
+        _DEDUP_DELETE_SQL,
+    ),
+    "dedup_index_stats": (dedup_index_stats, None),
     "text_readability": (text_readability, _READABILITY_SQL),
     "ann_recall_report": (ann_recall_report, None),
     "ann_index_ivfpq_topk": (ann_index_ivfpq_topk, _ANN_IVFPQ_SQL),

@@ -53,6 +53,9 @@ def test_every_query_has_oracle_or_documented_exception(spark):
         # of the persisted index — Spark-side state with no SQL twin;
         # compaction semantics pinned in test_ann_index.py
         "ann_index_stats",
+        # same layout-audit contract for the dedup signature store;
+        # compaction semantics pinned in test_dedup_index.py
+        "dedup_index_stats",
     }
 
 
