@@ -49,6 +49,17 @@ from rds_pgbadger_etl_spark.operators.dedup import (
 PFX_LEN = 2  # band partition prefix: 2 hex chars -> 256 partitions
 N_BUCKETS = 64  # profile partitions
 
+# Profile rows are WIDE (a shingle_set array is KBs in memory), so a
+# fixed-parallelism repartition before the partitionBy write funnels
+# GBs through spark.sql.shuffle.partitions tasks and the write's sort
+# spills (measured: 200k-doc batches spilled ~0.7 GB/write to disk at
+# 32 tasks in the store rehearsal). The write sizes its own exchange:
+# ceil(rows / PROFILE_ROWS_PER_TASK) tasks, salted within bucket only
+# once a batch outgrows one task per bucket — small batches keep one
+# file per bucket per batch, huge batches trade bounded extra files
+# (salt per bucket) for a spill-free write.
+PROFILE_ROWS_PER_TASK = 4_000
+
 # table name -> partition column (the shared-maintenance mapping)
 _PARTITIONED_TABLES = {"bands": "pfx", "profiles": "bucket"}
 
@@ -68,6 +79,8 @@ def _encode(docs: DataFrame, id_col: str, text_col: str):
 
 
 def _write(prof: DataFrame, bands: DataFrame, index_dir: str, id_col: str, mode: str) -> None:
+    import math
+
     (
         bands.withColumn("pfx", F.substring("band", 1, PFX_LEN))
         .repartition(F.col("pfx"))
@@ -75,10 +88,19 @@ def _write(prof: DataFrame, bands: DataFrame, index_dir: str, id_col: str, mode:
         .partitionBy("pfx")
         .parquet(M.table_path(index_dir, "bands"))
     )
+    # volume-sized exchange for the wide profile rows (see
+    # PROFILE_ROWS_PER_TASK): `prof` arrives persisted from _encode, so
+    # the count materializes the encode once and the write reads cache
+    n_tasks = max(1, math.ceil(prof.count() / PROFILE_ROWS_PER_TASK))
+    salt = max(1, math.ceil(n_tasks / N_BUCKETS))
     (
         prof.select(id_col, "shingle_set")
         .withColumn("bucket", _bucket(id_col))
-        .repartition(F.col("bucket"))
+        .repartition(
+            n_tasks,
+            F.col("bucket"),
+            F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(salt)),
+        )
         .write.mode(mode)
         .partitionBy("bucket")
         .parquet(M.table_path(index_dir, "profiles"))
@@ -252,9 +274,17 @@ def compact_dedup_index(
     """Rewrite each store table to one file-set per partition (appends
     land one file-set per batch), applying any pending tombstones
     physically — the shared generation-manifest maintenance pass
-    (atomic manifest flip; see operators/index_maintenance.py)."""
+    (atomic manifest flip; see operators/index_maintenance.py). The
+    wide-row profiles rewrite is volume-sized (PROFILE_ROWS_PER_TASK)
+    so a corpus-scale compaction never spills; past ~64 tasks it leaves
+    a bounded handful of file-sets per bucket instead of exactly one."""
     return M.compact_index(
-        spark, index_dir, _PARTITIONED_TABLES, tables, "doc_id"
+        spark,
+        index_dir,
+        _PARTITIONED_TABLES,
+        tables,
+        "doc_id",
+        rows_per_task={"profiles": PROFILE_ROWS_PER_TASK},
     )
 
 

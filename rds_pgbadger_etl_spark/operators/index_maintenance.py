@@ -181,6 +181,7 @@ def compact_index(
     tables: dict[str, str],
     compact_tables: tuple[str, ...] | None = None,
     tombstone_key: str | None = None,
+    rows_per_task: dict[str, int] | None = None,
 ) -> dict:
     """Rewrite each partitioned table so every partition holds one
     file-set again; apply pending tombstones physically during the
@@ -192,7 +193,20 @@ def compact_index(
     superseded generation stays on disk until the NEXT compaction so
     in-flight readers never lose their table. Only the tombstone files
     snapshotted at entry are cleared — deletes racing the compaction
-    survive. Returns per-table file counts before/after."""
+    survive. Returns per-table file counts before/after.
+
+    ``rows_per_task`` (table → target rows per write task) sizes the
+    rewrite exchange for tables with WIDE rows: without it a table much
+    larger than ``shuffle.partitions × task memory`` spills in the
+    write's sort (measured: a 3.1 GB profiles table spilled ~2 GB at
+    the session-default task count). When the computed task count
+    exceeds the table's partition-value count, rows are salted by
+    ``tombstone_key`` within each partition — the compacted table then
+    holds up to ceil(tasks/partitions) file-sets per partition instead
+    of exactly one: the spill-safe bound, still O(1) per partition per
+    compaction cycle."""
+    import math
+
     todo = compact_tables or tuple(tables)
     tomb_files = _tombstone_files(index_dir) if tombstone_key else []
     tomb = (
@@ -209,9 +223,32 @@ def compact_index(
             table_df = table_df.join(
                 F.broadcast(tomb), tombstone_key, "left_anti"
             )
+        rpt = (rows_per_task or {}).get(t)
+        if rpt:
+            n_tasks = max(1, math.ceil(table_df.count() / rpt))
+            # partition-value count from the directory layout (exact,
+            # no scan): bare-table dirs are `pc=value` subdirs
+            n_vals = max(
+                1,
+                sum(
+                    1
+                    for d in os.listdir(src)
+                    if d.startswith(f"{pc}=")
+                ),
+            )
+            salt = max(1, math.ceil(n_tasks / n_vals))
+            exprs = [F.col(pc)]
+            if salt > 1 and tombstone_key:
+                exprs.append(
+                    F.pmod(
+                        F.abs(F.hash(F.col(tombstone_key))), F.lit(salt)
+                    )
+                )
+            part = table_df.repartition(n_tasks, *exprs)
+        else:
+            part = table_df.repartition(F.col(pc))
         (
-            table_df.repartition(F.col(pc))
-            .write.mode("overwrite")
+            part.write.mode("overwrite")
             .partitionBy(pc)
             .parquet(new_dir)
         )

@@ -438,7 +438,120 @@ WHERE event_id % 97 = 0
 """
 
 
+def stream_ann_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL incremental ANN ingestion (streaming/incremental_ann.py):
+    the embeddings corpus arrives as three micro-batches (vec_id
+    thirds); the first bootstraps the persisted index (build — the
+    quantizers train on it), each later batch is flagged with its top-3
+    already-indexed neighbors (IVF probe of the store's cell-partitioned
+    raw table) then appended. Returns every cross-batch flag. The
+    oracle is the IVF search math in SQL with the batch-role constraint
+    (neighbors strictly from EARLIER batches) — hash equality proves
+    the stream-built artifact and the foreachBatch flag/append cycle
+    produce exactly the batch semantics."""
+    import shutil
+    import tempfile
+
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        run_incremental_ann,
+    )
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        root = tempfile.mkdtemp(prefix="stream_ann_")
+        src, store, ckpt, flags = (
+            f"{root}/{d}" for d in ("src", "store", "ckpt", "flags")
+        )
+        try:
+            for b in range(3):
+                lo, hi = b * n // 3, (b + 1) * n // 3
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ).write.mode("append").parquet(src)
+                run_incremental_ann(
+                    spark.readStream.schema(emb.schema).parquet(src),
+                    store,
+                    ckpt,
+                    flags,
+                    k=3,
+                )
+            out = (
+                spark.read.parquet(flags)
+                .filter(F.col("vec_id").isNotNull())
+                .select("vec_id", "neighbor_id", "cosine", "rank")
+            )
+            out = out.cache()
+            out.count()  # materialize before the temp dirs go away
+            return out
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    return shared_df(spark, "ann_flags", sf_dir, build)
+
+
+# Same centroid bootstrap (vec_id < N_CENTROIDS — batch 0 by
+# construction), same rounded-cosine assignment/probe/tie conventions as
+# _ANN_IVF_SQL, plus the ingestion-order role: a flag's neighbor comes
+# from a strictly earlier batch. Batch boundaries use the same integer
+# arithmetic as the Spark side (b*n//3).
+def _stream_ann_sql() -> str:
+    from rds_pgbadger_etl_spark.operators import similarity as S
+    from rds_pgbadger_etl_spark.plans.llm_ops import _cos_sql
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+bt AS (
+  SELECT e.vec_id, e.emb,
+         CASE WHEN e.vec_id < n // 3 THEN 0
+              WHEN e.vec_id < (2 * n) // 3 THEN 1
+              ELSE 2 END AS batch
+  FROM e, nn
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e
+      WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, emb, cell, batch FROM (
+    SELECT b.vec_id, b.emb, b.batch, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_cos_sql('b.emb', 'c.c_emb')} DESC,
+                                       c.cell) AS rn
+    FROM bt b, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, batch AS q_batch FROM bt
+      WHERE batch >= 1),
+probes AS (
+  SELECT q_id, q_emb, q_batch, cell FROM (
+    SELECT q.q_id, q.q_emb, q.q_batch, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC,
+                                       c.cell) AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+sims AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p.q_emb', 'a.emb')} AS cosine
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell AND a.batch < p.q_batch
+)
+SELECT q_id AS vec_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= 3
+"""
+
+
+_STREAM_ANN_SQL = _stream_ann_sql()
+
+
 QUERIES = {
+    "stream_ann_flags": (stream_ann_flags, _STREAM_ANN_SQL),
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
     "stream_embed_props": (stream_embed_props, _STREAM_EMBED_SQL),
     "stream_sketch_users": (stream_sketch_users, _STREAM_SKETCH_SQL),

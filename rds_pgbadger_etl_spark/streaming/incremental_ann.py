@@ -1,0 +1,176 @@
+"""Incremental ANN ingestion: flag each arriving micro-batch of
+embeddings against everything indexed before it, then admit the batch
+into the persisted ANN index — the ANN sibling of
+streaming/incremental_dedup.py, on the same one-artifact principle:
+the index a stream builds is the exact artifact the batch verbs service
+(``ann_index_*_topk`` search, ``delete_from_ann_index``,
+``compact_ann_index``, ``ann_index_stats``), and a corpus bootstrapped
+with ``build_ann_index`` can be continued by a stream with no
+migration.
+
+Per micro-batch (foreachBatch):
+
+- FIRST batch bootstraps the index (``build_ann_index`` — the coarse
+  quantizer and PQ codebook train on it and are immutable afterwards:
+  the IVF-PQ invariant that keeps append O(new) and all codes
+  comparable), emitting no flags (nothing indexed yet);
+- later batches are flagged against the STORE — per new vector, probe
+  the ``n_probe`` nearest cells (batch × centroids, centroid side
+  broadcast — metadata-sized), scan ONLY those cells of the
+  cell-partitioned ``raw`` table (partition-pruned, tombstone-filtered),
+  exact cosine per candidate, top-k per new vector — then admitted via
+  ``append_to_ann_index`` (encoded against the stored quantizers,
+  appended into the cell partitions, nothing rewritten);
+- exactly-once per batch via the streaming checkpoint.
+
+Scale: flagging is O(batch × probed-cell volume) — the same pruning
+ratio as a search (~n_probe/n_centroids of the corpus per batch), never
+batch × corpus; the batch side (with its embeddings) is the broadcast
+side of every join. State grows in the index's partitioned layout,
+compacted on the operator's schedule.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from rds_pgbadger_etl_spark.operators import ann_index as AI
+from rds_pgbadger_etl_spark.operators import index_maintenance as M
+from rds_pgbadger_etl_spark.operators import similarity as S
+
+_FLAG_SCHEMA = "vec_id long, neighbor_id long, cosine double, rank int"
+
+
+def ann_index_exists(index_dir: str) -> bool:
+    """Whether the index has been bootstrapped (its centroid table is on
+    disk) — the first-batch probe. (Local-FS check; an object-store
+    deployment would swap in the Hadoop FileSystem API.)"""
+    return os.path.isdir(M.table_path(index_dir, "centroids"))
+
+
+def flag_against_index(
+    spark: SparkSession,
+    emb_batch: DataFrame,
+    index_dir: str,
+    k: int = 3,
+    n_probe: int = S.N_PROBE,
+    threshold: float | None = None,
+) -> DataFrame:
+    """(vec_id, neighbor_id, cosine, rank): the top-``k`` already-indexed
+    neighbors of each new vector, searched the IVF way — semantic
+    near-dup flagging at ingest. The batch side carries its embeddings
+    and is broadcast (micro-batch-sized by contract); the store
+    contributes a partition-pruned, tombstone-filtered scan of the
+    probed cells only. Returns an eagerly local-checkpointed DataFrame:
+    lineage is truncated, so the result (and any plan derived from it)
+    is safe against subsequent index mutation — the append that follows
+    in the ingestion cycle cannot leak into the flags."""
+    cents = spark.read.parquet(M.table_path(index_dir, "centroids"))
+    q = emb_batch.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_emb",
+            "cell",
+            S.cosine_batch(F.col("q_emb"), F.col("c_emb")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_emb", "cell")
+    )
+    probes = probes.persist()
+    try:
+        # metadata-sized by construction: ≤ n_centroids distinct values
+        cells = sorted(
+            r.cell for r in probes.select("cell").distinct().collect()
+        )
+        raw = AI._live(
+            spark,
+            index_dir,
+            spark.read.parquet(M.table_path(index_dir, "raw")).where(
+                F.col("cell").isin(cells)
+            ),
+        )
+        scored = (
+            raw.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                F.col("vec_id").alias("neighbor_id"),
+                S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias(
+                    "cosine"
+                ),
+            )
+        )
+        top = S.topk_per_key(
+            scored,
+            "q_id",
+            [F.col("cosine").desc(), F.col("neighbor_id")],
+            k,
+        ).select(
+            F.col("q_id").alias("vec_id"),
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        if threshold is not None:
+            top = top.filter(F.col("cosine") >= threshold)
+        # eager localCheckpoint, not persist: the caller appends the
+        # batch into the index right after this, and any plan DERIVED
+        # from a merely-persisted result (a select, the batch_id
+        # withColumn before the sink write) re-resolves the store's
+        # file listing and silently recomputes against the mutated
+        # store. Checkpointing truncates the lineage so derived plans
+        # can only read the flagged snapshot.
+        return top.localCheckpoint(eager=True)
+    finally:
+        probes.unpersist()
+
+
+def run_incremental_ann(
+    emb_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    flags_out_dir: str,
+    k: int = 3,
+    n_probe: int = S.N_PROBE,
+    threshold: float | None = None,
+) -> None:
+    """The ingestion pipeline: per micro-batch, flag each new embedding's
+    nearest already-indexed neighbors, write the flags, then admit the
+    batch into the index (bootstrap-build on the first batch). Runs with
+    availableNow; exactly-once per batch via the streaming checkpoint."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if ann_index_exists(index_dir):
+            flags = flag_against_index(
+                spark, batch, index_dir, k, n_probe, threshold
+            )  # checkpointed — safe across the append below
+            flags.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(flags_out_dir)
+            AI.append_to_ann_index(spark, batch, index_dir)
+        else:
+            spark.createDataFrame([], _FLAG_SCHEMA).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(flags_out_dir)
+            AI.build_ann_index(spark, batch, index_dir)
+
+    q = (
+        emb_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -56,10 +56,11 @@ def flag_and_accept_batch(
     (doc_id, dup_of, jaccard) flags for the batch's near-dups of
     ALREADY-ACCEPTED docs, then append the batch into the store. The
     batch is encoded exactly once — flagging and acceptance share one
-    shingle-profile computation; flags materialize BEFORE the append so
-    a doc can never match itself. Empty flags on the first batch (no
-    store yet). The returned DataFrame is persisted and fully computed;
-    the caller unpersists it once written out."""
+    shingle-profile computation; flags are eagerly local-checkpointed
+    BEFORE the append, truncating their lineage, so neither the result
+    nor any plan derived from it (the batch_id column the sink adds)
+    can recompute against the just-mutated store and flag a doc against
+    its own batch. Empty flags on the first batch (no store yet)."""
     spark = batch.sparkSession
     prof, bands = _encode(batch, id_col, text_col)  # prof arrives persisted
     pinned: list[DataFrame] = []
@@ -72,10 +73,9 @@ def flag_and_accept_batch(
                 F.col("new_id").alias("doc_id"),
                 F.col("old_id").alias("dup_of"),
                 "jaccard",
-            ).persist()
+            ).localCheckpoint(eager=True)
         else:
-            flags = spark.createDataFrame([], _FLAG_SCHEMA).persist()
-        flags.count()  # pin the flags before the store append below
+            flags = spark.createDataFrame([], _FLAG_SCHEMA)
         _write(prof, bands, store_dir, id_col, "append")
         return flags
     finally:
@@ -98,12 +98,9 @@ def run_incremental_dedup(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         flags = flag_and_accept_batch(batch, store_dir, threshold)
-        try:
-            flags.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(flags_out_dir)
-        finally:
-            flags.unpersist()
+        flags.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(flags_out_dir)
 
     q = (
         docs_stream.writeStream.foreachBatch(process)

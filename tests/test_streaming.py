@@ -164,9 +164,13 @@ def test_incremental_dedup_flags_across_batches(spark, tmp_path):
     assert got1.filter("doc_id IS NOT NULL").count() == 0
 
     # batch 2: doc 3 near-duplicates doc 1 (from the PREVIOUS batch),
-    # doc 4 is novel — only the cross-batch dup must be flagged
+    # doc 4 is novel, doc 5 near-duplicates doc 4 WITHIN the batch —
+    # only the cross-batch dup must be flagged: an intra-batch pair
+    # appearing means the flags recomputed against the store AFTER the
+    # batch was appended (the lineage hazard localCheckpoint closes)
+    novel = "yet another novel document " * 10
     spark.createDataFrame(
-        [(3, base + "tail"), (4, "yet another novel document " * 10)],
+        [(3, base + "tail"), (4, novel), (5, novel + "tail")],
         "doc_id long, text string",
     ).write.mode("append").parquet(src)
     run_incremental_dedup(stream(), store, ckpt, flags)
@@ -184,7 +188,7 @@ def test_incremental_dedup_flags_across_batches(spark, tmp_path):
 
     st = {r.table: r for r in dedup_index_stats(spark, store).collect()}
     assert set(st) == {"bands", "profiles"}
-    assert st["profiles"].rows == 4  # all four accepted docs
+    assert st["profiles"].rows == 5  # every accepted doc, both batches
     # and a BATCH lookup against the stream-built store agrees
     probe = spark.createDataFrame(
         [(99, base + " probe")], "doc_id long, text string"
@@ -246,6 +250,68 @@ def test_incremental_dedup_mid_stream_compaction_identical(spark, tmp_path):
     _, compacted = run(tmp_path / "compacted", compact_after=1)
     assert plain == compacted  # bit-identical flags either way
     assert {(d, o) for d, o, _ in plain} >= {(3, 1), (5, 1)}
+
+
+def test_incremental_ann_stream_matches_batch_lifecycle(spark, tmp_path):
+    """Streamed ANN ingestion (bootstrap-build + flag + append per
+    micro-batch) must (1) emit exactly the flags the batch verbs produce
+    when interleaved the same way, and (2) leave behind the same
+    artifact — ivfpq search over the stream-built index equals search
+    over the batch-built twin."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.plans.llm_ops import _query_vectors
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        flag_against_index,
+        run_incremental_ann,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    slices = [
+        emb.filter(
+            (F.col("vec_id") >= b * n // 3)
+            & (F.col("vec_id") < (b + 1) * n // 3)
+        )
+        for b in range(3)
+    ]
+
+    src, store, ckpt, flags = (
+        str(tmp_path / d) for d in ("src", "store", "ckpt", "flags")
+    )
+    for s in slices:
+        s.write.mode("append").parquet(src)
+        run_incremental_ann(
+            spark.readStream.schema(emb.schema).parquet(src),
+            store, ckpt, flags, k=3,
+        )
+
+    twin = str(tmp_path / "twin")
+    AI.build_ann_index(spark, slices[0], twin)
+    want = []
+    for s in slices[1:]:
+        f = flag_against_index(spark, s, twin, k=3)
+        want.append(f)
+        AI.append_to_ann_index(spark, s, twin)
+    cols = ["vec_id", "neighbor_id", "cosine", "rank"]
+    want_rows = sorted(
+        str(r) for df in want for r in df.select(*cols).collect()
+    )
+    got_rows = sorted(
+        str(r)
+        for r in spark.read.parquet(flags)
+        .filter("vec_id IS NOT NULL")
+        .select(*cols)
+        .collect()
+    )
+    assert got_rows == want_rows
+    assert len(got_rows) == 3 * (n - n // 3)  # top-3 per later-batch vector
+
+    q = _query_vectors(spark, sf)
+    a = sorted(map(str, AI.ann_index_ivfpq_topk(spark, store, q, 5).collect()))
+    b = sorted(map(str, AI.ann_index_ivfpq_topk(spark, twin, q, 5).collect()))
+    assert a == b and a
 
 
 def test_user_state_profiles_apis_agree_with_batch(spark, tmp_path):
