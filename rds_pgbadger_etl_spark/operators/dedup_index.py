@@ -49,16 +49,18 @@ from rds_pgbadger_etl_spark.operators.dedup import (
 PFX_LEN = 2  # band partition prefix: 2 hex chars -> 256 partitions
 N_BUCKETS = 64  # profile partitions
 
-# Profile rows are WIDE (a shingle_set array is KBs in memory), so a
-# fixed-parallelism repartition before the partitionBy write funnels
-# GBs through spark.sql.shuffle.partitions tasks and the write's sort
-# spills (measured: 200k-doc batches spilled ~0.7 GB/write to disk at
-# 32 tasks in the store rehearsal). The write sizes its own exchange:
-# ceil(rows / PROFILE_ROWS_PER_TASK) tasks, salted within bucket only
-# once a batch outgrows one task per bucket — small batches keep one
-# file per bucket per batch, huge batches trade bounded extra files
-# (salt per bucket) for a spill-free write.
-PROFILE_ROWS_PER_TASK = 4_000
+# Profile rows are WIDE (a shingle_set array is tens of KBs in memory),
+# so every stage that holds them — the collect_set hash-aggregate in
+# the encode, the partitionBy write's sort, the compaction rewrite —
+# spills when it runs at the session-fixed task count (measured at 32
+# tasks: ~0.7 GB disk per 200k-doc encode+write, ~2 GB in a 3 GB
+# compaction). All three now size their exchange by row volume:
+# ceil(rows / PROFILE_ROWS_PER_TASK) tasks (~60 MB of sets per task),
+# with the write salted within bucket only once a batch outgrows one
+# task per bucket — small batches keep one file per bucket per batch,
+# huge batches trade a bounded file-set count (salt per bucket) for
+# spill-free execution.
+PROFILE_ROWS_PER_TASK = 2_000
 
 # table name -> partition column (the shared-maintenance mapping)
 _PARTITIONED_TABLES = {"bands": "pfx", "profiles": "bucket"}
@@ -71,8 +73,21 @@ def _bucket(id_col: str) -> F.Column:
 def _encode(docs: DataFrame, id_col: str, text_col: str):
     """(profiles, bands) for a document batch — ONE wide shuffle (the
     shingle_profile hash-aggregate); bands derive from the sigs already
-    in the profile row, no second pass over text."""
-    prof = shingle_profile(char_shingles(docs, id_col, text_col), id_col)
+    in the profile row, no second pass over text. The aggregate's
+    exchange is volume-sized (an explicit repartition on the id — the
+    following groupBy reuses the partitioning, no second shuffle): at
+    the session-fixed task count a corpus-scale batch holds too many
+    wide shingle_set rows per hash-agg task and spills
+    (PROFILE_ROWS_PER_TASK)."""
+    import math
+
+    n_tasks = max(
+        1, math.ceil(docs.count() / PROFILE_ROWS_PER_TASK)
+    )
+    sh = char_shingles(docs, id_col, text_col).repartition(
+        n_tasks, F.col(id_col)
+    )
+    prof = shingle_profile(sh, id_col)
     prof = prof.persist()
     bands = lsh_bands(prof, id_col)
     return prof, bands
@@ -99,7 +114,11 @@ def _write(prof: DataFrame, bands: DataFrame, index_dir: str, id_col: str, mode:
         .repartition(
             n_tasks,
             F.col("bucket"),
-            F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(salt)),
+            # seeded hash: bucket itself is pmod(hash(id), 64), so an
+            # UNseeded pmod(hash(id), salt) is correlated with it
+            # (fully determined when salt divides 64) and splits
+            # nothing within a bucket
+            F.pmod(F.abs(F.hash(F.col(id_col), F.lit("salt"))), F.lit(salt)),
         )
         .write.mode(mode)
         .partitionBy("bucket")

@@ -239,9 +239,15 @@ def compact_index(
             salt = max(1, math.ceil(n_tasks / n_vals))
             exprs = [F.col(pc)]
             if salt > 1 and tombstone_key:
+                # seeded hash — partition values are commonly themselves
+                # pmod(hash(key), n_vals), and an unseeded
+                # pmod(hash(key), salt) correlated with that splits
+                # nothing within a partition (fully determined whenever
+                # salt divides n_vals)
                 exprs.append(
                     F.pmod(
-                        F.abs(F.hash(F.col(tombstone_key))), F.lit(salt)
+                        F.abs(F.hash(F.col(tombstone_key), F.lit("salt"))),
+                        F.lit(salt),
                     )
                 )
             part = table_df.repartition(n_tasks, *exprs)

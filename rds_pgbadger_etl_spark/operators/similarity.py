@@ -180,6 +180,64 @@ def topk_per_key(
     )
 
 
+def knn_join_cells(
+    probes: DataFrame, corpus_cells: DataFrame, k: int
+) -> DataFrame:
+    """Per-cell local top-k for a BATCH of queries — the kNN-join
+    kernel: ``probes`` is (q_id, q_emb, cell), one row per query per
+    probed cell; ``corpus_cells`` is (vec_id, embedding, cell). Both
+    sides cogroup on ``cell`` and each cell computes ONE matmul
+    Q·Vᵀ (rounded to 6 decimals, the family convention) and keeps each
+    query's local top-k by (cosine desc, vec_id asc), excluding
+    vec_id == q_id. Callers take the global top-k over the ≤ k×n_probe
+    survivors per query with :func:`topk_per_key`.
+
+    This is the batch-query shape the driver-side search paths
+    (``ivf_topk``/``ann_index_*_topk``, ≤ a handful of query vectors)
+    don't cover: a row-pair join + per-pair cosine UDF materializes
+    queries × probed-cell-volume rows through Arrow, while the cogroup
+    moves each side's rows ONCE and does the scoring as dense
+    linear algebra — the difference between an all-pairs explosion and
+    a blocked matmul at 100 TB."""
+
+    def per_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "q_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if left.empty or right.empty:
+            return empty
+        q = np.vstack(left["q_emb"].to_numpy()).astype(np.float64)
+        v = np.vstack(right["embedding"].to_numpy()).astype(np.float64)
+        qn = np.sqrt(np.einsum("ij,ij->i", q, q))
+        vn = np.sqrt(np.einsum("ij,ij->i", v, v))
+        sims = np.round((q @ v.T) / (qn[:, None] * vn[None, :]), 6)
+        qids = left["q_id"].to_numpy()
+        vids = right["vec_id"].to_numpy()
+        out_q: list[int] = []
+        out_v: list[int] = []
+        out_s: list[float] = []
+        for i in range(sims.shape[0]):
+            mask = vids != qids[i]
+            vv, ss = vids[mask], sims[i][mask]
+            top = np.lexsort((vv, -ss))[:k]
+            out_q.extend([qids[i]] * len(top))
+            out_v.extend(vv[top])
+            out_s.extend(ss[top])
+        return pd.DataFrame(
+            {"q_id": out_q, "vec_id": out_v, "cosine": out_s}
+        )
+
+    return (
+        probes.groupby("cell")
+        .cogroup(corpus_cells.groupby("cell"))
+        .applyInPandas(per_cell, "q_id long, vec_id long, cosine double")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:

@@ -2634,6 +2634,70 @@ _ANN_DELETE_SQL = _ANN_IVFPQ_SQL.replace(
 )
 
 
+_KNN_JOIN_K = 3
+
+
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 batch-query search: a kNN JOIN — every query in a ~14% corpus
+    slice gets its top-3 indexed neighbors in ONE pass over the
+    persisted index, via the cogrouped per-cell matmul
+    (similarity.knn_join_cells: probe top-n_probe cells per query,
+    cogroup query and corpus rows on cell, one Q·Vᵀ per cell). The
+    driver-side search paths take a handful of query VECTORS; this is
+    the many-queries shape (semantic dedup sweeps, retrieval eval sets)
+    where per-pair scoring would explode. Oracle = the IVF search math
+    over the full query slice with self-exclusion."""
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        flag_against_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return flag_against_index(
+        spark,
+        emb.filter(F.col("vec_id") % 7 == 3),
+        _ann_index_shared(spark, sf_dir),
+        k=_KNN_JOIN_K,
+    )
+
+
+_ANN_KNN_JOIN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e
+      WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC,
+                                       c.cell) AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 7 = 3),
+probes AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT q.q_id, q.q_emb, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC,
+                                       c.cell) AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+sims AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p.q_emb', 'a.emb')} AS cosine
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell AND a.vec_id <> p.q_id
+)
+SELECT q_id AS vec_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_KNN_JOIN_K}
+"""
+
+
 def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout audit over the build+append index (the upsert staging):
     rows/partition skew and files/partition per artifact table — the
@@ -2808,6 +2872,7 @@ QUERIES = {
     "ann_index_delete_topk": (ann_index_delete_topk, _ANN_DELETE_SQL),
     "ann_index_refined_recall": (ann_index_refined_recall, None),
     "ann_index_stats": (ann_index_stats, None),
+    "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_SQL),
     "embed_documents_batch": (embed_documents_batch, _EMBED_DOCS_SQL),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
     "near_dup_triangles": (near_dup_triangles, _TRIANGLES_SQL),

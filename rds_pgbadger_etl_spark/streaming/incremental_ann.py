@@ -18,16 +18,22 @@ Per micro-batch (foreachBatch):
   the ``n_probe`` nearest cells (batch × centroids, centroid side
   broadcast — metadata-sized), scan ONLY those cells of the
   cell-partitioned ``raw`` table (partition-pruned, tombstone-filtered),
-  exact cosine per candidate, top-k per new vector — then admitted via
-  ``append_to_ann_index`` (encoded against the stored quantizers,
-  appended into the cell partitions, nothing rewritten);
+  then score via the cogrouped per-cell matmul
+  (similarity.knn_join_cells — each side's rows shuffle once, dense
+  linear algebra inside the cell) and keep the top-k per new vector —
+  then admitted via ``append_to_ann_index`` (encoded against the
+  stored quantizers, appended into the cell partitions, nothing
+  rewritten);
 - exactly-once per batch via the streaming checkpoint.
 
-Scale: flagging is O(batch × probed-cell volume) — the same pruning
-ratio as a search (~n_probe/n_centroids of the corpus per batch), never
-batch × corpus; the batch side (with its embeddings) is the broadcast
-side of every join. State grows in the index's partitioned layout,
-compacted on the operator's schedule.
+Scale: flagging is O(batch × probed-cell volume) FLOPs — the same
+pruning ratio as a search (~n_probe/n_centroids of the corpus per
+batch), never batch × corpus — executed as one matmul per cell, with
+shuffle bytes O(batch + probed cells), not O(batch × cell volume). At
+a fixed quantizer this cost still grows with the corpus (cells fatten);
+production holds it constant by scaling n_centroids ~ √corpus, which
+changes only the stored centroid table. State grows in the index's
+partitioned layout, compacted on the operator's schedule.
 """
 
 from __future__ import annotations
@@ -62,10 +68,13 @@ def flag_against_index(
 ) -> DataFrame:
     """(vec_id, neighbor_id, cosine, rank): the top-``k`` already-indexed
     neighbors of each new vector, searched the IVF way — semantic
-    near-dup flagging at ingest. The batch side carries its embeddings
-    and is broadcast (micro-batch-sized by contract); the store
-    contributes a partition-pruned, tombstone-filtered scan of the
-    probed cells only. Returns an eagerly local-checkpointed DataFrame:
+    near-dup flagging at ingest (also the batch kNN-join entry point:
+    plans/llm_ops.ann_knn_join runs corpus-slice query sets through it).
+    Probing broadcasts the metadata-sized centroid table against the
+    batch; scoring cogroups the batch with a partition-pruned,
+    tombstone-filtered scan of the probed cells only
+    (similarity.knn_join_cells). Returns an eagerly local-checkpointed
+    DataFrame:
     lineage is truncated, so the result (and any plan derived from it)
     is safe against subsequent index mutation — the append that follows
     in the ingestion cycle cannot leak into the flags."""
@@ -101,19 +110,14 @@ def flag_against_index(
                 F.col("cell").isin(cells)
             ),
         )
-        scored = (
-            raw.join(F.broadcast(probes), "cell")
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .select(
-                "q_id",
-                F.col("vec_id").alias("neighbor_id"),
-                S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias(
-                    "cosine"
-                ),
-            )
+        # cogrouped per-cell matmul (knn_join_cells): each side's rows
+        # move once; a row-pair join + per-pair cosine UDF would push
+        # batch × probed-cell-volume rows through Arrow instead
+        local = S.knn_join_cells(
+            probes, raw.select("vec_id", "embedding", "cell"), k
         )
         top = S.topk_per_key(
-            scored,
+            local.withColumnRenamed("vec_id", "neighbor_id"),
             "q_id",
             [F.col("cosine").desc(), F.col("neighbor_id")],
             k,

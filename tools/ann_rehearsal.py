@@ -53,7 +53,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from rds_pgbadger_etl_spark.operators import ann_index as AI
-from rds_pgbadger_etl_spark.operators import index_maintenance as M
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
     from rds_pgbadger_etl_spark.operators import similarity as S
     from rds_pgbadger_etl_spark.session import get_spark
 
@@ -121,6 +121,34 @@ from rds_pgbadger_etl_spark.operators import index_maintenance as M
     plan = df._jdf.queryExecution().executedPlan().toString()
     pruned = "PartitionFilters" in plan and " IN " in plan
 
+    # --- streamed-ingestion flag leg (round 8): a fixed micro-batch
+    # flagged against the store (streaming/incremental_ann.py's
+    # flag_against_index — the foreachBatch step) at each corpus size.
+    # Unlike the dedup store's collision-driven lookup, flag cost is
+    # batch × probed-cell volume (∝ corpus/n_centroids): expect growth
+    # with store size at FIXED n_centroids — the measured argument for
+    # scaling n_centroids ~ sqrt(corpus) in production so cell volume
+    # (and per-batch flag cost) stays constant.
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        flag_against_index,
+    )
+
+    flag_cols = F.array(
+        *[F.rand(seed=3000 + j).cast("float") for j in range(DIM)]
+    )
+    flag_batch = (
+        spark.range(10_000_000, 10_000_000 + 2_000)
+        .select(F.col("id").alias("vec_id"), flag_cols.alias("embedding"))
+        .repartition(16)
+        .persist()
+    )
+    flag_batch.count()
+    t0 = time.perf_counter()
+    flags = flag_against_index(spark, flag_batch, index_dir, k=3)
+    t_flag = time.perf_counter() - t0
+    n_flags = flags.count()
+    flag_batch.unpersist()
+
     # --- append leg (round 7): upsert 10%, search, compact, search ----
     # The lifecycle a real user runs hourly: append_to_ann_index lands
     # one file-set per cell per batch, so files/cell grows with batch
@@ -168,6 +196,9 @@ from rds_pgbadger_etl_spark.operators import index_maintenance as M
                 "search_ivf_flat_sec": t_ivf_flat,
                 "search_brute_sec": t_brute,
                 "partition_pruned": pruned,
+                "flag_batch_size": 2_000,
+                "flag_sec": round(t_flag, 1),
+                "n_flags": n_flags,
                 "append_pct": 10,
                 "append_sec": round(t_append, 1),
                 "vector_files_fresh": files_fresh,
