@@ -221,12 +221,24 @@ def knn_join_cells(
         out_v: list[int] = []
         out_s: list[float] = []
         for i in range(sims.shape[0]):
-            mask = vids != qids[i]
-            vv, ss = vids[mask], sims[i][mask]
-            top = np.lexsort((vv, -ss))[:k]
+            ss = sims[i].copy()
+            ss[vids == qids[i]] = -np.inf  # self-exclusion
+            # O(n) top-k cut, then an exact (cosine desc, vec_id asc)
+            # sort of the small survivor set only — a full per-query
+            # lexsort of the cell is the kernel's dominant cost at GB
+            # scale (measured 35 s -> seconds for 2k queries x 125k
+            # vectors). ``>= kth value`` keeps ALL boundary ties, so
+            # the final tie-break is identical to the full sort.
+            if ss.size > k:
+                vk = np.partition(ss, ss.size - k)[ss.size - k]
+                sel = np.flatnonzero((ss >= vk) & np.isfinite(ss))
+            else:
+                sel = np.flatnonzero(np.isfinite(ss))
+            vv2, ss2 = vids[sel], ss[sel]
+            top = np.lexsort((vv2, -ss2))[:k]
             out_q.extend([qids[i]] * len(top))
-            out_v.extend(vv[top])
-            out_s.extend(ss[top])
+            out_v.extend(vv2[top])
+            out_s.extend(ss2[top])
         return pd.DataFrame(
             {"q_id": out_q, "vec_id": out_v, "cosine": out_s}
         )

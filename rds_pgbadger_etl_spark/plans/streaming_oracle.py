@@ -550,8 +550,122 @@ SELECT q_id AS vec_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
 _STREAM_ANN_SQL = _stream_ann_sql()
 
 
+def stream_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL incremental near-dup ingestion
+    (streaming/incremental_dedup.py over the persisted signature store):
+    the documents corpus arrives as three micro-batches (doc_id
+    thirds); each batch is flagged against every PREVIOUSLY accepted
+    doc (store lookup: pfx-pruned band probe + bucket-pruned exact
+    verify) and then appended into the store. Returns every cross-batch
+    flag. Oracle = the shingle/band/Jaccard math in SQL with the
+    ingestion-order role (dup_of strictly from an earlier batch) —
+    hash equality proves the store built by the stream answers exactly
+    the batch semantics, flag-by-flag."""
+    import shutil
+    import tempfile
+
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+    from rds_pgbadger_etl_spark.streaming.incremental_dedup import (
+        run_incremental_dedup,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        n = docs.count()
+        root = tempfile.mkdtemp(prefix="stream_dedup_")
+        src, store, ckpt, flags = (
+            f"{root}/{d}" for d in ("src", "store", "ckpt", "flags")
+        )
+        try:
+            for b in range(3):
+                lo, hi = b * n // 3, (b + 1) * n // 3
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).write.mode("append").parquet(src)
+                run_incremental_dedup(
+                    spark.readStream.schema(docs.schema).parquet(src),
+                    store,
+                    ckpt,
+                    flags,
+                    threshold=0.5,
+                )
+            out = (
+                spark.read.parquet(flags)
+                .filter(F.col("doc_id").isNotNull())
+                .select("doc_id", "dup_of", "jaccard")
+            )
+            out = out.cache()
+            out.count()  # materialize before the temp dirs go away
+            return out
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    return shared_df(spark, "dedup_flags", sf_dir, build)
+
+
+# The dedup-store lookup math (same md5 shingle/sig/band family as
+# plans/llm_ops._DEDUP_INDEX_SQL) with the batch role: a flag's dup_of
+# comes from a strictly earlier third of the corpus.
+def _stream_dedup_sql() -> str:
+    from rds_pgbadger_etl_spark.plans.llm_ops import (
+        _SH_SQL,
+        _SIG_COLS_SQL,
+    )
+
+    return f"""
+WITH sh0 AS ({_SH_SQL}),
+nn AS (SELECT count(*) AS n FROM documents),
+bt AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id < n // 3 THEN 0
+              WHEN d.doc_id < (2 * n) // 3 THEN 1
+              ELSE 2 END AS batch
+  FROM documents d, nn
+),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh0 GROUP BY doc_id),
+bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id,
+           unnest([md5(cast(sig1 AS varchar) || ':' || cast(sig2 AS varchar)),
+                   md5(cast(sig3 AS varchar) || ':' || cast(sig4 AS varchar))])
+             AS band
+    FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS old_id, r.doc_id AS new_id
+  FROM bands l
+  JOIN bands r ON l.band = r.band
+  JOIN bt bl ON bl.doc_id = l.doc_id
+  JOIN bt br ON br.doc_id = r.doc_id
+  WHERE bl.batch < br.batch
+),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.old_id, c.new_id, count(*) AS inter
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.old_id
+  JOIN s sb ON sb.doc_id = c.new_id AND sb.shingle = sa.shingle
+  GROUP BY c.old_id, c.new_id
+)
+SELECT i.new_id AS doc_id, i.old_id AS dup_of,
+       cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double)
+         AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.old_id
+JOIN sizes nb ON nb.doc_id = i.new_id
+WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.5
+"""
+
+
+_STREAM_DEDUP_FLAGS_SQL = _stream_dedup_sql()
+
+
 QUERIES = {
     "stream_ann_flags": (stream_ann_flags, _STREAM_ANN_SQL),
+    "stream_dedup_flags": (stream_dedup_flags, _STREAM_DEDUP_FLAGS_SQL),
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),
     "stream_embed_props": (stream_embed_props, _STREAM_EMBED_SQL),
     "stream_sketch_users": (stream_sketch_users, _STREAM_SKETCH_SQL),
