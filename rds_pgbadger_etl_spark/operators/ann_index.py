@@ -45,11 +45,44 @@ from rds_pgbadger_etl_spark.operators import similarity as S
 Query = tuple[int, list[float]]
 
 
+AUTO_CELL_ROWS = 65_536  # target IVF cell volume for auto sizing
+AUTO_MAX_CELLS = 4_096
+
+
+def auto_n_centroids(n_vecs: int, n_probe: int = S.N_PROBE) -> int:
+    """Measured-calibrated coarse-quantizer size for ``n_vecs`` vectors:
+    hold cell volume at ~AUTO_CELL_ROWS rows, capped at AUTO_MAX_CELLS.
+
+    FLOP balance alone (probe cost ``a*C`` vs cell-scan cost
+    ``b*n_probe*n/C``) says ``C* = sqrt(n_probe*n)`` — but on a
+    file-per-cell parquet layout per-file constants (listing, open,
+    footer, row-group minima) dominate once cells shrink: the 4M-vector
+    rehearsal measured C=2048 (the sqrt point, ~2k-row cells) at 3x the
+    point-search latency and ~2x the build/append/compact cost of
+    C=32..64 (~65-125k-row cells), while flag-batch throughput between
+    the two differed by <2x (BENCH_NOTES "centroid scaling at 4M").
+    Constant cell volume also makes per-batch ingest-flag cost flat in
+    corpus size (the incremental_ann contract) instead of linear.
+
+    Power-of-two so cell counts are stable across nearby corpus sizes;
+    floored at N_CENTROIDS; capped at AUTO_MAX_CELLS (~270M rows on) —
+    past the cap, cells fatten again and a deployment should shard the
+    quantizer instead (IMI / two-level IVF), which changes the layout,
+    not this rule. ``n_probe`` is accepted for signature stability but
+    the volume rule does not depend on it.
+    """
+    import math
+
+    cells = n_vecs / AUTO_CELL_ROWS
+    pow2 = 2 ** round(math.log2(cells)) if cells >= 1 else 1
+    return int(min(AUTO_MAX_CELLS, max(S.N_CENTROIDS, pow2)))
+
+
 def build_ann_index(
     spark: SparkSession,
     emb: DataFrame,
     index_dir: str,
-    n_centroids: int = S.N_CENTROIDS,
+    n_centroids: int | None = S.N_CENTROIDS,
     n_tables: int = S.N_TABLES,
     n_planes: int = S.N_PLANES,
     refine_iters: int = 0,
@@ -62,6 +95,11 @@ def build_ann_index(
     partitionBy writes); everything else written here is metadata-sized.
     Re-runs overwrite atomically per Spark's committer (O13 semantics).
 
+    ``n_centroids=None`` sizes the coarse quantizer with the
+    FLOP-balanced sqrt-of-corpus rule (auto_n_centroids) at the cost of
+    one count job; the explicit default S.N_CENTROIDS keeps fixture
+    corpora and registered-query artifacts deterministic.
+
     ``refine_iters > 0`` trains the coarse quantizer with Lloyd's
     k-means (similarity.kmeans_centroids — the production refinement the
     ivf_cells docstring describes) before assignment; the artifact
@@ -70,6 +108,8 @@ def build_ann_index(
     """
     _CENTROIDS.pop(index_dir, None)  # rebuilt index invalidates the
     _CODEBOOKS.pop(index_dir, None)  # in-process quantizer cache
+    if n_centroids is None:  # auto: sqrt-of-corpus rule (one count job)
+        n_centroids = auto_n_centroids(emb.count())
     if refine_iters > 0:
         cents = S.kmeans_centroids(emb, n_centroids, refine_iters + 1).select(
             F.col("cell").cast("int").alias("cell"),

@@ -299,3 +299,33 @@ def test_delete_tombstones_then_compaction_applies(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_auto_n_centroids_rule(spark, index_dir, tmp_path):
+    # constant ~AUTO_CELL_ROWS cell volume, power-of-two, floored at
+    # the fixture constant, capped where the quantizer should shard
+    # instead (values measured in BENCH_NOTES "centroid scaling at 4M")
+    assert AI.auto_n_centroids(0) == S.N_CENTROIDS
+    assert AI.auto_n_centroids(1_000) == S.N_CENTROIDS  # floor bites
+    assert AI.auto_n_centroids(1_000_000) == S.N_CENTROIDS  # 15.3 cells
+    assert AI.auto_n_centroids(4_000_000) == 64  # 61 -> 2^6
+    assert AI.auto_n_centroids(16_000_000) == 256
+    assert AI.auto_n_centroids(10**12) == AI.AUTO_MAX_CELLS  # cap bites
+    # monotone non-decreasing across decades
+    sizes = [10**p for p in range(3, 13)]
+    autos = [AI.auto_n_centroids(n) for n in sizes]
+    assert autos == sorted(autos)
+
+    # n_centroids=None builds via the rule; the 500-vector smoke corpus
+    # clamps to the default, so the artifact answers bit-identically to
+    # the module's default-built index — None is pure sizing, no drift
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d_auto = str(tmp_path / "auto_idx")
+    AI.build_ann_index(spark, emb, d_auto, n_centroids=None)
+    cents = spark.read.parquet(M.table_path(d_auto, "centroids"))
+    assert cents.count() == AI.auto_n_centroids(emb.count()) == S.N_CENTROIDS
+    got = _rows(AI.ann_index_ivfpq_topk(spark, d_auto, _queries(spark), K))
+    expected = _rows(
+        AI.ann_index_ivfpq_topk(spark, index_dir, _queries(spark), K)
+    )
+    assert got == expected and len(got) == len(QUERY_IDS) * K

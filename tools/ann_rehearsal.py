@@ -85,9 +85,22 @@ def main() -> None:
     emb = spark.read.parquet(corpus)
 
     # --- build ---------------------------------------------------------
+    # SPARK_GRAFT_ANN_CENTROIDS: an int, or "auto" for the
+    # sqrt-of-corpus rule — the knob behind the measured-sqrt-scaling
+    # leg (default: the registered-query constant S.N_CENTROIDS).
+    c_env = os.environ.get("SPARK_GRAFT_ANN_CENTROIDS", "")
+    n_centroids = (
+        AI.auto_n_centroids(n_vecs)
+        if c_env == "auto"
+        else int(c_env)
+        if c_env
+        else S.N_CENTROIDS
+    )
+    if c_env:
+        index_dir = f"{index_dir}_c{n_centroids}"
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    AI.build_ann_index(spark, emb, index_dir)
+    AI.build_ann_index(spark, emb, index_dir, n_centroids=n_centroids)
     t_build = time.perf_counter() - t0
     sizes = {
         part: round(_dir_bytes(f"{index_dir}/{part}") / 1e6, 1)
@@ -188,6 +201,7 @@ def main() -> None:
             {
                 "app_id": app_id,
                 "n_vecs": n_vecs,
+                "n_centroids": n_centroids,
                 "corpus_mb": round(corpus_bytes / 1e6, 1),
                 "gen_sec": round(t_gen, 1),
                 "build_sec": round(t_build, 1),
