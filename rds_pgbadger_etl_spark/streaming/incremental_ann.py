@@ -149,11 +149,18 @@ def run_incremental_ann(
     k: int = 3,
     n_probe: int = S.N_PROBE,
     threshold: float | None = None,
+    n_centroids: int | None = S.N_CENTROIDS,
 ) -> None:
     """The ingestion pipeline: per micro-batch, flag each new embedding's
     nearest already-indexed neighbors, write the flags, then admit the
     batch into the index (bootstrap-build on the first batch). Runs with
-    availableNow; exactly-once per batch via the streaming checkpoint."""
+    availableNow; exactly-once per batch via the streaming checkpoint.
+
+    ``n_centroids`` sizes the bootstrap build only (the quantizer is
+    immutable afterwards). NOTE the bootstrap sees just the FIRST
+    micro-batch, so ``None`` (auto) would size for the batch, not the
+    eventual corpus — a stream expecting to grow should pass
+    ``ann_index.auto_n_centroids(expected_corpus_size)`` explicitly."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -169,7 +176,9 @@ def run_incremental_ann(
             spark.createDataFrame([], _FLAG_SCHEMA).withColumn(
                 "batch_id", F.lit(batch_id)
             ).write.mode("append").parquet(flags_out_dir)
-            AI.build_ann_index(spark, batch, index_dir)
+            AI.build_ann_index(
+                spark, batch, index_dir, n_centroids=n_centroids
+            )
 
     q = (
         emb_stream.writeStream.foreachBatch(process)
