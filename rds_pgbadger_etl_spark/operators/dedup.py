@@ -607,3 +607,102 @@ def dedup_cluster_assignments(
     return out.withColumn(
         "is_canonical", (F.col("component") == F.col(id_col)).cast("int")
     )
+
+
+SPAN_GRAM_N = 8       # tokens per positional gram
+SPAN_MIN_RUN = 20     # remove runs of at least this many shared tokens
+SPAN_TOKEN_CAP = 512  # max tokens considered per doc (cost bound)
+
+
+def span_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = SPAN_GRAM_N,
+    min_run: int = SPAN_MIN_RUN,
+    token_cap: int = SPAN_TOKEN_CAP,
+) -> DataFrame:
+    """Duplicate-span REMOVAL (ExactSubstr dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" §4.1 —
+    the removal complement to the pair DETECTORS above): delete from
+    every document each run of >= ``min_run`` consecutive tokens whose
+    content also appears in an EARLIER document (first occurrence wins;
+    canonical order = ``id_col``), returning
+    ``(id, n_tokens, n_removed, clean_text)`` — fully-duplicated docs
+    stay present with ``clean_text = ''``.
+
+    Scale design (100 TB): duplicated-ness of a position needs only
+    gram-hash grain — an occurrence is duplicated iff min(id) over its
+    hash is an earlier doc — so the plan is explode →
+    groupBy(h).min(id) → 1:1 equi-join back → per-doc gaps-and-islands
+    → bounded interval explode → reassemble. There is NO doc×doc join
+    anywhere (join output = |gram occurrences|), so boilerplate cannot
+    go quadratic and no doc-frequency cap is needed; skew on
+    mega-frequent hashes is absorbed by the map-side partial min and a
+    1:1 probe. The paper's suffix array is a single-node batch
+    structure; this expresses the same semantics as three shuffles on
+    narrow keys. Linearity is measured at 1x/2x/4x GB corpora by
+    tools/dedup_rehearsal.py (span-removal leg, BENCH_NOTES).
+
+    Within-doc repeats (first occurrence in the SAME doc) are kept: the
+    op removes cross-document duplication only, which keeps "first
+    occurrence survives" well-defined."""
+    from pyspark.sql import Window
+
+    tk = F.slice(F.split(F.col(text_col), " "), 1, token_cap)
+    t = docs.select(id_col, tk.alias("tk"))
+    grams_arr = F.when(
+        F.size("tk") >= gram_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (gram_n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, gram_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select(id_col, F.posexplode(grams_arr).alias("p0", "gram")).select(
+        id_col, (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("h")
+    )
+    firsts = g.groupBy("h").agg(F.min(id_col).alias("fdoc"))
+    dup = (
+        g.join(firsts, "h")
+        .filter(F.col(id_col) > F.col("fdoc"))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(F.min("pos").alias("p_lo"), F.count(F.lit(1)).alias("m"))
+        .withColumn("run_tokens", F.col("m") + F.lit(gram_n - 1))
+        .filter(F.col("run_tokens") >= min_run)
+        .select(
+            id_col,
+            "p_lo",
+            (F.col("p_lo") + F.col("run_tokens") - 1).alias("p_hi"),
+        )
+    )
+    # distinct because two runs in one doc can overlap in token space
+    # (runs are maximal in GRAM positions; their +n-1-token tails overlap)
+    covered = runs.select(
+        id_col, F.explode(F.sequence("p_lo", "p_hi")).alias("pos")
+    ).distinct()
+    tokens = t.select(
+        id_col, F.size("tk").alias("n_tokens"), F.posexplode("tk")
+    ).select(id_col, "n_tokens", (F.col("pos") + 1).alias("pos"), "col")
+    flagged = tokens.join(
+        covered.withColumn("rm", F.lit(True)), [id_col, "pos"], "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("rm"), 1).otherwise(0)).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rm").isNull(), F.struct("pos", "col"))
+                    )
+                ),
+                lambda x: x["col"],
+            ),
+        ).alias("clean_text"),
+    )

@@ -2083,6 +2083,265 @@ FROM runs GROUP BY a, b
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-span REMOVAL (ExactSubstr dedup, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better") — the
+# removal complement to exact_substring_overlap's pair DETECTION: delete
+# from every document each run of >= _OVL_MIN_TOKENS consecutive tokens
+# whose content also appears in an EARLIER document (first occurrence
+# wins; canonical order = doc_id), and emit the cleaned text plus
+# removal accounting. Duplicated-ness of a position is derivable from
+# gram-hash grain alone: an 8-gram occurrence is duplicated iff
+# min(doc_id) over its hash is an earlier doc — so the plan is
+# explode -> groupBy(h).min(doc_id) -> 1:1 equi-join back -> per-doc
+# gaps-and-islands -> bounded interval explode -> reassemble. Unlike
+# the pair detector there is NO doc x doc join anywhere (the join
+# output is exactly |gram occurrences|), so no DF cap is needed and
+# boilerplate CANNOT go quadratic: a gram in a million documents
+# contributes one narrow row per occurrence and a partial-aggregated
+# min. Skew on mega-frequent hashes is absorbed map-side; the token
+# explode is bounded by _OVL_CAP per doc. That is the 100 TB shape:
+# the suffix-array formulation of the paper is a single-node batch
+# algorithm, while this expresses the same removal semantics as three
+# shuffles on narrow keys.
+#
+# Within-doc repeats (first occurrence in the SAME doc) are kept — the
+# op removes cross-document duplication only, matching the detector's
+# semantics and keeping "first occurrence survives" well-defined.
+
+
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.span_removal over the documents table, pinned to
+    the module constants the SQL twin bakes in (gram_n=_OVL_N etc. —
+    shared with exact_substring_overlap by design: detection and
+    removal grade the same duplication)."""
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    return D.span_removal(
+        docs,
+        gram_n=_OVL_N,
+        min_run=_OVL_MIN_TOKENS,
+        token_cap=_OVL_CAP,
+    )
+
+
+_SPAN_REMOVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ')[1:{_OVL_CAP}] AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(tk[i:i + {_OVL_N - 1}], ' ')) AS h
+  FROM toks, unnest(range(1, greatest(len(tk) - {_OVL_N - 2}, 1))) AS t(i)
+  WHERE len(tk) >= {_OVL_N}
+),
+firsts AS (SELECT h, min(doc_id) AS fdoc FROM g GROUP BY h),
+dup AS (
+  SELECT g.doc_id, g.pos FROM g JOIN firsts USING (h)
+  WHERE g.doc_id > firsts.fdoc
+),
+runs AS (
+  SELECT doc_id, min(pos) AS p_lo, count(*) + {_OVL_N - 1} AS run_tokens
+  FROM (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup)
+  GROUP BY doc_id, grp
+  HAVING count(*) + {_OVL_N - 1} >= {_OVL_MIN_TOKENS}
+),
+covered AS (
+  SELECT DISTINCT doc_id, p_lo + o AS pos
+  FROM runs, unnest(range(0, run_tokens)) AS t(o)
+),
+tokens AS (
+  SELECT doc_id, len(tk) AS n_tokens, i AS pos, tk[i] AS tok
+  FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)
+),
+flag AS (
+  SELECT t.doc_id, t.n_tokens, t.pos, t.tok, c.pos IS NOT NULL AS rm
+  FROM tokens t
+  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+)
+SELECT doc_id,
+       cast(max(n_tokens) AS bigint) AS n_tokens,
+       cast(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS bigint) AS n_removed,
+       coalesce(
+         string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY pos),
+         '') AS clean_text
+FROM flag GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016, the tokenizer-training
+# counterpart of the corpus ops): learn the first _BPE_STEPS merges of a
+# byte-pair-encoding vocabulary from the corpus. The 100 TB shape is the
+# point: the corpus is reduced ONCE to the frequency-weighted vocabulary
+# (one explode + groupBy — the only corpus-sized stage, persisted for
+# the iteration loop), and every merge round then runs over
+# vocab x word-length positional rows (millions, not corpus-scale):
+# adjacent-pair counts via a lead window, argmax pair to the driver (one
+# metadata-sized row — same convention as the k-means convergence
+# scalars), greedy non-overlapping application via candidate-island
+# parity. The greedy left-to-right semantics ("aaaa" + (a,a) -> [aa,aa],
+# "aaa" -> [aa,a]) are formulated POSITIONALLY — candidate runs grouped
+# by seq-row_number islands, keep even offsets within each island — so
+# the DuckDB oracle can unroll the identical three rounds as CTEs and
+# the result is hash-exact, not just count-equal. Fixed step count keeps
+# the oracle finite; a production tokenizer run loops the same body to
+# 32k merges with a per-round checkpoint of the (small) symbol table.
+
+
+_BPE_STEPS = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    s = words.select(
+        "word", "cnt", F.posexplode(chars).alias("p0", "sym")
+    ).select("word", "cnt", (F.col("p0") + 1).alias("slot"), "sym")
+    out_rows: list[tuple] = []
+    try:
+        for step in range(1, _BPE_STEPS + 1):
+            wnd = Window.partitionBy("word").orderBy("slot")
+            t = s.withColumn("nsym", F.lead("sym").over(wnd)).withColumn(
+                "seq", F.row_number().over(wnd)
+            )
+            best = (
+                t.filter(F.col("nsym").isNotNull())
+                .groupBy("sym", "nsym")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), "sym", "nsym")
+                .limit(1)
+                .collect()
+            )
+            if not best:  # degenerate corpus of 1-char words
+                break
+            a, b, c = best[0]["sym"], best[0]["nsym"], int(best[0]["c"])
+            out_rows.append((step, a, b, a + b, c))
+            cand = t.filter(
+                (F.col("sym") == F.lit(a)) & (F.col("nsym") == F.lit(b))
+            ).select("word", "seq")
+            isl = cand.withColumn(
+                "grp",
+                F.col("seq")
+                - F.row_number().over(
+                    Window.partitionBy("word").orderBy("seq")
+                ),
+            )
+            sel = (
+                isl.withColumn(
+                    "g0",
+                    F.min("seq").over(Window.partitionBy("word", "grp")),
+                )
+                .filter((F.col("seq") - F.col("g0")) % 2 == 0)
+                .select("word", "seq")
+            )
+            s = (
+                t.join(
+                    sel.withColumn("m", F.lit(True)), ["word", "seq"], "left"
+                )
+                .join(
+                    sel.select(
+                        "word",
+                        (F.col("seq") + 1).alias("seq"),
+                        F.lit(True).alias("x"),
+                    ),
+                    ["word", "seq"],
+                    "left",
+                )
+                .filter(F.col("x").isNull())
+                .select(
+                    "word",
+                    "cnt",
+                    "slot",
+                    F.when(F.col("m"), F.lit(a + b))
+                    .otherwise(F.col("sym"))
+                    .alias("sym"),
+                )
+            )
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "step int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def _bpe_round_sql(n: int) -> str:
+    """One unrolled merge round: s{n-1} -> m{n} (the chosen pair) and
+    s{n} (the post-merge symbol table)."""
+    return f"""
+t{n} AS (
+  SELECT word, cnt, slot, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY slot) AS nsym,
+         row_number() OVER (PARTITION BY word ORDER BY slot) AS seq
+  FROM s{n - 1}
+),
+m{n} AS (
+  SELECT sym AS l, nsym AS r, sum(cnt) AS c
+  FROM t{n} WHERE nsym IS NOT NULL
+  GROUP BY sym, nsym
+  ORDER BY c DESC, l, r LIMIT 1
+),
+c{n} AS (
+  SELECT t.word, t.seq,
+         t.seq - row_number() OVER (PARTITION BY t.word ORDER BY t.seq)
+           AS grp
+  FROM t{n} t CROSS JOIN m{n} m
+  WHERE t.sym = m.l AND t.nsym = m.r
+),
+sel{n} AS (
+  SELECT word, seq FROM (
+    SELECT word, seq, min(seq) OVER (PARTITION BY word, grp) AS g0
+    FROM c{n})
+  WHERE (seq - g0) % 2 = 0
+),
+s{n} AS (
+  SELECT t.word, t.cnt, t.slot,
+         CASE WHEN sm.seq IS NOT NULL THEN t.sym || t.nsym
+              ELSE t.sym END AS sym
+  FROM t{n} t
+  LEFT JOIN sel{n} sm ON sm.word = t.word AND sm.seq = t.seq
+  LEFT JOIN sel{n} sx ON sx.word = t.word AND sx.seq = t.seq - 1
+  WHERE sx.seq IS NULL
+)"""
+
+
+_BPE_SQL = (
+    """
+WITH words AS (
+  SELECT w AS word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 1
+  GROUP BY w
+),
+s0 AS (
+  SELECT word, cnt, i AS slot, substr(word, cast(i AS int), 1) AS sym
+  FROM words, unnest(range(1, len(word) + 1)) AS t(i)
+),"""
+    + ",".join(_bpe_round_sql(n) for n in range(1, _BPE_STEPS + 1))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {n} AS step, l AS lhs, r AS rhs, l || r AS merged,"
+        f" cast(c AS bigint) AS pair_count FROM m{n}"
+        for n in range(1, _BPE_STEPS + 1)
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # X3 scale path 2: product quantization. Integer-domain distances (see
 # operators/similarity.py) make codes and ADC rankings bit-identical
 # across engines, so BOTH queries are full hash-checked oracles — no
@@ -2850,6 +3109,8 @@ QUERIES = {
     "pq_adc_topk": (pq_adc_topk, _PQ_ADC_SQL),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ANN_IVFPQ_SQL),
     "exact_substring_overlap": (exact_substring_overlap, _EXACT_OVERLAP_SQL),
+    "dedup_span_removal": (dedup_span_removal, _SPAN_REMOVAL_SQL),
+    "bpe_train_merges": (bpe_train_merges, _BPE_SQL),
     "quality_deciles": (quality_deciles, _QUALITY_DECILES_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),

@@ -395,6 +395,78 @@ def test_exact_substring_overlap_run_semantics(spark, tmp_path):
     assert all(k == (0, 1) for k in got)
 
 
+def test_dedup_span_removal_semantics(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rds_pgbadger_etl_spark.plans.llm_ops import dedup_span_removal
+
+    run = " ".join(f"w{i}" for i in range(25))          # 25-token shared run
+    filler_a = " ".join(f"a{i}" for i in range(30))
+    filler_b = " ".join(f"b{i}" for i in range(30))
+    scattered = " ".join(f"w{i % 8} c{i}" for i in range(40))  # no long run
+    texts = [
+        (0, f"{filler_a} {run} tail0"),   # first occurrence: kept intact
+        (1, f"{filler_b} {run} tail1"),   # shared run removed, rest kept
+        (2, f"{filler_a} {run} tail0"),   # full copy of doc 0: emptied
+        (3, scattered),                   # untouched
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+            "text": pa.array([t[1] for t in texts]),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array(
+                [len(t[1]) for t in texts], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r for r in dedup_span_removal(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}          # emptied docs still present
+    assert rows[0].n_removed == 0 and rows[0].clean_text == texts[0][1]
+    # doc 1: exactly the 25 run tokens go (context grams differ, so the
+    # run is maximal at the planted span), filler + tail survive
+    assert rows[1].n_removed == 25
+    assert rows[1].clean_text == f"{filler_b} tail1"
+    # doc 2 duplicates doc 0 end-to-end: one 56-token run covers it all
+    assert rows[2].n_removed == rows[2].n_tokens == 56
+    assert rows[2].clean_text == ""
+    assert rows[3].n_removed == 0 and rows[3].clean_text == texts[3][1]
+
+
+def test_bpe_train_merges_greedy_and_weighted(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rds_pgbadger_etl_spark.plans.llm_ops import bpe_train_merges
+
+    # hand-computable corpus: vocab {aaaa: 2, aaa: 1}
+    texts = [(0, "aaaa aaa"), (1, "aaaa")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+            "text": pa.array([t[1] for t in texts]),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t[1]) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        bpe_train_merges(spark, str(tmp_path)).collect(),
+        key=lambda r: r.step,
+    )
+    got = [(r.merged, r.pair_count) for r in rows]
+    # step 1: (a,a) appears 3x in aaaa (weight 2) + 2x in aaa (weight 1).
+    # GREEDY application must turn aaaa into [aa,aa] (island parity keeps
+    # candidates 1 and 3), so step 2 sees (aa,aa) weight 2 beating
+    # (aa,a) weight 1; a keep-first-candidate-only bug would leave
+    # aaaa as [aa,a,a] and flip step 2.
+    assert got == [("aa", 8), ("aaaa", 2), ("aaa", 1)]
+
+
 def test_ann_recall_report(spark, sf_oracle):
     from rds_pgbadger_etl_spark.plans.llm_ops import ann_recall_report
 

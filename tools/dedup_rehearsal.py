@@ -151,6 +151,23 @@ def main() -> None:
     n_containment = cont.count()
     t_containment = time.perf_counter() - t0
 
+    # --- stage 3c: duplicate-span REMOVAL over the whole corpus -------
+    # Round 8: operators/dedup.span_removal (ExactSubstr semantics).
+    # The controlled structure gives a closed form: every non-head dup
+    # shares exactly the N_WORDS seed-word run with its family head
+    # (first occurrence), so removed docs = families x (dup_pct - 1)
+    # and each loses exactly N_WORDS tokens (its mut token survives).
+    # Linearity in corpus size at fixed dup_pct is the claim under test.
+    from rds_pgbadger_etl_spark.operators.dedup import span_removal
+
+    t0 = time.perf_counter()
+    sr = span_removal(docs).agg(
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_cut"),
+        F.sum("n_removed").alias("tokens_removed"),
+    ).collect()[0]
+    t_span = time.perf_counter() - t0
+    expected_span_docs = (n_docs // FAMILY) * max(dup_pct - 1, 0)
+
     # --- stage 4: connected components + canonical selection ----------
     t0 = time.perf_counter()
     assign = dedup_cluster_assignments(docs, pairs=pairs.select("a", "b"))
@@ -204,6 +221,10 @@ def main() -> None:
         "verify_sec": round(t_verify, 1),
         "containment_sec": round(t_containment, 1),
         "n_containment_pairs": n_containment,
+        "span_removal_sec": round(t_span, 1),
+        "span_docs_cut": int(sr.docs_cut),
+        "span_tokens_removed": int(sr.tokens_removed),
+        "expected_span_docs": expected_span_docs,
         "cluster_sec": round(t_cluster, 1),
         "write_sec": round(t_write, 1),
         "total_sec": round(t_sigs + t_cands + t_verify + t_cluster + t_write, 1),
