@@ -128,6 +128,50 @@ WITH {_NEAR_PAIRS_CTES}
 """
 
 
+def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-selection curve for the near-dup family: the exact
+    Jaccard of EVERY LSH candidate pair binned at 0.05 — the histogram
+    an operator reads before picking the dedup threshold (where does
+    the duplicate mass sit vs the LSH-collision noise floor). Same
+    banded candidate generation as dedup_near_pairs (pairs ∝ duplicate
+    volume, never corpus²); the verify runs unfiltered, which is what
+    the curve is for. Own shared staging (threshold 0.0) so the 0.5
+    staging every other dedup consumer reuses keeps its semantics."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    pairs = shared_df(
+        spark,
+        "near_dup_pairs_0.0",
+        sf_dir,
+        lambda: D.near_dup_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.0
+        ),
+    )
+    return (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 20), F.lit(19))
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_DEDUP_JHIST_SQL = f"""
+WITH {_NEAR_PAIRS_CTES},
+jac AS (
+  SELECT cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) AS j
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.a
+  JOIN sizes nb ON nb.doc_id = i.b
+)
+SELECT cast(least(floor(j * 20), 19) AS int) AS bin,
+       count(*) AS n_pairs
+FROM jac GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # X2 end-state: near-dup pairs → connected components → per-document
 # cluster assignment. Spark side is the iterative min-label propagation
@@ -2193,10 +2237,16 @@ FROM flag GROUP BY doc_id
 _BPE_STEPS = 3
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_learn(docs: DataFrame) -> tuple[list[tuple], DataFrame]:
+    """The shared merge-learning loop: returns the learned
+    ``(step, lhs, rhs, merged, pair_count)`` rows (materialized — the
+    per-round argmax collects run here) plus the LAZY post-merge symbol
+    table ``(word, cnt, slot, sym)`` for encode-side consumers. The
+    vocab staging is persisted across the loop's argmax collects and
+    unpersisted before return; re-evaluating the returned symbol table
+    later re-derives it (deterministic), which is the hygiene-friendly
+    trade for a query-registry entry point."""
     from pyspark.storagelevel import StorageLevel
-
-    docs = rebalance(load_table(spark, sf_dir, "documents"))
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.length("word") > 0)
@@ -2273,9 +2323,40 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         words.unpersist()
+    return out_rows, s
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    out_rows, _ = _bpe_learn(docs)
     return spark.createDataFrame(
         out_rows,
         "step int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of the tokenizer: segment the 20 most frequent
+    words with the merges just learned (post-round-3 symbol table
+    reassembled per word). Shares the learning loop and the unrolled
+    oracle CTEs with bpe_train_merges, so the segmentation string is
+    hash-exact against the SQL twin."""
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    _, s = _bpe_learn(docs)
+    return (
+        s.groupBy("word")
+        .agg(
+            F.max("cnt").alias("cnt"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("slot", "sym"))),
+                    lambda x: x["sym"],
+                ),
+            ).alias("segmentation"),
+        )
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
     )
 
 
@@ -2319,7 +2400,7 @@ s{n} AS (
 )"""
 
 
-_BPE_SQL = (
+_BPE_CTES = (
     """
 WITH words AS (
   SELECT w AS word, count(*) AS cnt
@@ -2332,12 +2413,26 @@ s0 AS (
   FROM words, unnest(range(1, len(word) + 1)) AS t(i)
 ),"""
     + ",".join(_bpe_round_sql(n) for n in range(1, _BPE_STEPS + 1))
+)
+
+_BPE_SQL = (
+    _BPE_CTES
     + "\n"
     + "\nUNION ALL ".join(
         f"SELECT {n} AS step, l AS lhs, r AS rhs, l || r AS merged,"
         f" cast(c AS bigint) AS pair_count FROM m{n}"
         for n in range(1, _BPE_STEPS + 1)
     )
+)
+
+_BPE_SEG_SQL = (
+    _BPE_CTES
+    + f"""
+SELECT word, cast(max(cnt) AS bigint) AS cnt,
+       string_agg(sym, ' ' ORDER BY slot) AS segmentation
+FROM s{_BPE_STEPS} GROUP BY word
+ORDER BY cnt DESC, word LIMIT 20
+"""
 )
 
 
@@ -3073,6 +3168,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
     "dedup_near_pairs": (dedup_near_pairs, _DEDUP_NEAR_PAIRS_SQL),
+    "dedup_jaccard_histogram": (dedup_jaccard_histogram, _DEDUP_JHIST_SQL),
     "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL),
     "dedup_simhash": (dedup_simhash, _DEDUP_SIMHASH_SQL),
@@ -3111,6 +3207,7 @@ QUERIES = {
     "exact_substring_overlap": (exact_substring_overlap, _EXACT_OVERLAP_SQL),
     "dedup_span_removal": (dedup_span_removal, _SPAN_REMOVAL_SQL),
     "bpe_train_merges": (bpe_train_merges, _BPE_SQL),
+    "bpe_segment_words": (bpe_segment_words, _BPE_SEG_SQL),
     "quality_deciles": (quality_deciles, _QUALITY_DECILES_SQL),
     "canonical_sample": (canonical_sample, _CANONICAL_SAMPLE_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
