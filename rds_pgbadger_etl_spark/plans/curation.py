@@ -146,8 +146,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DECON_SQL = f"""
-WITH ws AS (
+# The gram/bench/cont chain is shared with llm_ops.curation_funnel's
+# oracle, which stacks the same contamination flag onto its stage-4 gate.
+_DECON_CTES = f"""ws AS (
   SELECT doc_id, source,
          list_filter(string_split(text, ' '), w -> w <> '')[1:{C.DECON_WORD_CAP}]
            AS ws
@@ -165,7 +166,10 @@ bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < {_BENCH_MAX_ID}),
 cont AS (
   SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
   WHERE g.doc_id >= {_BENCH_MAX_ID}
-)
+)"""
+
+_DECON_SQL = f"""
+WITH {_DECON_CTES}
 SELECT d.source, count(*) AS n_train,
        cast(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS bigint)
          AS n_kept

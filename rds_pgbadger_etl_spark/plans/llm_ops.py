@@ -17,6 +17,7 @@ from rds_pgbadger_etl_spark.operators import multimodal as M
 from rds_pgbadger_etl_spark.operators import similarity as S
 from rds_pgbadger_etl_spark.operators import text as X
 from rds_pgbadger_etl_spark.functions.scalar import hex_hash64
+from rds_pgbadger_etl_spark.plans.curation import _BENCH_MAX_ID, _DECON_CTES
 from rds_pgbadger_etl_spark.sources.tables import load_table, rebalance
 
 # ---------------------------------------------------------------------------
@@ -512,6 +513,155 @@ SELECT source, count(*) AS n_kept,
        cast(sum({_TOKS_SQL}) AS bigint) AS sum_tokens
 FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: the stage-by-stage attrition report for the full
+# pretraining pipeline — the first table a data-curation run prints.
+# Unlike pretrain_filter (per-source survivors of the composed gate),
+# this shows WHERE the mass goes: docs and tokens remaining after each
+# cumulative stage (raw → lang+quality → exact dedup → near dedup →
+# benchmark decontamination). One corpus scan computes all five stages
+# as cumulative boolean flags (the exact-dedup keeper is a conditional
+# min over the md5 partition — same shuffle the keeper groupBy would
+# pay), the near-dup and contamination memberships arrive as two
+# id-level left joins, and a stack() unpivots the single aggregate row
+# into the funnel — no per-stage rescan, which is what makes the shape
+# hold at 100 TB.
+
+_FUNNEL_STAGES = [
+    "0_raw",
+    "1_lang_quality",
+    "2_exact_dedup",
+    "3_near_dedup",
+    "4_decontaminated",
+]
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.operators import curation as CO
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "doc_id",
+            "text",
+            "lang",
+            X.n_tokens("text").alias("tok"),
+            X.quality_score("text").alias("quality"),
+            F.md5("text").alias("_h"),
+        )
+        .withColumn(
+            "pass1",
+            (F.col("lang") == "en") & (F.col("quality") >= F.lit(0.7)),
+        )
+    )
+    w = Window.partitionBy("_h")
+    flags = base.withColumn(
+        "pass2",
+        F.col("pass1")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("pass1"), F.col("doc_id"))).over(w)
+        ),
+    )
+    dups = (
+        _near_pairs(spark, sf_dir)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    # contamination vs the raw benchmark slice (NOT the already-filtered
+    # survivors — the benchmark gram set must come from the raw corpus,
+    # same as operators/curation.decontaminate)
+    bench_grams = (
+        CO.word_ngram_grams(
+            docs.filter(F.col("doc_id") < _BENCH_MAX_ID), CO.DECON_NGRAM_N
+        )
+        .select("gram")
+        .distinct()
+    )
+    cont = (
+        CO.word_ngram_grams(
+            docs.filter(F.col("doc_id") >= _BENCH_MAX_ID), CO.DECON_NGRAM_N
+        )
+        .join(F.broadcast(bench_grams), "gram", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    flags = (
+        flags.join(dups, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .withColumn("pass3", F.col("pass2") & F.col("is_dup").isNull())
+        .withColumn(
+            "pass4",
+            F.col("pass3")
+            & (F.col("doc_id") >= F.lit(_BENCH_MAX_ID))
+            & F.col("is_cont").isNull(),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("d0"),
+        F.coalesce(F.sum("tok"), F.lit(0)).cast("bigint").alias("t0"),
+    ]
+    for i in range(1, 5):
+        p = F.col(f"pass{i}")
+        aggs.append(F.count(F.when(p, 1)).alias(f"d{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(p, F.col("tok"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+        )
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{s}', d{i}, t{i}" for i, s in enumerate(_FUNNEL_STAGES)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_FUNNEL_STAGES)}, {stack_args})"
+            " AS (stage, n_docs, n_tokens)"
+        )
+    )
+
+
+_CURATION_FUNNEL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, md5(text) AS _h, {_TOKS_SQL} AS tok,
+         (lang = 'en' AND {_QUALITY_SQL} >= 0.7) AS pass1
+  FROM documents
+),
+p2 AS (
+  SELECT *, pass1 AND doc_id = min(CASE WHEN pass1 THEN doc_id END)
+                              OVER (PARTITION BY _h) AS pass2
+  FROM base
+),
+{_NEAR_PAIRS_CTES},
+dups AS (SELECT DISTINCT b AS doc_id FROM ({_NEAR_PAIRS_FINAL})),
+{_DECON_CTES},
+flags AS (
+  SELECT p2.*,
+         pass2 AND du.doc_id IS NULL AS pass3,
+         pass2 AND du.doc_id IS NULL AND p2.doc_id >= {_BENCH_MAX_ID}
+               AND co.doc_id IS NULL AS pass4
+  FROM p2 LEFT JOIN dups du ON du.doc_id = p2.doc_id
+          LEFT JOIN cont co ON co.doc_id = p2.doc_id
+)
+SELECT '0_raw' AS stage, count(*) AS n_docs,
+       cast(coalesce(sum(tok), 0) AS bigint) AS n_tokens FROM flags
+UNION ALL
+SELECT '1_lang_quality', count(*) FILTER (WHERE pass1),
+       cast(coalesce(sum(tok) FILTER (WHERE pass1), 0) AS bigint) FROM flags
+UNION ALL
+SELECT '2_exact_dedup', count(*) FILTER (WHERE pass2),
+       cast(coalesce(sum(tok) FILTER (WHERE pass2), 0) AS bigint) FROM flags
+UNION ALL
+SELECT '3_near_dedup', count(*) FILTER (WHERE pass3),
+       cast(coalesce(sum(tok) FILTER (WHERE pass3), 0) AS bigint) FROM flags
+UNION ALL
+SELECT '4_decontaminated', count(*) FILTER (WHERE pass4),
+       cast(coalesce(sum(tok) FILTER (WHERE pass4), 0) AS bigint) FROM flags
 """
 
 
@@ -3014,8 +3164,11 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANN_KNN_JOIN_SQL = f"""
-WITH e AS (
+def _knn_graph_ctes(q_where: str) -> str:
+    """The exact-IVF kNN-join math as a reusable CTE chain ending in
+    ``knn (q_id, neighbor_id, cosine, rank)`` — shared by the kNN-join
+    oracle (14% query slice) and the PageRank oracle (full corpus)."""
+    return f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
   FROM embeddings
 ),
@@ -3029,7 +3182,7 @@ asgn AS (
                                        c.cell) AS rn
     FROM e, c) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 7 = 3),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e {q_where}),
 probes AS (
   SELECT q_id, q_emb, cell FROM (
     SELECT q.q_id, q.q_emb, c.cell,
@@ -3043,12 +3196,118 @@ sims AS (
          {_cos_sql('p.q_emb', 'a.emb')} AS cosine
   FROM probes p
   JOIN asgn a ON a.cell = p.cell AND a.vec_id <> p.q_id
-)
-SELECT q_id AS vec_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY q_id
-                               ORDER BY cosine DESC, neighbor_id) AS rnk
-  FROM sims
-) WHERE rnk <= {_KNN_JOIN_K}
+),
+knn AS (
+  SELECT q_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM sims
+  ) WHERE rnk <= {_KNN_JOIN_K}
+)"""
+
+
+_ANN_KNN_JOIN_SQL = f"""
+WITH {_knn_graph_ctes('WHERE vec_id % 7 = 3')}
+SELECT q_id AS vec_id, neighbor_id, cosine, rank FROM knn
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the kNN graph of the embedding corpus: graph centrality
+# as a data-selection signal (hub documents sit in dense regions —
+# near-duplicate clusters, boilerplate families; isolates carry novel
+# content). Fixed iteration count so the oracle unrolls the identical
+# recurrence: PR_{{t+1}}(v) = (1-d)/N + d * Σ_{{u→v}} PR_t(u)/outdeg(u),
+# dangling mass dropped (identically in both engines).
+#
+# The iteration runs in EXACT INTEGER arithmetic: with damping 17/20
+# and outdeg ∈ {{1,2,3}} (a k=3 kNN graph), ranks scaled by N·120^t are
+# integers — S_0 = 1, S_t(v) = 18·120^(t-1) + Σ_{{u→v}} (102/outdeg(u))
+# ·S_{{t-1}}(u), since 102/outdeg ∈ {{102,51,34}}. Floating-point never
+# enters until ONE final division, so the result is bit-identical
+# across engines AND across Spark's own partition/aggregation orders —
+# the float recurrence version drifted at round-boundaries (two of 500
+# nodes flipped at the 6th decimal at sf0.01). int64 headroom: S_t <
+# N·120^t, so 3 iterations are exact up to ~5e12 nodes.
+#
+# Spark-side each iteration is ONE shuffle — contributions grouped by
+# destination; the edge table is the localCheckpointed kNN-join output,
+# so iterating never re-runs the search, and ranks stay (id, long)
+# metadata-thin. At 100 TB: edges partition by src once and every
+# iteration reuses that layout for the ranks join; for deep iteration
+# counts checkpoint ranks every ~8 rounds to truncate lineage (3 fixed
+# rounds here).
+
+_PR_ITERS = 3
+_PR_SCALE = 120  # 20 (damping denominator) x 6 (lcm of outdegrees 1..3)
+
+
+def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        flag_against_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = flag_against_index(
+        spark, emb, _ann_index_shared(spark, sf_dir), k=_KNN_JOIN_K
+    ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    nodes = emb.select("vec_id")
+    n = nodes.count()  # one scalar: the PR normalizer
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(102) / F.col("outdeg")).cast("long").alias("w")
+    )
+    ranks = nodes.select("vec_id", F.lit(1).cast("long").alias("s"))
+    for t in range(1, _PR_ITERS + 1):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.vec_id)
+            .select("dst", (F.col("w") * F.col("s")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.vec_id == contrib.dst, "left"
+        ).select(
+            nodes.vec_id,
+            (
+                F.lit(18 * _PR_SCALE ** (t - 1)).cast("long")
+                + F.coalesce(F.col("contrib"), F.lit(0).cast("long"))
+            ).alias("s"),
+        )
+    denom = float(n) * float(_PR_SCALE**_PR_ITERS)  # exact below 2^53
+    return ranks.select(
+        "vec_id",
+        (F.col("s").cast("double") / F.lit(denom)).alias("pagerank"),
+    )
+
+
+def _pr_iter_sql(i: int) -> str:
+    return f"""r{i} AS (
+  SELECT n.vec_id,
+         {18 * _PR_SCALE ** (i - 1)} + coalesce(c.contrib, 0) AS s
+  FROM (SELECT vec_id FROM e) n
+  LEFT JOIN (
+    SELECT ed.dst AS vec_id, sum((102 // d.outdeg) * r{i - 1}.s) AS contrib
+    FROM edges ed
+    JOIN deg d ON d.src = ed.src
+    JOIN r{i - 1} ON r{i - 1}.vec_id = ed.src
+    GROUP BY ed.dst
+  ) c ON c.vec_id = n.vec_id
+)"""
+
+
+_PAGERANK_SQL = f"""
+WITH {_knn_graph_ctes('')},
+edges AS (SELECT q_id AS src, neighbor_id AS dst FROM knn),
+deg AS (SELECT src, cast(count(*) AS bigint) AS outdeg FROM edges
+        GROUP BY src),
+nn AS (SELECT cast(count(*) AS double) AS n FROM e),
+r0 AS (SELECT vec_id, cast(1 AS bigint) AS s FROM e),
+{",".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))}
+SELECT r.vec_id,
+       cast(r.s AS double) / (nn.n * {float(_PR_SCALE**_PR_ITERS)})
+         AS pagerank
+FROM r{_PR_ITERS} r CROSS JOIN nn
 """
 
 
@@ -3231,6 +3490,8 @@ QUERIES = {
     "ann_index_refined_recall": (ann_index_refined_recall, None),
     "ann_index_stats": (ann_index_stats, None),
     "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_SQL),
+    "embedding_pagerank": (embedding_pagerank, _PAGERANK_SQL),
+    "curation_funnel": (curation_funnel, _CURATION_FUNNEL_SQL),
     "embed_documents_batch": (embed_documents_batch, _EMBED_DOCS_SQL),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),
     "near_dup_triangles": (near_dup_triangles, _TRIANGLES_SQL),

@@ -641,3 +641,43 @@ def test_containment_prefix_exact_integer_boundary(spark):
     assert [(r.a, r.b, round(r.containment, 6)) for r in got] == [
         (1, 2, 0.8)
     ]
+
+
+def test_curation_funnel_monotone(spark, sf_oracle):
+    """The funnel stages are cumulative gates, so doc and token counts
+    must be non-increasing, stage 0 must equal the raw table, and the
+    final stage must agree with pretrain_filter's total minus the
+    benchmark slice's own survivors (stage 4 adds the >= bench-id and
+    contamination gates on top of stage 3)."""
+    from rds_pgbadger_etl_spark.plans.llm_ops import (
+        _FUNNEL_STAGES,
+        curation_funnel,
+    )
+
+    rows = {r.stage: r for r in curation_funnel(spark, sf_oracle).collect()}
+    assert list(rows) == _FUNNEL_STAGES  # stack() preserves stage order
+    docs = load_table(spark, sf_oracle, "documents")
+    assert rows["0_raw"].n_docs == docs.count()
+    for prev, cur in zip(_FUNNEL_STAGES, _FUNNEL_STAGES[1:]):
+        assert rows[cur].n_docs <= rows[prev].n_docs
+        assert rows[cur].n_tokens <= rows[prev].n_tokens
+    # every survivor carries at least one token
+    assert rows["4_decontaminated"].n_tokens >= rows["4_decontaminated"].n_docs
+
+
+def test_embedding_pagerank_mass_and_hubs(spark, sf_oracle):
+    """Integer-scaled PageRank invariants: one score per vector, total
+    mass <= 1 (equality when no node dangles), every score at least the
+    teleport floor 0.15/N, and the graph actually differentiates nodes
+    (a hub scores above the floor)."""
+    from rds_pgbadger_etl_spark.plans.llm_ops import embedding_pagerank
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count()
+    rows = embedding_pagerank(spark, sf_oracle).collect()
+    assert len(rows) == n
+    total = sum(r.pagerank for r in rows)
+    assert total <= 1.0 + 1e-9
+    floor = 0.15 / n
+    assert all(r.pagerank >= floor - 1e-12 for r in rows)
+    assert max(r.pagerank for r in rows) > 2 * floor
