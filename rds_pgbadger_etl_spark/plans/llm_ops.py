@@ -539,23 +539,54 @@ _FUNNEL_STAGES = [
 ]
 
 
-def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contaminated_ids(docs: DataFrame, bench_max_id: int) -> DataFrame:
+    """Ids of training docs (doc_id >= bench_max_id) sharing an 8-gram
+    with the raw benchmark slice — the flag-producing half of
+    operators/curation.decontaminate (which anti-joins it away). The
+    benchmark gram set comes from the RAW corpus, not an
+    already-filtered view, and is broadcast (a benchmark is small by
+    definition)."""
     from rds_pgbadger_etl_spark.operators import curation as CO
 
-    docs = load_table(spark, sf_dir, "documents")
-    base = (
-        docs.select(
-            "doc_id",
-            "text",
-            "lang",
-            X.n_tokens("text").alias("tok"),
-            X.quality_score("text").alias("quality"),
-            F.md5("text").alias("_h"),
+    bench_grams = (
+        CO.word_ngram_grams(
+            docs.filter(F.col("doc_id") < bench_max_id), CO.DECON_NGRAM_N
         )
-        .withColumn(
-            "pass1",
-            (F.col("lang") == "en") & (F.col("quality") >= F.lit(0.7)),
+        .select("gram")
+        .distinct()
+    )
+    return (
+        CO.word_ngram_grams(
+            docs.filter(F.col("doc_id") >= bench_max_id), CO.DECON_NGRAM_N
         )
+        .join(F.broadcast(bench_grams), "gram", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def funnel_flag_table(
+    docs: DataFrame,
+    dup_ids: DataFrame,
+    cont_ids: DataFrame,
+    bench_max_id: int,
+) -> DataFrame:
+    """The one-scan cumulative gate table behind curation_funnel (and
+    tools/pipeline_rehearsal.py, which drives this exact function at GB
+    scale): per doc, ``tok`` plus booleans pass1..pass4 for the
+    lang+quality, exact-dedup, near-dedup, and decontamination stages.
+    ``docs`` needs (doc_id, text, lang); ``dup_ids``/``cont_ids`` are
+    id-level membership tables (near-dup b-sides, contaminated ids)."""
+    base = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        X.n_tokens("text").alias("tok"),
+        X.quality_score("text").alias("quality"),
+        F.md5("text").alias("_h"),
+    ).withColumn(
+        "pass1",
+        (F.col("lang") == "en") & (F.col("quality") >= F.lit(0.7)),
     )
     w = Window.partitionBy("_h")
     flags = base.withColumn(
@@ -567,41 +598,30 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     dups = (
-        _near_pairs(spark, sf_dir)
-        .select(F.col("b").alias("doc_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
-    )
-    # contamination vs the raw benchmark slice (NOT the already-filtered
-    # survivors — the benchmark gram set must come from the raw corpus,
-    # same as operators/curation.decontaminate)
-    bench_grams = (
-        CO.word_ngram_grams(
-            docs.filter(F.col("doc_id") < _BENCH_MAX_ID), CO.DECON_NGRAM_N
-        )
-        .select("gram")
-        .distinct()
+        dup_ids.select("doc_id").distinct().withColumn("is_dup", F.lit(True))
     )
     cont = (
-        CO.word_ngram_grams(
-            docs.filter(F.col("doc_id") >= _BENCH_MAX_ID), CO.DECON_NGRAM_N
-        )
-        .join(F.broadcast(bench_grams), "gram", "leftsemi")
-        .select("doc_id")
+        cont_ids.select("doc_id")
         .distinct()
         .withColumn("is_cont", F.lit(True))
     )
-    flags = (
+    return (
         flags.join(dups, "doc_id", "left")
         .join(cont, "doc_id", "left")
         .withColumn("pass3", F.col("pass2") & F.col("is_dup").isNull())
         .withColumn(
             "pass4",
             F.col("pass3")
-            & (F.col("doc_id") >= F.lit(_BENCH_MAX_ID))
+            & (F.col("doc_id") >= F.lit(bench_max_id))
             & F.col("is_cont").isNull(),
         )
     )
+
+
+def funnel_report(flags: DataFrame) -> DataFrame:
+    """Collapse the flag table to the 5-row funnel: one aggregate row
+    (all ten counters at once), stack()-unpivoted — no per-stage
+    rescan."""
     aggs = [
         F.count(F.lit(1)).alias("d0"),
         F.coalesce(F.sum("tok"), F.lit(0)).cast("bigint").alias("t0"),
@@ -624,6 +644,15 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (stage, n_docs, n_tokens)"
         )
     )
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dup_ids = _near_pairs(spark, sf_dir).select(F.col("b").alias("doc_id"))
+    flags = funnel_flag_table(
+        docs, dup_ids, contaminated_ids(docs, _BENCH_MAX_ID), _BENCH_MAX_ID
+    )
+    return funnel_report(flags)
 
 
 _CURATION_FUNNEL_SQL = f"""
