@@ -576,10 +576,17 @@ def funnel_flag_table(
     scale): per doc, ``tok`` plus booleans pass1..pass4 for the
     lang+quality, exact-dedup, near-dedup, and decontamination stages.
     ``docs`` needs (doc_id, text, lang); ``dup_ids``/``cont_ids`` are
-    id-level membership tables (near-dup b-sides, contaminated ids)."""
+    id-level membership tables (near-dup b-sides, contaminated ids).
+
+    The output deliberately does NOT carry ``text``: every downstream
+    consumer needs only ids + flags + token counts, and the exact-dedup
+    window shuffles on the md5 hash — with text in the row that
+    exchange moves the whole corpus (the 4x pipeline rehearsal measured
+    3.8 GB of its shuffle as exactly this column before the prune).
+    Consumers that need the text re-join docs on doc_id (semi-join on a
+    broadcastable id set, the way the rehearsal's write stage does)."""
     base = docs.select(
         "doc_id",
-        "text",
         "lang",
         X.n_tokens("text").alias("tok"),
         X.quality_score("text").alias("quality"),

@@ -135,8 +135,13 @@ def main() -> None:
     )
     from rds_pgbadger_etl_spark.session import get_spark
 
+    # the one scale knob: shuffle partitions track input volume on a
+    # real cluster; the fixed local-core default (32) carries ~73 MB of
+    # verify shuffle per task at the 4x corpus and starts to spill
+    sp = os.environ.get("REHEARSAL_SHUFFLE_PARTITIONS")
     spark = get_spark(
         app_name="pipeline-rehearsal",
+        shuffle_partitions=int(sp) if sp else None,
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{evdir}",
@@ -182,8 +187,13 @@ def main() -> None:
 
     # --- stage 4: pack survivors into training bins --------------------
     t0 = time.perf_counter()
+    # survivor ids are ~ corpus-count longs (metadata-sized next to the
+    # text): broadcast them — the un-hinted semi-join shuffle-joined the
+    # full 3.7 GB of corpus text at the 4x scale (3.8 GB stage shuffle)
     survivors = docs.join(
-        flags.filter(F.col("pass4")).select("doc_id"), "doc_id", "leftsemi"
+        F.broadcast(flags.filter(F.col("pass4")).select("doc_id")),
+        "doc_id",
+        "leftsemi",
     )
     packed = pack_bins(survivors, budget=PACK_BUDGET)
     pack_stats = packed.agg(
