@@ -663,7 +663,177 @@ WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double) >= 0.5
 _STREAM_DEDUP_FLAGS_SQL = _stream_dedup_sql()
 
 
+def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining funnel as INCREMENTAL ingestion
+    (streaming/incremental_curation.py): the corpus arrives as three
+    micro-batches (doc_id thirds); each batch is gated through
+    lang+quality → exact dedup (in-batch keeper + persisted hash store)
+    → near dedup (the persisted dedup signature store, encode-once
+    probe-then-append) → decontamination (broadcast static benchmark
+    grams), with the accepted docs mutating both stores. Returns the
+    per-batch 5-row funnels. Oracle = the batch funnel math with the
+    ingestion-order role (near-dup's dup_of strictly from an earlier
+    batch; exact keeper = global min per hash, which IS the sequential
+    store semantics when batches arrive in id order) — hash equality
+    proves the incremental path answers exactly the batch semantics,
+    batch by batch."""
+    import shutil
+    import tempfile
+
+    from rds_pgbadger_etl_spark.operators import curation as CO
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+    from rds_pgbadger_etl_spark.plans.curation import _BENCH_MAX_ID
+    from rds_pgbadger_etl_spark.streaming.incremental_curation import (
+        run_incremental_curation,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        n = docs.count()
+        bench_grams = (
+            CO.word_ngram_grams(
+                docs.filter(F.col("doc_id") < _BENCH_MAX_ID),
+                CO.DECON_NGRAM_N,
+            )
+            .select("gram")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        root = tempfile.mkdtemp(prefix="stream_funnel_")
+        src, store, exact, ckpt, out = (
+            f"{root}/{d}" for d in ("src", "store", "exact", "ckpt", "out")
+        )
+        try:
+            for b in range(3):
+                lo, hi = b * n // 3, (b + 1) * n // 3
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).write.mode("append").parquet(src)
+                run_incremental_curation(
+                    spark.readStream.schema(docs.schema).parquet(src),
+                    store,
+                    exact,
+                    ckpt,
+                    out,
+                    bench_grams,
+                    _BENCH_MAX_ID,
+                    threshold=0.5,
+                )
+            res = spark.read.parquet(out).select(
+                "batch_id", "stage", "n_docs", "n_tokens"
+            )
+            res = res.cache()
+            res.count()  # materialize before the temp dirs go away
+            return res
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    return shared_df(spark, "stream_funnel", sf_dir, build)
+
+
+def _stream_funnel_sql() -> str:
+    from rds_pgbadger_etl_spark.plans.curation import (
+        _BENCH_MAX_ID,
+        _DECON_CTES,
+    )
+    from rds_pgbadger_etl_spark.plans.llm_ops import (
+        _QUALITY_SQL,
+        _SH_SQL,
+        _SIG_COLS_SQL,
+        _TOKS_SQL,
+    )
+
+    stages = [
+        ("0_raw", "true"),
+        ("1_lang_quality", "pass1"),
+        ("2_exact_dedup", "pass2"),
+        ("3_near_dedup", "pass3"),
+        ("4_decontaminated", "pass4"),
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT batch, '{name}' AS stage,
+       count(*) FILTER (WHERE {cond}) AS n_docs,
+       cast(coalesce(sum(tok) FILTER (WHERE {cond}), 0) AS bigint)
+         AS n_tokens
+FROM flags GROUP BY batch"""
+        for name, cond in stages
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+bt AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id < n // 3 THEN 0
+              WHEN d.doc_id < (2 * n) // 3 THEN 1
+              ELSE 2 END AS batch
+  FROM documents d, nn
+),
+base AS (
+  SELECT doc_id, md5(text) AS h, {_TOKS_SQL} AS tok,
+         (lang = 'en' AND {_QUALITY_SQL} >= 0.7) AS pass1
+  FROM documents
+),
+p2 AS (
+  SELECT b.*, bt.batch,
+         b.pass1 AND b.doc_id = min(CASE WHEN b.pass1 THEN b.doc_id END)
+                                OVER (PARTITION BY b.h) AS pass2
+  FROM base b JOIN bt ON bt.doc_id = b.doc_id
+),
+sh0 AS ({_SH_SQL}),
+sigs AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh0 GROUP BY doc_id),
+bands AS (
+  SELECT DISTINCT doc_id, band FROM (
+    SELECT doc_id,
+           unnest([md5(cast(sig1 AS varchar) || ':' || cast(sig2 AS varchar)),
+                   md5(cast(sig3 AS varchar) || ':' || cast(sig4 AS varchar))])
+             AS band
+    FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS old_id, r.doc_id AS new_id
+  FROM bands l
+  JOIN bands r ON l.band = r.band
+  JOIN p2 pl ON pl.doc_id = l.doc_id AND pl.pass2
+  JOIN p2 pr ON pr.doc_id = r.doc_id AND pr.pass2
+  WHERE pl.batch < pr.batch
+),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.old_id, c.new_id, count(*) AS inter
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.old_id
+  JOIN s sb ON sb.doc_id = c.new_id AND sb.shingle = sa.shingle
+  GROUP BY c.old_id, c.new_id
+),
+dup AS (
+  SELECT DISTINCT i.new_id AS doc_id
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.old_id
+  JOIN sizes nb ON nb.doc_id = i.new_id
+  WHERE cast(i.inter AS double) / cast(na.n + nb.n - i.inter AS double)
+        >= 0.5
+),
+{_DECON_CTES},
+flags AS (
+  SELECT p2.batch, p2.tok, p2.pass1, p2.pass2,
+         p2.pass2 AND du.doc_id IS NULL AS pass3,
+         p2.pass2 AND du.doc_id IS NULL AND p2.doc_id >= {_BENCH_MAX_ID}
+               AND co.doc_id IS NULL AS pass4
+  FROM p2 LEFT JOIN dup du ON du.doc_id = p2.doc_id
+          LEFT JOIN cont co ON co.doc_id = p2.doc_id
+)
+SELECT cast(batch AS int) AS batch_id, stage, n_docs, n_tokens
+FROM ({unions})
+"""
+
+
+_STREAM_FUNNEL_SQL = _stream_funnel_sql()
+
+
 QUERIES = {
+    "stream_curation_funnel": (stream_curation_funnel, _STREAM_FUNNEL_SQL),
     "stream_ann_flags": (stream_ann_flags, _STREAM_ANN_SQL),
     "stream_dedup_flags": (stream_dedup_flags, _STREAM_DEDUP_FLAGS_SQL),
     "stream_hourly_counts": (stream_hourly_counts, _STREAM_HOURLY_SQL),

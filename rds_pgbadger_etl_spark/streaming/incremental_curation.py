@@ -1,0 +1,228 @@
+"""Incremental curation: the pretraining funnel as continuous ingestion.
+
+The batch funnel (plans/llm_ops.funnel_flag_table) asks "of this corpus,
+what survives curation?"; a production pipeline ingests continuously and
+asks the same question per arriving micro-batch, AGAINST EVERYTHING
+ACCEPTED BEFORE. This module runs the funnel's four gates incrementally,
+each against the right kind of state:
+
+- **lang+quality** (stage 1): stateless — per-row expressions.
+- **exact dedup** (stage 2): an in-batch keeper window (min doc_id per
+  md5 among stage-1 survivors) plus a PERSISTED HASH STORE lookup —
+  (pfx, h) parquet partitioned by the 2-hex md5 prefix, so a batch
+  probe prunes to the batch's own prefixes, exactly the dedup signature
+  store's layout discipline. Accepted hashes append after the lookup.
+- **near dedup** (stage 3): the persisted dedup signature store
+  (operators/dedup_index.py) — the batch is encoded ONCE (shingle
+  profiles + LSH bands), flagged against history via the pfx/bucket-
+  pruned lookup, then the same encoding is appended (O(batch)). Shared
+  with streaming/incremental_dedup.py: one store layout, one
+  maintenance surface. In-batch near-dups are NOT flagged (the store is
+  probed before the append) — the deliberate batch-granularity
+  divergence from the all-pairs batch funnel, bounded by batch size.
+- **decontamination** (stage 4): stateless against the BROADCAST
+  benchmark gram set — a benchmark is static and known up front.
+
+Per batch the module emits the 5-row funnel (batch_id, stage, n_docs,
+n_tokens) via the same funnel_report the batch query uses. Exactly-once
+per batch via the streaming checkpoint. Scale: per-batch work is
+O(batch x collisions); state grows with the ACCEPTED corpus in two
+partition-pruned parquet artifacts, both serviceable by the shared
+index-maintenance verbs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rds_pgbadger_etl_spark.operators.dedup_index import (
+    _encode,
+    _lookup_encoded,
+    _write,
+    dedup_index_exists,
+)
+
+_EXACT_PFX_LEN = 2
+
+
+def _exact_store_lookup(batch_h: DataFrame, exact_dir: str) -> DataFrame:
+    """Ids in ``batch_h (doc_id, h)`` whose hash is already accepted.
+    The store scan prunes to the batch's own 2-hex prefixes (≤256
+    values, collected metadata-sized); the batch side broadcasts."""
+    spark = batch_h.sparkSession
+    if not os.path.isdir(exact_dir):
+        return spark.createDataFrame([], "doc_id long")
+    probe = batch_h.withColumn(
+        "pfx", F.substring("h", 1, _EXACT_PFX_LEN)
+    )
+    pfxs = sorted(r.pfx for r in probe.select("pfx").distinct().collect())
+    store = spark.read.parquet(exact_dir).where(F.col("pfx").isin(pfxs))
+    return (
+        store.join(F.broadcast(probe), "h", "inner")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _exact_store_append(accepted_h: DataFrame, exact_dir: str) -> None:
+    (
+        accepted_h.select(
+            "h", F.substring("h", 1, _EXACT_PFX_LEN).alias("pfx")
+        )
+        .repartition(F.col("pfx"))
+        .write.mode("append")
+        .partitionBy("pfx")
+        .parquet(exact_dir)
+    )
+
+
+def curate_batch(
+    batch: DataFrame,
+    store_dir: str,
+    exact_dir: str,
+    bench_grams: DataFrame,
+    bench_max_id: int,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One ingestion step: gate the batch through the four funnel
+    stages against the persisted state, mutate the state with the
+    accepted docs, and return the batch's flag table (doc_id, tok,
+    pass1..pass4), eagerly local-checkpointed BEFORE the appends so no
+    downstream plan can recompute against the just-mutated stores.
+    ``batch`` needs (doc_id, text, lang)."""
+    from rds_pgbadger_etl_spark.operators import curation as CO
+    from rds_pgbadger_etl_spark.operators import text as X
+
+    spark = batch.sparkSession
+    base = batch.select(
+        "doc_id",
+        "text",
+        "lang",
+        X.n_tokens("text").alias("tok"),
+        X.quality_score("text").alias("quality"),
+        F.md5("text").alias("h"),
+    ).withColumn(
+        "pass1",
+        (F.col("lang") == "en") & (F.col("quality") >= F.lit(0.7)),
+    )
+    # stage 2a: in-batch keeper — min doc_id per hash among pass1
+    w = Window.partitionBy("h")
+    base = base.withColumn(
+        "keeper",
+        F.col("pass1")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("pass1"), F.col("doc_id"))).over(w)
+        ),
+    )
+    # the window + the downstream joins re-derive base several times
+    # (seen-probe, encode, flags) — pin it for the batch's lifetime
+    base = base.persist()
+    pinned: list[DataFrame] = [base]
+    try:
+        # stage 2b: hash seen in an earlier batch?
+        keepers = base.filter(F.col("keeper")).select("doc_id", "h")
+        seen = _exact_store_lookup(keepers, exact_dir).withColumn(
+            "seen", F.lit(True)
+        )
+        b2 = base.join(seen, "doc_id", "left").withColumn(
+            "pass2", F.col("keeper") & F.col("seen").isNull()
+        )
+        b2 = b2.persist()
+        pinned.append(b2)
+
+        # stage 3: near-dup vs the signature store (encode pass2 once,
+        # shared between the flagging probe and the store append)
+        accepted = b2.filter(F.col("pass2")).select("doc_id", "text")
+        prof, bands = _encode(accepted, "doc_id", "text")
+        pinned.append(prof)
+        if dedup_index_exists(store_dir):
+            result, lk_pinned = _lookup_encoded(
+                spark, prof, bands, store_dir, "doc_id", threshold
+            )
+            pinned.extend(lk_pinned)
+            dup = (
+                result.select(F.col("new_id").alias("doc_id"))
+                .distinct()
+                .withColumn("is_dup", F.lit(True))
+            )
+        else:
+            dup = spark.createDataFrame([], "doc_id long").withColumn(
+                "is_dup", F.lit(True)
+            )
+        b3 = b2.join(dup, "doc_id", "left").withColumn(
+            "pass3", F.col("pass2") & F.col("is_dup").isNull()
+        )
+
+        # stage 4: contamination vs the static benchmark gram set
+        cont = (
+            CO.word_ngram_grams(
+                base.filter(F.col("doc_id") >= bench_max_id),
+                CO.DECON_NGRAM_N,
+            )
+            .join(F.broadcast(bench_grams), "gram", "leftsemi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("is_cont", F.lit(True))
+        )
+        flags = (
+            b3.join(cont, "doc_id", "left")
+            .withColumn(
+                "pass4",
+                F.col("pass3")
+                & (F.col("doc_id") >= F.lit(bench_max_id))
+                & F.col("is_cont").isNull(),
+            )
+            .select("doc_id", "tok", "pass1", "pass2", "pass3", "pass4")
+            .localCheckpoint(eager=True)
+        )
+
+        # accept: mutate state AFTER the flags are pinned
+        _exact_store_append(b2.filter(F.col("pass2")).select("h"), exact_dir)
+        _write(prof, bands, store_dir, "doc_id", "append")
+        return flags
+    finally:
+        for df in pinned:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def run_incremental_curation(
+    docs_stream: DataFrame,
+    store_dir: str,
+    exact_dir: str,
+    checkpoint_dir: str,
+    funnel_out_dir: str,
+    bench_grams: DataFrame,
+    bench_max_id: int,
+    threshold: float = 0.5,
+) -> None:
+    """The funnel as a stream: per micro-batch, gate against history,
+    accept survivors into the two stores, and append the batch's 5-row
+    funnel to ``funnel_out_dir``. availableNow drain; exactly-once per
+    batch via the checkpoint."""
+    from rds_pgbadger_etl_spark.plans.llm_ops import funnel_report
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        flags = curate_batch(
+            batch, store_dir, exact_dir, bench_grams, bench_max_id, threshold
+        )
+        (
+            funnel_report(flags)
+            .withColumn("batch_id", F.lit(batch_id).cast("int"))
+            .write.mode("append")
+            .parquet(funnel_out_dir)
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -433,3 +433,79 @@ def test_tws_processor_contract_with_stub_handle(spark):
     assert handle.states["profile"].value == (4, 2, 500_000, 5_000_000)
     assert emissions[-1] == {"user_id": 42, "n_events": 4, "n_error": 2,
                              "span_us": 4_500_000}
+
+
+def test_incremental_curation_funnel_semantics(spark, tmp_path):
+    """Planted-doc semantics for the incremental funnel: a later batch's
+    exact copy dies at stage 2 (hash store), a near-dup of an earlier
+    batch dies at stage 3 (signature store), a doc embedding a benchmark
+    8-gram dies at stage 4, and an IN-batch near-dup pair survives stage
+    3 (the documented batch-granularity divergence — the store is probed
+    before the batch is appended)."""
+    from rds_pgbadger_etl_spark.operators import curation as CO
+    from rds_pgbadger_etl_spark.streaming.incremental_curation import (
+        run_incremental_curation,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    exact = str(tmp_path / "exact")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    good = "the quick brown fox jumps over a lazy dog of doom " * 5
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench_grams = CO.word_ngram_grams(
+        spark.createDataFrame(
+            [(1, bench_text)], "doc_id long, text string"
+        ),
+        CO.DECON_NGRAM_N,
+    ).select("gram")
+
+    def stream():
+        return spark.readStream.schema(
+            "doc_id long, text string, lang string"
+        ).parquet(src)
+
+    def run():
+        run_incremental_curation(
+            stream(), store, exact, ckpt, out, bench_grams, 25
+        )
+
+    # batch 0: one good doc, one non-en twin
+    spark.createDataFrame(
+        [(30, good, "en"), (31, good + "x", "xx")],
+        "doc_id long, text string, lang string",
+    ).write.mode("append").parquet(src)
+    run()
+
+    # batch 1: exact copy of 30, near-dup of 30, novel, contaminated,
+    # and an in-batch near-dup pair
+    novel2 = "a fresh take on the business of writing tests " * 5
+    spark.createDataFrame(
+        [
+            (40, good, "en"),
+            (41, good + "tail", "en"),
+            (42, "the first of a kind document about nothing at all " * 5,
+             "en"),
+            (43, "the second of a kind document with an appended gram "
+             * 5 + " ".join(bench_text.split()[:8]), "en"),
+            (44, novel2, "en"),
+            (45, novel2 + "tail", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.mode("append").parquet(src)
+    run()
+
+    rows = {
+        (r.batch_id, r.stage): (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[(0, "0_raw")][0] == 2
+    assert rows[(0, "1_lang_quality")][0] == 1  # the xx doc dies
+    assert rows[(0, "4_decontaminated")][0] == 1
+    assert rows[(1, "0_raw")][0] == 6
+    assert rows[(1, "1_lang_quality")][0] == 6
+    assert rows[(1, "2_exact_dedup")][0] == 5  # exact copy of 30 dies
+    assert rows[(1, "3_near_dedup")][0] == 4  # near-dup of 30 dies;
+    # the in-batch pair (44, 45) both survive — store probed pre-append
+    assert rows[(1, "4_decontaminated")][0] == 3  # planted gram dies
