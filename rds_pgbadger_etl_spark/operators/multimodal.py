@@ -287,6 +287,59 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
+AHASH_SCHEMA = "doc_id bigint, ahash string"
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over the REAL image payloads: decode the
+    BMP, nearest-neighbor resample to 8x8 (the same ``_bmp_resize``
+    kernel the resize operator uses), sum the three channel bytes into
+    a luminance per cell, threshold against the image mean (an exact
+    comparison: the mean's denominator is 64 = 2^6, so the double is
+    exact), and pack the 64 bits into a 16-hex string (bit i = row-major
+    cell y*8+x; bits 0-31 -> the high word, MSB-first). Two images that
+    render alike hash alike regardless of their stored resolution — the
+    image-dedup primitive. Arrow-batched mapInPandas; non-image rows are
+    dropped (hash what can be hashed, route the rest by media_type)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            hashes: list[str] = []
+            for did, kind, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if kind != "image/bmp":
+                    continue
+                small = _bmp_resize(bytes(payload), 8, 8)
+                px = small[54:]  # 8x8x24bpp: stride 24, zero pad
+                lums = [
+                    px[y * 24 + x * 3]
+                    + px[y * 24 + x * 3 + 1]
+                    + px[y * 24 + x * 3 + 2]
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                mean = sum(lums) / 64
+                hi = lo = 0
+                for i, lum in enumerate(lums):
+                    if lum > mean:
+                        if i < 32:
+                            hi |= 1 << (31 - i)
+                        else:
+                            lo |= 1 << (63 - i)
+                ids.append(int(did))
+                hashes.append(f"{hi:08x}{lo:08x}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched fake feature extraction over the binary payload.
 

@@ -957,6 +957,53 @@ FROM media, unnest(generate_series(0, nf - 1, 2)) AS t(i)
 """
 
 
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 image dedup, end-to-end REAL: synthesize the BMP payloads,
+    then decode → 8x8 nearest-neighbor resample → luminance average-
+    hash (operators/multimodal.image_ahash) → group identical hashes.
+    Two images that render alike collapse into one group regardless of
+    stored resolution. The oracle replays the pixel math in closed form
+    (the synthetic pattern, the resample index arithmetic, the exact
+    power-of-two mean), so a hash match proves the REAL byte-level
+    decode/resize/hash pipeline computes exactly the declared hash —
+    the multimodal analogue of the text dedup family's oracles."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = M.image_ahash(M.attach_real_media(rebalance(docs)))
+    return hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_MULTIMODAL_AHASH_SQL = """
+WITH bmp AS (
+  SELECT doc_id, length(text) % 31 + 1 AS w, length(text) % 17 + 1 AS h,
+         doc_id % 256 AS seed
+  FROM documents WHERE doc_id % 2 = 0
+),
+cells AS (
+  SELECT doc_id, ty * 8 + tx AS i,
+         ((tx * w // 8) * 7 + (ty * h // 8) * 13 + seed) % 256 AS v
+  FROM bmp, range(8) t1(tx), range(8) t2(ty)
+),
+lums AS (SELECT doc_id, i, v + (v * 3) % 256 + (v * 5) % 256 AS lum
+         FROM cells),
+th AS (SELECT doc_id, sum(lum) / 64.0 AS mean FROM lums GROUP BY doc_id),
+words AS (
+  SELECT l.doc_id,
+         sum(CASE WHEN i < 32 AND lum > mean
+                  THEN 1::bigint << (31 - i) ELSE 0 END) AS hi,
+         sum(CASE WHEN i >= 32 AND lum > mean
+                  THEN 1::bigint << (63 - i) ELSE 0 END) AS lo
+  FROM lums l JOIN th USING (doc_id)
+  GROUP BY l.doc_id
+)
+SELECT lower(lpad(to_hex(hi), 8, '0') || lpad(to_hex(lo), 8, '0')) AS ahash,
+       count(*) AS n_images, min(doc_id) AS first_doc
+FROM words GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data assembly: deterministic weighted sampling (data mixing),
 # per-group top-k selection, and quantile (curriculum) bucketing.
@@ -3518,6 +3565,7 @@ QUERIES = {
     "embedding_near_dups": (embedding_near_dups, _EMB_NEAR_DUPS_SQL),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
     "multimodal_decode": (multimodal_decode, _MULTIMODAL_DECODE_SQL),
+    "multimodal_image_dedup": (multimodal_image_dedup, _MULTIMODAL_AHASH_SQL),
     "multimodal_frames": (multimodal_frames, _MULTIMODAL_FRAMES_SQL),
     "pretrain_filter": (pretrain_filter, _PRETRAIN_FILTER_SQL),
     "sample_weighted_mix": (sample_weighted_mix, _SAMPLE_MIX_SQL),

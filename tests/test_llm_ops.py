@@ -681,3 +681,23 @@ def test_embedding_pagerank_mass_and_hubs(spark, sf_oracle):
     floor = 0.15 / n
     assert all(r.pagerank >= floor - 1e-12 for r in rows)
     assert max(r.pagerank for r in rows) > 2 * floor
+
+
+def test_image_ahash_scale_invariant(spark):
+    """The perceptual hash's point: the SAME rendered content at a
+    different stored resolution hashes identically (nearest-neighbor
+    upscale commutes with the 8x8 resample), while different content
+    does not. Also pins the hex format (16 lowercase digits)."""
+    b_small = M._bmp_encode(4, 4, seed=7)
+    b_big = M._bmp_resize(b_small, 8, 8)  # 2x upscale, same rendering
+    b_other = M._bmp_encode(4, 4, seed=99)
+    df = spark.createDataFrame(
+        [(1, "image/bmp", b_small), (2, "image/bmp", b_big),
+         (3, "image/bmp", b_other), (4, "audio/wav", b"RIFF")],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {r.doc_id: r.ahash for r in M.image_ahash(df).collect()}
+    assert set(got) == {1, 2, 3}  # non-image rows dropped
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert all(len(h) == 16 and h == h.lower() for h in got.values())
