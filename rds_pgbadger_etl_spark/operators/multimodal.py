@@ -21,6 +21,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -338,6 +339,66 @@ def image_ahash(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
+FP_SCHEMA = "doc_id bigint, fingerprint string"
+_FP_WINDOWS = 16
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Energy-contour fingerprint over the REAL audio payloads: walk the
+    RIFF chunks to the PCM data, split the int16 samples into 16 windows
+    (sample i -> window i*16//n), and set window bit (MSB-first) when
+    the window's mean |amplitude| exceeds the clip mean. The threshold
+    is the exact integer cross-multiplication ``win_sum * n_total >
+    total_sum * win_count`` — no floating point anywhere, so the 4-hex
+    fingerprint is bit-deterministic and the closed-form SQL twin can
+    replay it. Clips shorter than 16 samples leave their empty windows'
+    bits 0. Non-audio rows are dropped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            fps: list[str] = []
+            for did, kind, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if kind != "audio/wav":
+                    continue
+                b = bytes(payload)
+                pos, data = 12, b""
+                while pos + 8 <= len(b):
+                    cid, clen = struct.unpack_from("<4sI", b, pos)
+                    if cid == b"data":
+                        data = b[pos + 8 : pos + 8 + clen]
+                        break
+                    pos += 8 + clen + (clen % 2)
+                n = len(data) // 2
+                if n == 0:
+                    continue
+                s = np.frombuffer(data[: 2 * n], dtype="<i2").astype(
+                    np.int64
+                )
+                a = np.abs(s)
+                wdx = (np.arange(n) * _FP_WINDOWS) // n
+                total = int(a.sum())
+                fp = 0
+                for wi in range(_FP_WINDOWS):
+                    mask = wdx == wi
+                    nw = int(mask.sum())
+                    ws = int(a[mask].sum())
+                    if ws * n > total * nw:
+                        fp |= 1 << (_FP_WINDOWS - 1 - wi)
+                ids.append(int(did))
+                fps.append(f"{fp:04x}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fingerprint": pd.Series(fps, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(batches, FP_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

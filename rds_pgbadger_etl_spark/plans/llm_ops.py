@@ -1004,6 +1004,48 @@ FROM words GROUP BY 1
 """
 
 
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio dedup, end-to-end REAL: synthesize the WAV payloads,
+    walk the RIFF chunks to the PCM, and fingerprint the energy contour
+    (operators/multimodal.audio_fingerprint: 16 windows, window bit set
+    by the EXACT integer cross-multiplied mean comparison — no FP), then
+    group identical fingerprints. The oracle replays the sample math in
+    closed form, so a hash match proves the real byte-level
+    decode/fingerprint pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = M.audio_fingerprint(M.attach_real_media(rebalance(docs)))
+    return fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_MULTIMODAL_AUDIO_SQL = """
+WITH wav AS (
+  SELECT doc_id, length(text) % 1000 + 1 AS n, doc_id % 256 AS seed
+  FROM documents WHERE doc_id % 2 = 1
+),
+samples AS (
+  SELECT doc_id, n,
+         abs(((seed * 31 + i * 17) % 65536) - 32768) AS a,
+         i * 16 // n AS w
+  FROM wav, unnest(generate_series(0, n - 1)) AS t(i)
+),
+tot AS (SELECT doc_id, sum(a) AS total FROM samples GROUP BY doc_id),
+wins AS (SELECT doc_id, max(n) AS n, w, sum(a) AS ws, count(*) AS nw
+         FROM samples GROUP BY doc_id, w),
+bits AS (
+  SELECT w.doc_id,
+         sum(CASE WHEN ws * n > total * nw
+                  THEN 1::bigint << (15 - w.w) ELSE 0 END) AS fp
+  FROM wins w JOIN tot USING (doc_id) GROUP BY w.doc_id
+)
+SELECT lower(lpad(to_hex(fp), 4, '0')) AS fingerprint,
+       count(*) AS n_clips, min(doc_id) AS first_doc
+FROM bits GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data assembly: deterministic weighted sampling (data mixing),
 # per-group top-k selection, and quantile (curriculum) bucketing.
@@ -3566,6 +3608,7 @@ QUERIES = {
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
     "multimodal_decode": (multimodal_decode, _MULTIMODAL_DECODE_SQL),
     "multimodal_image_dedup": (multimodal_image_dedup, _MULTIMODAL_AHASH_SQL),
+    "multimodal_audio_dedup": (multimodal_audio_dedup, _MULTIMODAL_AUDIO_SQL),
     "multimodal_frames": (multimodal_frames, _MULTIMODAL_FRAMES_SQL),
     "pretrain_filter": (pretrain_filter, _PRETRAIN_FILTER_SQL),
     "sample_weighted_mix": (sample_weighted_mix, _SAMPLE_MIX_SQL),

@@ -701,3 +701,40 @@ def test_image_ahash_scale_invariant(spark):
     assert got[1] == got[2]
     assert got[1] != got[3]
     assert all(len(h) == 16 and h == h.lower() for h in got.values())
+
+
+def test_audio_fingerprint_contour_semantics(spark):
+    """Planted PCM: a quiet-then-loud clip and its reverse get
+    complementary-shaped fingerprints (the contour discriminates), an
+    exact re-encode collapses to the same fingerprint, and the RIFF
+    walk survives an extra chunk before data. (The synthetic corpus's
+    clips are all the same descending ramp, so the registered query
+    collapses them into one group — this test supplies the shapes the
+    corpus lacks.)"""
+    import struct
+
+    def wav(samples, extra_chunk=False):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = struct.pack("<4sI", b"fmt ", 16) + fmt
+        if extra_chunk:
+            body += struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        body += struct.pack("<4sI", b"data", len(data)) + data
+        return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+    quiet_loud = [10] * 64 + [30000] * 64
+    loud_quiet = [30000] * 64 + [10] * 64
+    df = spark.createDataFrame(
+        [
+            (1, "audio/wav", wav(quiet_loud)),
+            (2, "audio/wav", wav(loud_quiet)),
+            (3, "audio/wav", wav(quiet_loud, extra_chunk=True)),
+            (4, "image/bmp", b"BM"),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {r.doc_id: r.fingerprint for r in M.audio_fingerprint(df).collect()}
+    assert set(got) == {1, 2, 3}  # non-audio dropped
+    assert got[1] == "00ff"  # loud back half above the mean
+    assert got[2] == "ff00"  # the reverse
+    assert got[3] == got[1]  # chunk walk reaches the same PCM
