@@ -288,7 +288,7 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
-AHASH_SCHEMA = "doc_id bigint, ahash string"
+AHASH_SCHEMA = "doc_id bigint, ahash string, hi bigint, lo bigint"
 
 
 def image_ahash(df: DataFrame) -> DataFrame:
@@ -298,15 +298,19 @@ def image_ahash(df: DataFrame) -> DataFrame:
     a luminance per cell, threshold against the image mean (an exact
     comparison: the mean's denominator is 64 = 2^6, so the double is
     exact), and pack the 64 bits into a 16-hex string (bit i = row-major
-    cell y*8+x; bits 0-31 -> the high word, MSB-first). Two images that
-    render alike hash alike regardless of their stored resolution — the
-    image-dedup primitive. Arrow-batched mapInPandas; non-image rows are
-    dropped (hash what can be hashed, route the rest by media_type)."""
+    cell y*8+x; bits 0-31 -> the high word, MSB-first; the two 32-bit
+    words also ride along as bigints for the Hamming-banded near-dup
+    join). Two images that render alike hash alike regardless of their
+    stored resolution — the image-dedup primitive. Arrow-batched
+    mapInPandas; non-image rows are dropped (hash what can be hashed,
+    route the rest by media_type)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids: list[int] = []
             hashes: list[str] = []
+            his: list[int] = []
+            los: list[int] = []
             for did, kind, payload in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
@@ -331,14 +335,83 @@ def image_ahash(df: DataFrame) -> DataFrame:
                             lo |= 1 << (63 - i)
                 ids.append(int(did))
                 hashes.append(f"{hi:08x}{lo:08x}")
+                his.append(hi)
+                los.append(lo)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "ahash": pd.Series(hashes, dtype=object),
+                    "hi": pd.Series(his, dtype="int64"),
+                    "lo": pd.Series(los, dtype="int64"),
                 }
             )
 
     return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
+_AHASH_BANDS = 4
+_AHASH_MAX_HAMMING = 3  # pigeonhole: <= 3 wrong bits -> one clean band
+
+
+def image_near_dup_pairs(hashes: DataFrame) -> DataFrame:
+    """Hamming near-dup pairs over aHash words: band each 64-bit hash
+    into four 16-bit words, equi-join on (band, value) — candidates ∝
+    near-duplicate volume, never images² — and verify
+    popcount(hi⊕hi') + popcount(lo⊕lo') <= 3. With 4 bands the
+    pigeonhole gives GUARANTEED recall at the <= 3 threshold: three
+    wrong bits can dirty at most three bands. The SimHash banding trick
+    (operators/dedup.py) applied to the image modality."""
+    w = hashes.select("doc_id", "hi", "lo")
+    bands = w.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("hi") if i < 2 else F.col("lo"),
+                            16 if i % 2 == 0 else 0,
+                        )
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(_AHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.val")
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    wa = w.select(
+        F.col("doc_id").alias("a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    wb = w.select(
+        F.col("doc_id").alias("b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        cand.join(wa, "a")
+        .join(wb, "b")
+        .select("a", "b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
+    )
 
 
 FP_SCHEMA = "doc_id bigint, fingerprint string"

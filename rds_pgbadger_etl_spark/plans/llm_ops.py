@@ -967,16 +967,44 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-of-two mean), so a hash match proves the REAL byte-level
     decode/resize/hash pipeline computes exactly the declared hash —
     the multimodal analogue of the text dedup family's oracles."""
-    docs = load_table(spark, sf_dir, "documents")
-    hashes = M.image_ahash(M.attach_real_media(rebalance(docs)))
-    return hashes.groupBy("ahash").agg(
+    return _image_hashes_shared(spark, sf_dir).groupBy("ahash").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.min("doc_id").alias("first_doc"),
     )
 
 
-_MULTIMODAL_AHASH_SQL = """
-WITH bmp AS (
+def _image_hashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-image aHash table, staged once per session — the written
+    hash table every image-dedup consumer (exact groups, Hamming
+    near-dups) reads."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "image_ahash",
+        sf_dir,
+        lambda: M.image_ahash(
+            M.attach_real_media(
+                rebalance(load_table(spark, sf_dir, "documents"))
+            )
+        ),
+    )
+
+
+def multimodal_image_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming near-dup pairs over the staged image hashes
+    (operators/multimodal.image_near_dup_pairs: 4x16-bit banding with
+    pigeonhole-guaranteed recall at hamming <= 3, popcount verify on
+    candidates only). Oracle = the closed-form hash words + brute-force
+    Hamming over band-colliding pairs."""
+    return M.image_near_dup_pairs(_image_hashes_shared(spark, sf_dir))
+
+
+# The closed-form hash words (hi, lo per image), shared by the exact
+# group oracle and the Hamming near-dup oracle.
+_AHASH_WORDS_CTES = """bmp AS (
   SELECT doc_id, length(text) % 31 + 1 AS w, length(text) % 17 + 1 AS h,
          doc_id % 256 AS seed
   FROM documents WHERE doc_id % 2 = 0
@@ -997,10 +1025,36 @@ words AS (
                   THEN 1::bigint << (63 - i) ELSE 0 END) AS lo
   FROM lums l JOIN th USING (doc_id)
   GROUP BY l.doc_id
-)
+)"""
+
+_MULTIMODAL_AHASH_SQL = f"""
+WITH {_AHASH_WORDS_CTES}
 SELECT lower(lpad(to_hex(hi), 8, '0') || lpad(to_hex(lo), 8, '0')) AS ahash,
        count(*) AS n_images, min(doc_id) AS first_doc
 FROM words GROUP BY 1
+"""
+
+_MULTIMODAL_NEAR_SQL = f"""
+WITH {_AHASH_WORDS_CTES},
+wbands AS (
+  SELECT doc_id, b.i AS band,
+         CASE b.i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                  WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS val
+  FROM words, range(4) b(i)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM wbands l
+  JOIN wbands r ON l.band = r.band AND l.val = r.val
+               AND l.doc_id < r.doc_id
+)
+SELECT c.a, c.b,
+       cast(bit_count(xor(wa.hi, wb.hi)) + bit_count(xor(wa.lo, wb.lo))
+            AS int) AS hamming
+FROM cand c
+JOIN words wa ON wa.doc_id = c.a
+JOIN words wb ON wb.doc_id = c.b
+WHERE bit_count(xor(wa.hi, wb.hi)) + bit_count(xor(wa.lo, wb.lo)) <= 3
 """
 
 
@@ -3609,6 +3663,10 @@ QUERIES = {
     "multimodal_decode": (multimodal_decode, _MULTIMODAL_DECODE_SQL),
     "multimodal_image_dedup": (multimodal_image_dedup, _MULTIMODAL_AHASH_SQL),
     "multimodal_audio_dedup": (multimodal_audio_dedup, _MULTIMODAL_AUDIO_SQL),
+    "multimodal_image_near_dups": (
+        multimodal_image_near_dups,
+        _MULTIMODAL_NEAR_SQL,
+    ),
     "multimodal_frames": (multimodal_frames, _MULTIMODAL_FRAMES_SQL),
     "pretrain_filter": (pretrain_filter, _PRETRAIN_FILTER_SQL),
     "sample_weighted_mix": (sample_weighted_mix, _SAMPLE_MIX_SQL),

@@ -738,3 +738,39 @@ def test_audio_fingerprint_contour_semantics(spark):
     assert got[1] == "00ff"  # loud back half above the mean
     assert got[2] == "ff00"  # the reverse
     assert got[3] == got[1]  # chunk walk reaches the same PCM
+
+
+def test_image_near_dup_pairs_hamming_banding(spark):
+    """Planted images: B differs from A in exactly one 8x8 cell (hamming
+    1 — within the pigeonhole-guaranteed <= 3 recall window), C is a
+    checkerboard (far from both). The banded join must surface exactly
+    the (A, B) pair with its true Hamming distance."""
+    import struct
+
+    def bmp8(bit_fn):
+        rows = []
+        for y in range(8):
+            row = bytearray()
+            for x in range(8):
+                v = 255 if bit_fn(x, y) else 0
+                row += bytes((v, v, v))
+            rows.append(bytes(row))  # stride 24, no pad
+        img = b"".join(rows)
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, len(img), 2835, 2835, 0, 0
+        )
+        return hdr + info + img
+
+    a = bmp8(lambda x, y: x >= 4)  # right half bright
+    b = bmp8(lambda x, y: x >= 4 or (x, y) == (0, 0))  # one extra cell
+    c = bmp8(lambda x, y: (x + y) % 2 == 0)  # checkerboard
+    df = spark.createDataFrame(
+        [(1, "image/bmp", a), (2, "image/bmp", b), (3, "image/bmp", c)],
+        "doc_id long, media_type string, payload binary",
+    )
+    hashes = M.image_ahash(df)
+    pairs = {(r.a, r.b): r.hamming for r in
+             M.image_near_dup_pairs(hashes).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 1
