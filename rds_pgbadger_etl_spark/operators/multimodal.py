@@ -303,7 +303,16 @@ def image_ahash(df: DataFrame) -> DataFrame:
     join). Two images that render alike hash alike regardless of their
     stored resolution — the image-dedup primitive. Arrow-batched
     mapInPandas; non-image rows are dropped (hash what can be hashed,
-    route the rest by media_type)."""
+    route the rest by media_type).
+
+    Deployment sizing (measured, tools/multimodal_rehearsal.py): Arrow
+    batches are ROW-capped (spark.sql.execution.arrow.maxRecordsPerBatch,
+    default 10000), so large payloads make multi-GB pandas batches and
+    the pass collapses into GC — at ~200 KB/image, cap rows so batches
+    stay ~tens of MB, and shrink spark.sql.files.maxPartitionBytes so
+    scan splits track the DECODED volume (media parquet compresses
+    ~12x). With both set the pass is map-only linear (9.2 GB decoded in
+    16 s on local[32])."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

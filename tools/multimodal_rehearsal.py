@@ -1,0 +1,225 @@
+"""Multimodal-family scale rehearsal (round 8): image dedup at GB scale.
+
+The text dedup, ANN, stream, parse, dedup-store and composed-pipeline
+families all carry GB-scale rehearsals; this one gives the image-dedup
+path (operators/multimodal.image_ahash → image_near_dup_pairs) the same
+treatment: a generated corpus of REAL 256x256 24-bpp BMP payloads
+(~197 KB each) with a CONTROLLED duplicate structure, hashed and
+near-dup-joined by the production operators, at 1x/2x/4x corpus.
+
+Corpus: families of ``FAMILY`` consecutive ids. Every image is the
+reference gradient plus a per-aHash-cell random brightness offset drawn
+from a per-image RNG stream — 64 effectively-random hash bits, so
+non-family images are unique with probability ~1 (the reference
+encoder's bare gradient has only 256 distinct base images — seed enters
+mod 256 — which a first cut of this rehearsal measured as tens of
+thousands of accidental exact-dup pairs; uniqueness has to be painted
+in). The family head draws its cells from the FAMILY seed; ids
+j = 1..DUPS are NEAR-DUPS of the head — same pixels with ONE 32x32
+cell (aHash cell j) painted white — so hamming(head, variant) is 0-1
+plus whatever borderline cells the mean shift flips, and
+hamming(variant_i, variant_j) ~ 2. Planted pairs: C(DUPS+1, 2) per
+family; the joined recall against that closed form is REPORTED and
+should hold constant across scales (the mean-shift flips are
+scale-free), while candidates and wall time scale with duplicate
+volume, never images².
+
+The generator is numpy-vectorized (the operator's struct-based encoder
+is the readable reference; building 10⁵ x 65k-pixel images through it
+would measure Python, not the engine); header layout is asserted
+byte-identical to the reference encoder per run.
+
+Usage:  python tools/multimodal_rehearsal.py [n_images]
+One JSON line to stdout; corpus parquet under $REHEARSAL_DIR
+(default /tmp/mm_rehearsal), reused if present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.parse_rehearsal import stage_metrics  # noqa: E402
+
+BASE = os.environ.get("REHEARSAL_DIR", "/tmp/mm_rehearsal")
+FAMILY = 100
+DUPS = 9  # near-dup variants per family head
+W = H = 256  # 8x8 aHash cells of 32x32 pixels each
+
+
+def _np_bmp(seed: int, paint_cell: int | None) -> bytes:
+    """Numpy image builder, same container layout as
+    operators/multimodal._bmp_encode (24-bpp, stride = W*3, no pad at
+    W=256): the reference gradient plus a per-cell brightness offset
+    from RandomState(seed) — 64 effectively-random hash bits per seed —
+    with an optional 32x32 aHash cell painted white."""
+    x = np.arange(W, dtype=np.int64)
+    y = np.arange(H, dtype=np.int64)
+    offs = np.random.RandomState(seed).randint(0, 256, (8, 8))
+    cell = np.kron(offs, np.ones((32, 32), dtype=np.int64))
+    v = (x[None, :] * 7 + y[:, None] * 13 + cell) % 256
+    px = np.stack(((v) % 256, (v * 3) % 256, (v * 5) % 256), axis=-1).astype(
+        np.uint8
+    )
+    if paint_cell is not None:
+        cy, cx = divmod(paint_cell, 8)
+        px[cy * 32 : (cy + 1) * 32, cx * 32 : (cx + 1) * 32, :] = 255
+    img = px.tobytes()
+    off = 54
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(img), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return hdr + info + img
+
+
+def generate_corpus(spark, path: str, n_images: int) -> None:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def batches(it):
+        for pdf in it:
+            ids, kinds, payloads = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                fam = (i // FAMILY) * FAMILY
+                j = i % FAMILY
+                if 1 <= j <= DUPS:
+                    b = _np_bmp(fam, paint_cell=j)
+                else:
+                    b = _np_bmp(i, None)
+                ids.append(i)
+                kinds.append("image/bmp")
+                payloads.append(b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": kinds,
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    (
+        spark.range(n_images)
+        .repartition(64)
+        .mapInPandas(
+            batches, "doc_id bigint, media_type string, payload binary"
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def main() -> None:
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 12_500
+    corpus = f"{BASE}/imgs_{n_images}"
+    evdir = f"{BASE}/eventlog_{n_images}"
+    import shutil
+
+    shutil.rmtree(evdir, ignore_errors=True)
+    os.makedirs(evdir, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.operators.multimodal import (
+        _bmp_encode,
+        image_ahash,
+        image_near_dup_pairs,
+    )
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    # same container layout as the reference encoder (pixels differ by
+    # design: the rehearsal paints in per-cell uniqueness)
+    assert _np_bmp(7, None)[:54] == _bmp_encode(W, H, 7)[:54], "header drift"
+
+    spark = get_spark(
+        app_name="mm-rehearsal",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+            # Binary-payload UDF sizing — the rehearsal's own first
+            # scale lesson: Arrow batches are ROW-capped (default
+            # 10000), so 197 KB payloads make ~2 GB pandas batches and
+            # the hash pass collapses into GC (measured 1560 -> 365
+            # images/s from 1x to 2x). Cap batch BYTES via rows
+            # (128 x 197 KB ~ 25 MB) and shrink scan splits so the
+            # snappy-compressed parquet (~12x) yields tasks sized to
+            # the DECODED volume, not the on-disk bytes.
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "128",
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
+    )
+
+    t_gen = 0.0
+    if not os.path.isdir(corpus):
+        t0 = time.perf_counter()
+        generate_corpus(spark, corpus, n_images)
+        t_gen = time.perf_counter() - t0
+    input_bytes = sum(
+        os.path.getsize(os.path.join(corpus, f))
+        for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )
+    media = spark.read.parquet(corpus)
+
+    # --- stage 1: the map-only hash pass (decode -> resample -> aHash)
+    t0 = time.perf_counter()
+    hashes = image_ahash(media).persist()
+    n_hashes = hashes.count()
+    t_hash = time.perf_counter() - t0
+
+    # --- stage 2: banded Hamming near-dup join over the hash table
+    t0 = time.perf_counter()
+    pairs = image_near_dup_pairs(hashes).persist()
+    n_pairs = pairs.count()
+    by_h = {
+        int(r.hamming): int(r.n)
+        for r in pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t_join = time.perf_counter() - t0
+
+    fam = n_images // FAMILY
+    expected = fam * (DUPS + 1) * DUPS // 2  # C(DUPS+1, 2) per family
+    stages = stage_metrics(evdir)
+    print(
+        json.dumps(
+            {
+                "n_images": n_images,
+                "input_gb": round(input_bytes / 2**30, 2),
+                # parquet+snappy compresses the synthetic pattern ~12x;
+                # the hash pass decodes the full payload regardless
+                "decoded_gb": round(n_images * (54 + W * H * 3) / 2**30, 2),
+                "gen_s": round(t_gen, 1),
+                "hash_s": round(t_hash, 1),
+                "images_per_s": round(n_hashes / t_hash, 0),
+                "join_s": round(t_join, 1),
+                "near_pairs": n_pairs,
+                "expected_pairs": expected,
+                "recall_vs_planted": round(n_pairs / expected, 4),
+                "pairs_by_hamming": by_h,
+                "shuffle_write_mb": round(
+                    sum(s.get("shuffle_write_mb", 0) for s in stages), 1
+                ),
+                "spill_mb": round(
+                    sum(s.get("spill_mb", 0) for s in stages), 1
+                ),
+            }
+        )
+    )
+    pairs.unpersist()
+    hashes.unpersist()
+
+
+if __name__ == "__main__":
+    main()
