@@ -3501,6 +3501,97 @@ def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the same (symmetrized) kNN graph:
+# the clustering companion to PageRank's centrality — dense embedding
+# neighborhoods (near-dup families, topical clusters) converge onto one
+# label, which a curation pipeline uses for community-balanced sampling.
+# Synchronous LPA with a DETERMINISTIC update (max vote count, ties to
+# the smallest label) and a fixed iteration count so the oracle unrolls
+# the identical recurrence; a node with no neighbors keeps its label
+# (coalesce), identically in both engines. Each iteration is one
+# shuffle (votes grouped by destination) + one window over the
+# per-node vote lists — label tables stay (id, id) metadata-thin.
+
+_LPA_ITERS = 2
+
+
+def embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        flag_against_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = shared_df(
+        spark,
+        "knn_edges_full",
+        sf_dir,
+        lambda: flag_against_index(
+            spark, emb, _ann_index_shared(spark, sf_dir), k=_KNN_JOIN_K
+        ).select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ),
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = emb.select("vec_id")
+    labels = nodes.select("vec_id", F.col("vec_id").alias("label"))
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), "label")
+    for _ in range(_LPA_ITERS):
+        votes = (
+            sym.join(labels, sym.src == labels.vec_id)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        win = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst"), F.col("label").alias("new_label"))
+        )
+        labels = labels.join(
+            win, labels.vec_id == win.dst, "left"
+        ).select(
+            "vec_id",
+            F.coalesce("new_label", "label").alias("label"),
+        )
+    return labels
+
+
+def _lpa_iter_sql(i: int) -> str:
+    return f"""v{i} AS (
+  SELECT e.dst AS v, l.label, count(*) AS c
+  FROM sym e JOIN l{i - 1} l ON l.vec_id = e.src
+  GROUP BY e.dst, l.label
+),
+w{i} AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v
+                              ORDER BY c DESC, label) AS rn
+    FROM v{i}) WHERE rn = 1
+),
+l{i} AS (
+  SELECT p.vec_id, coalesce(w.label, p.label) AS label
+  FROM l{i - 1} p LEFT JOIN w{i} w ON w.v = p.vec_id
+)"""
+
+
+_LPA_SQL = f"""
+WITH {_knn_graph_ctes('')},
+edges AS (SELECT q_id AS src, neighbor_id AS dst FROM knn),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+l0 AS (SELECT vec_id, vec_id AS label FROM e),
+{",".join(_lpa_iter_sql(i) for i in range(1, _LPA_ITERS + 1))}
+SELECT vec_id, label FROM l{_LPA_ITERS}
+"""
+
+
 def _pr_iter_sql(i: int) -> str:
     return f"""r{i} AS (
   SELECT n.vec_id,
@@ -3717,6 +3808,7 @@ QUERIES = {
     "ann_index_stats": (ann_index_stats, None),
     "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_SQL),
     "embedding_pagerank": (embedding_pagerank, _PAGERANK_SQL),
+    "embedding_communities": (embedding_communities, _LPA_SQL),
     "curation_funnel": (curation_funnel, _CURATION_FUNNEL_SQL),
     "embed_documents_batch": (embed_documents_batch, _EMBED_DOCS_SQL),
     "semantic_dedup": (semantic_dedup, _SEMDEDUP_SQL),

@@ -774,3 +774,24 @@ def test_image_near_dup_pairs_hamming_banding(spark):
              M.image_near_dup_pairs(hashes).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == 1
+
+
+def test_embedding_communities_assignment(spark, sf_oracle):
+    """LPA invariants: one label per vector, every label is itself a
+    vector id (labels only ever propagate from nodes), and the kNN
+    graph actually collapses neighborhoods (fewer communities than
+    nodes, largest community > 1)."""
+    from rds_pgbadger_etl_spark.plans.llm_ops import embedding_communities
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count()
+    rows = embedding_communities(spark, sf_oracle).collect()
+    assert len(rows) == n
+    ids = {r.vec_id for r in rows}
+    labels = [r.label for r in rows]
+    assert set(labels) <= ids
+    from collections import Counter
+
+    counts = Counter(labels)
+    assert len(counts) < n
+    assert max(counts.values()) > 1
