@@ -14,9 +14,62 @@ One place to pin the engine-wide execution settings:
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import SparkSession
+
+# Input bytes (on-disk, compressed) per shuffle partition for the
+# volume-tracking rule below. Text parquet decompresses ~4x, so 32 MB
+# of input is ~128 MB of in-flight rows per task — the classic
+# partition-sizing target. Measured basis: the 4x pipeline rehearsal
+# (3.66 GB corpus) spilled 356 MB at the fixed local default of 32
+# partitions (~73 MB/task on the verify join) and went to zero spill at
+# 96; this rule gives it 115 (BENCH_NOTES "pipeline rehearsal").
+SHUFFLE_INPUT_BYTES_PER_PARTITION = 32 * 1024 * 1024
+
+
+def auto_shuffle_partitions(input_bytes: int, cores: int | None = None) -> int:
+    """Shuffle-partition count tracking input volume — the same shape as
+    ann_index.auto_n_centroids (one rule, no per-run knob): one
+    partition per ~SHUFFLE_INPUT_BYTES_PER_PARTITION of input, floored
+    at the core count so small inputs still use the whole machine. AQE
+    coalesces downward at runtime when a stage's real shuffle is
+    smaller, so the number is a spill ceiling, not a latency tax."""
+    cores = cores or os.cpu_count() or 8
+    return int(max(cores, math.ceil(input_bytes / SHUFFLE_INPUT_BYTES_PER_PARTITION)))
+
+
+def path_bytes(spark: SparkSession, *paths: str) -> int:
+    """Total on-disk bytes under ``paths`` via the Hadoop FileSystem API
+    — works on any Spark-reachable FS (local, HDFS, S3A), so the sizing
+    rule uses the same listing a cluster deployment would."""
+    total = 0
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for p in paths:
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(conf)
+        total += fs.getContentSummary(hpath).getLength()
+    return total
+
+
+def size_shuffle_partitions(
+    spark: SparkSession, *paths: str, input_bytes: int | None = None
+) -> int:
+    """Apply :func:`auto_shuffle_partitions` to the live session from
+    the actual input volume (``paths`` are listed via the Hadoop FS;
+    pass ``input_bytes`` directly when already known).
+    ``spark.sql.shuffle.partitions`` is a runtime SQL conf, so entry
+    points call this AFTER discovering their inputs and every
+    subsequent exchange in the session is sized to the data."""
+    if input_bytes is None:
+        input_bytes = path_bytes(spark, *paths)
+    n = auto_shuffle_partitions(
+        input_bytes, cores=spark.sparkContext.defaultParallelism
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
 
 
 def get_spark(

@@ -135,13 +135,8 @@ def main() -> None:
     )
     from rds_pgbadger_etl_spark.session import get_spark
 
-    # the one scale knob: shuffle partitions track input volume on a
-    # real cluster; the fixed local-core default (32) carries ~73 MB of
-    # verify shuffle per task at the 4x corpus and starts to spill
-    sp = os.environ.get("REHEARSAL_SHUFFLE_PARTITIONS")
     spark = get_spark(
         app_name="pipeline-rehearsal",
-        shuffle_partitions=int(sp) if sp else None,
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{evdir}",
@@ -161,6 +156,12 @@ def main() -> None:
         for f in os.listdir(corpus)
         if f.endswith(".parquet")
     )
+    # shuffle partitions track input volume (session.py rule — the r8
+    # residual caveat's hand-set REHEARSAL_SHUFFLE_PARTITIONS knob,
+    # now the engine's own sizing pass)
+    from rds_pgbadger_etl_spark.session import size_shuffle_partitions
+
+    n_shuffle = size_shuffle_partitions(spark, input_bytes=input_bytes)
     docs = spark.read.parquet(corpus)
 
     # --- stage 1: near-dup pair table (the dedup-rehearsal path) ------
@@ -224,6 +225,7 @@ def main() -> None:
             {
                 "n_docs": n_docs,
                 "input_gb": round(input_bytes / 2**30, 2),
+                "shuffle_partitions": n_shuffle,
                 "bench_max": bench_max,
                 "n_families": fam,
                 "gen_s": round(t_gen, 1),
