@@ -706,21 +706,41 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{root}/{d}" for d in ("src", "store", "exact", "ckpt", "out")
         )
         try:
+            # All three thirds land as ONE data file each with strictly
+            # increasing mtimes, and a SINGLE availableNow run drains
+            # them as three micro-batches via maxFilesPerTrigger=1 —
+            # identical batch contents and store mutation order to the
+            # r8 three-run formulation (the file source admits files in
+            # (modificationTime, path) order), at one stream startup +
+            # one checkpoint instead of three: the ~55 s cold build the
+            # r8 verdict flagged drops to roughly a third.
+            import glob
+            import os
+            import time
+
+            t0 = time.time()
+            stamped: set[str] = set()
             for b in range(3):
                 lo, hi = b * n // 3, (b + 1) * n // 3
                 docs.filter(
                     (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-                ).write.mode("append").parquet(src)
-                run_incremental_curation(
-                    spark.readStream.schema(docs.schema).parquet(src),
-                    store,
-                    exact,
-                    ckpt,
-                    out,
-                    bench_grams,
-                    _BENCH_MAX_ID,
-                    threshold=0.5,
-                )
+                ).coalesce(1).write.mode("append").parquet(src)
+                for f in glob.glob(f"{src}/part-*"):
+                    if f not in stamped:
+                        os.utime(f, (t0 + 60 * b, t0 + 60 * b))
+                        stamped.add(f)
+            run_incremental_curation(
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                store,
+                exact,
+                ckpt,
+                out,
+                bench_grams,
+                _BENCH_MAX_ID,
+                threshold=0.5,
+            )
             res = spark.read.parquet(out).select(
                 "batch_id", "stage", "n_docs", "n_tokens"
             )

@@ -180,9 +180,29 @@ def curate_batch(
             .localCheckpoint(eager=True)
         )
 
-        # accept: mutate state AFTER the flags are pinned
-        _exact_store_append(b2.filter(F.col("pass2")).select("h"), exact_dir)
-        _write(prof, bands, store_dir, "doc_id", "append")
+        # accept: mutate state AFTER the flags are pinned — and AFTER
+        # every append INPUT has its lineage truncated. Writing a
+        # parquet path makes Spark invalidate-and-recompute every
+        # cached plan that reads that path (CacheManager.recacheByPath)
+        # — and `accepted`/`prof`/`bands` all read the exact store
+        # through b2's `seen` join, so with raw lineage the FIRST append
+        # re-evaluated them against the just-mutated store, pass2
+        # collapsed to false, and batches >= 1 appended NOTHING to the
+        # near-dup store (caught at sf0.1: every cross-batch near-dup
+        # whose original arrived after batch 0 went unflagged; sf0.01
+        # has no such pairs, so the oracle gate couldn't see it).
+        # localCheckpoint cuts the path dependence; the explicit
+        # unpersist of the store-reading caches before the writes also
+        # saves recacheByPath's eager rebuild of caches we're done with.
+        acc_h = (
+            b2.filter(F.col("pass2")).select("h").localCheckpoint(eager=True)
+        )
+        prof_ck = prof.localCheckpoint(eager=True)
+        bands_ck = bands.localCheckpoint(eager=True)
+        for df in pinned:
+            df.unpersist()
+        _exact_store_append(acc_h, exact_dir)
+        _write(prof_ck, bands_ck, store_dir, "doc_id", "append")
         return flags
     finally:
         for df in pinned:

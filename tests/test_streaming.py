@@ -496,6 +496,24 @@ def test_incremental_curation_funnel_semantics(spark, tmp_path):
     ).write.mode("append").parquet(src)
     run()
 
+    # batch 2: near-dups of docs accepted in batch 1 (NOT batch 0) —
+    # the regression pin for the recacheByPath lineage bug: appending
+    # the exact store invalidated every cached plan reading it, the
+    # append inputs re-evaluated to empty, and batches >= 1 never
+    # appended to the near-dup store, so exactly this case (dup of a
+    # batch-1 original) went unflagged. Also an exact copy of a
+    # batch-1 doc (hash store must have batch 1's hashes too).
+    spark.createDataFrame(
+        [
+            (50, novel2 + "coda", "en"),  # near-dup of 44 (batch 1)
+            (51, novel2, "en"),  # exact copy of 44 (batch 1)
+            (52, "completely unrelated prose of the third wave " * 5,
+             "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.mode("append").parquet(src)
+    run()
+
     rows = {
         (r.batch_id, r.stage): (r.n_docs, r.n_tokens)
         for r in spark.read.parquet(out).collect()
@@ -509,3 +527,7 @@ def test_incremental_curation_funnel_semantics(spark, tmp_path):
     assert rows[(1, "3_near_dedup")][0] == 4  # near-dup of 30 dies;
     # the in-batch pair (44, 45) both survive — store probed pre-append
     assert rows[(1, "4_decontaminated")][0] == 3  # planted gram dies
+    assert rows[(2, "0_raw")][0] == 3
+    assert rows[(2, "2_exact_dedup")][0] == 2  # exact copy of 44 dies
+    assert rows[(2, "3_near_dedup")][0] == 1  # near-dup of 44 dies
+    assert rows[(2, "4_decontaminated")][0] == 1
