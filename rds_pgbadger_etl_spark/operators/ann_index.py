@@ -35,6 +35,7 @@ hash-match the in-session ann_*_topk oracles exactly.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -47,6 +48,12 @@ Query = tuple[int, list[float]]
 
 AUTO_CELL_ROWS = 65_536  # target IVF cell volume for auto sizing
 AUTO_MAX_CELLS = 4_096
+
+# Two-level IVF defaults for the registered benchmark queries (tiny
+# fixture corpora; production shapes come from auto_quantizer_shape).
+N_GROUPS_2L = 4
+N_CELLS_2L = 16
+N_PROBE_GROUPS = 2
 
 
 def auto_n_centroids(n_vecs: int, n_probe: int = S.N_PROBE) -> int:
@@ -76,6 +83,38 @@ def auto_n_centroids(n_vecs: int, n_probe: int = S.N_PROBE) -> int:
     cells = n_vecs / AUTO_CELL_ROWS
     pow2 = 2 ** round(math.log2(cells)) if cells >= 1 else 1
     return int(min(AUTO_MAX_CELLS, max(S.N_CENTROIDS, pow2)))
+
+
+def auto_quantizer_shape(n_vecs: int) -> tuple[int, int]:
+    """Quantizer shape past the AUTO_MAX_CELLS wall: ``(n_groups,
+    n_cells)``; ``n_groups == 1`` means single-level (use
+    :func:`build_ann_index` with :func:`auto_n_centroids`).
+
+    Single-level IVF holds cell volume at ~AUTO_CELL_ROWS up to
+    AUTO_MAX_CELLS cells (~270M vectors); past the cap cells fatten
+    linearly and per-probe scan cost grows with the corpus again. The
+    two-level quantizer (coarse groups over fine cells — IMI/two-level
+    IVF) removes the cap: total fine cells keep following the
+    constant-volume rule UNCAPPED, and the cells are sharded into
+    ~sqrt(n_cells) coarse groups so no single quantizer level exceeds
+    ~sqrt of the uncapped count. Probe cost per query is then
+    ``n_groups + n_probe_groups * n_cells / n_groups`` centroid cosines
+    instead of ``n_cells`` — the driver/assignment-side wall that
+    motivated the cap. Both levels stay power-of-two for stability
+    across nearby corpus sizes; the scheme covers AUTO_MAX_CELLS**2
+    fine cells (~1.1e12 rows) before either level would itself need
+    sharding again.
+    """
+    import math
+
+    cells = n_vecs / AUTO_CELL_ROWS
+    pow2 = 2 ** round(math.log2(cells)) if cells >= 1 else 1
+    n_cells = int(max(S.N_CENTROIDS, pow2))
+    if n_cells <= AUTO_MAX_CELLS:
+        return 1, n_cells
+    n_cells = min(n_cells, AUTO_MAX_CELLS**2)
+    n_groups = 2 ** round(math.log2(math.sqrt(n_cells)))
+    return int(n_groups), n_cells
 
 
 def build_ann_index(
@@ -563,3 +602,262 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     physical file layout is Spark-side state with no SQL-expressible
     DuckDB twin."""
     return M.index_stats(spark, index_dir, _PARTITIONED_TABLES)
+
+
+# --------------------------------------------------------------------------
+# Two-level IVF (IMI-style quantizer shard) — the layout past the
+# AUTO_MAX_CELLS wall that auto_n_centroids' docstring defers to.
+#
+# Layout (all under ``index_dir``; disjoint from the single-level tables,
+# so the two schemes can't be confused for one another):
+#
+# - ``coarse/``  (group, g_emb) — the LIVE coarse groups (groups that own
+#   at least one fine cell), tiny.
+# - ``fine/``    (cell, c_emb) **partitioned by group** — the fine
+#   centroids, sharded by their nearest coarse group. A reader fetches
+#   only the probed groups' shards: probe-side cost is
+#   n_groups + n_probe_groups * (n_cells / n_groups) centroid cosines,
+#   never n_cells.
+# - ``raw/``     (vec_id, embedding) **partitioned by (group, cell)** —
+#   the corpus under the COMPOSED assignment (nearest live group, then
+#   nearest fine cell within it). Search prunes on group at the top
+#   directory level and cell below it.
+#
+# Assignment, probe selection, and scoring all use the same rounded-6
+# cosine + (sim desc, id asc) tie-break as the single-level family, so
+# the DuckDB twin (_ANN_2LEVEL_SQL in plans/llm_ops.py) reproduces every
+# step bit-identically.
+
+
+def _group_of_cells(c_mat: np.ndarray, g_mat: np.ndarray) -> np.ndarray:
+    """cell -> nearest coarse group (rounded cosine, ties to lower
+    group id) — the gmap that shards the fine quantizer. Driver-side:
+    n_cells x n_groups cosines over the two metadata-sized quantizer
+    matrices (33 MB of centroids at the 65k-cell shape; past ~1M cells
+    this pass itself would distribute, which is beyond the
+    AUTO_MAX_CELLS**2 coverage documented on auto_quantizer_shape)."""
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+    g_norm = np.sqrt(np.einsum("ij,ij->i", g_mat, g_mat))
+    sims = np.round((c_mat @ g_mat.T) / (c_norm[:, None] * g_norm[None, :]), 6)
+    return np.argmax(sims, axis=1).astype("int64")
+
+
+def nearest_cell_2level_udf(
+    g_ids: np.ndarray,
+    g_mat: np.ndarray,
+    fine_by_group: dict[int, tuple[np.ndarray, np.ndarray]],
+):
+    """Pandas UDF for the composed two-level assignment: nearest LIVE
+    coarse group, then nearest fine cell within that group — returns the
+    fine ``cell`` id (the group is a function of the cell via the gmap;
+    the build re-attaches it with a broadcast join against the
+    metadata-sized fine table). Each vector's fine argmax touches only
+    its group's ~n_cells/n_groups centroids (the two-level build win:
+    corpus x (G + C/G) cosines, not corpus x C). Same rounded-6 /
+    first-maximum conventions as nearest_cell_udf."""
+    g = g_mat.astype(np.float64)
+    g_norm = np.sqrt(np.einsum("ij,ij->i", g, g))
+    groups = [
+        (int(gid), ids, m.astype(np.float64), np.sqrt(np.einsum("ij,ij->i", m, m)))
+        for gid, (ids, m) in sorted(fine_by_group.items())
+    ]
+    assert [gid for gid, *_ in groups] == [int(x) for x in g_ids]
+
+    @F.pandas_udf(T.LongType())
+    def nearest(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        x_norm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        gsims = np.round((x @ g.T) / (x_norm[:, None] * g_norm[None, :]), 6)
+        gsel = np.argmax(gsims, axis=1)  # index into the LIVE group list
+        out_c = np.empty(len(x), dtype="int64")
+        for pos, (_gid, cell_ids, m, m_norm) in enumerate(groups):
+            mask = gsel == pos
+            if not mask.any():
+                continue
+            xs = x[mask]
+            sims = np.round(
+                (xs @ m.T) / (x_norm[mask][:, None] * m_norm[None, :]), 6
+            )
+            out_c[mask] = cell_ids[np.argmax(sims, axis=1)]
+        return pd.Series(out_c)
+
+    return nearest
+
+
+def build_ann_index_2level(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_groups: int | None = N_GROUPS_2L,
+    n_cells: int | None = N_CELLS_2L,
+) -> None:
+    """Build the sharded-quantizer index: coarse groups over fine cells.
+
+    Quantizers are deterministic prefixes of the corpus (coarse = first
+    ``n_groups`` vectors, fine = first ``n_cells``), the same
+    oracle-reproducible convention as ivf_cells; a production build
+    refines them with kmeans exactly as build_ann_index's
+    ``refine_iters`` does — the layout and readers never care what
+    produced the centroid tables. ``n_groups=None`` sizes both levels
+    with :func:`auto_quantizer_shape` (one count job); shapes the rule
+    maps to single-level still build fine here (n_groups=1 is just one
+    coarse shard). Corpus assignment is ONE map-only pass
+    (nearest_cell_2level_udf — no join, no shuffle; the only exchange is
+    the partitionBy write)."""
+    if n_groups is None or n_cells is None:
+        auto_g, auto_c = auto_quantizer_shape(emb.count())
+        n_groups = auto_g if n_groups is None else n_groups
+        n_cells = auto_c if n_cells is None else n_cells
+    _COARSE.pop(index_dir, None)
+
+    cent_rows = (
+        emb.filter(F.col("vec_id") < max(n_groups, n_cells))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r.vec_id)
+    mat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    g_mat_all = mat[:n_groups]
+    c_mat = mat[:n_cells]
+    gmap = _group_of_cells(c_mat, g_mat_all)
+    live = sorted({int(g) for g in gmap})
+
+    coarse_df = spark.createDataFrame(
+        [(g, [float(x) for x in g_mat_all[g]]) for g in live],
+        T.StructType(
+            [
+                T.StructField("group", T.LongType()),
+                T.StructField("g_emb", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    coarse_df.coalesce(1).write.mode("overwrite").parquet(
+        M.table_path(index_dir, "coarse")
+    )
+    fine_df = spark.createDataFrame(
+        [
+            (int(c), int(gmap[c]), [float(x) for x in c_mat[c]])
+            for c in range(n_cells)
+        ],
+        T.StructType(
+            [
+                T.StructField("cell", T.LongType()),
+                T.StructField("group", T.LongType()),
+                T.StructField("c_emb", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    (
+        fine_df.repartition("group")
+        .write.mode("overwrite")
+        .partitionBy("group")
+        .parquet(M.table_path(index_dir, "fine"))
+    )
+
+    fine_by_group: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for g in live:
+        ids = np.nonzero(gmap == g)[0].astype("int64")
+        fine_by_group[g] = (ids, c_mat[ids])
+    g_live_mat = g_mat_all[np.array(live)]
+    nearest = nearest_cell_2level_udf(
+        np.array(live, dtype="int64"), g_live_mat, fine_by_group
+    )
+    gmap_df = spark.createDataFrame(
+        [(int(c), int(gmap[c])) for c in range(n_cells)], "cell long, group long"
+    )
+    (
+        emb.select("vec_id", "embedding", nearest(F.col("embedding")).alias("cell"))
+        .join(F.broadcast(gmap_df), "cell")
+        .select("vec_id", "embedding", "group", "cell")
+        .repartition("group", "cell")
+        .write.mode("overwrite")
+        .partitionBy("group", "cell")
+        .parquet(M.table_path(index_dir, "raw"))
+    )
+
+
+_COARSE: dict[str, tuple] = {}
+
+
+def _read_coarse(spark: SparkSession, index_dir: str):
+    cached = _COARSE.get(index_dir)
+    if cached is not None:
+        return cached
+    rows = spark.read.parquet(M.table_path(index_dir, "coarse")).collect()
+    rows.sort(key=lambda r: r.group)
+    groups = [int(r.group) for r in rows]
+    mat = np.array([r.g_emb for r in rows], dtype=np.float64)
+    _COARSE[index_dir] = (groups, mat)
+    return groups, mat
+
+
+def ann_index_2level_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    n_probe_groups: int = N_PROBE_GROUPS,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """Two-level IVF search from the artifact: coarse-probe the live
+    groups (driver, n_groups cosines), fetch ONLY the probed groups'
+    fine-centroid shards (partition-pruned ``fine/`` read), rank each
+    query's candidate cells within its own probed groups, then exact
+    cosine inside the probed (group, cell) raw partitions. Output
+    contract matches similarity.ivf_topk: (q_id, vec_id, sim, rank).
+    Per query the quantizer work is n_groups + n_probe_groups *
+    n_cells/n_groups cosines — never n_cells — which is what lets the
+    cell count keep the constant-volume rule uncapped."""
+    groups, g_mat = _read_coarse(spark, index_dir)
+    q_groups: dict[int, list[int]] = {}
+    for q_id, vec in queries:
+        sims = _rounded_cosines(np.asarray(vec, dtype=np.float64), g_mat)
+        ranked = sorted(zip(groups, sims), key=lambda gs: (-gs[1], gs[0]))
+        q_groups[q_id] = [g for g, _ in ranked[:n_probe_groups]]
+    probed_groups = sorted({g for gs in q_groups.values() for g in gs})
+
+    fine = (
+        spark.read.parquet(M.table_path(index_dir, "fine"))
+        .where(F.col("group").isin(probed_groups))
+        .collect()
+    )
+    by_group: dict[int, list] = {}
+    for r in fine:
+        by_group.setdefault(int(r.group), []).append(r)
+    probes = []  # (q_id, group, cell)
+    for q_id, vec in queries:
+        cand = [r for g in q_groups[q_id] for r in by_group.get(g, [])]
+        if not cand:
+            continue
+        mat = np.array([r.c_emb for r in cand], dtype=np.float64)
+        sims = _rounded_cosines(np.asarray(vec, dtype=np.float64), mat)
+        ranked = sorted(
+            zip((int(r.group) for r in cand), (int(r.cell) for r in cand), sims),
+            key=lambda gcs: (-gcs[2], gcs[1]),
+        )
+        probes.extend((q_id, g, c) for g, c, _ in ranked[:n_probe])
+
+    probes_df = spark.createDataFrame(probes, "q_id long, group long, cell long")
+    cells = sorted({c for _, _, c in probes})
+    raw = (
+        spark.read.parquet(M.table_path(index_dir, "raw"))
+        .where(
+            F.col("group").isin(sorted({g for _, g, _ in probes}))
+            & F.col("cell").isin(cells)
+        )
+    )
+    scored = (
+        raw.join(F.broadcast(probes_df), ["group", "cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(_queries_df(spark, queries)), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    return S.topk_per_key(
+        scored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )

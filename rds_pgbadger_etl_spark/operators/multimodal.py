@@ -291,6 +291,32 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
 AHASH_SCHEMA = "doc_id bigint, ahash string, hi bigint, lo bigint"
 
 
+def _ahash_words_from_bmp(b: bytes) -> tuple[int, int]:
+    """(hi, lo) aHash words of one BMP payload: 8x8 nearest-neighbor
+    resample, per-cell channel-sum luminance, threshold against the
+    exact /64 mean, bits packed row-major MSB-first (the image_ahash
+    convention — factored out so the video frame-hash path computes the
+    IDENTICAL hash per frame)."""
+    small = _bmp_resize(b, 8, 8)
+    px = small[54:]  # 8x8x24bpp: stride 24, zero pad
+    lums = [
+        px[y * 24 + x * 3]
+        + px[y * 24 + x * 3 + 1]
+        + px[y * 24 + x * 3 + 2]
+        for y in range(8)
+        for x in range(8)
+    ]
+    mean = sum(lums) / 64
+    hi = lo = 0
+    for i, lum in enumerate(lums):
+        if lum > mean:
+            if i < 32:
+                hi |= 1 << (31 - i)
+            else:
+                lo |= 1 << (63 - i)
+    return hi, lo
+
+
 def image_ahash(df: DataFrame) -> DataFrame:
     """Perceptual average-hash over the REAL image payloads: decode the
     BMP, nearest-neighbor resample to 8x8 (the same ``_bmp_resize``
@@ -325,23 +351,7 @@ def image_ahash(df: DataFrame) -> DataFrame:
             ):
                 if kind != "image/bmp":
                     continue
-                small = _bmp_resize(bytes(payload), 8, 8)
-                px = small[54:]  # 8x8x24bpp: stride 24, zero pad
-                lums = [
-                    px[y * 24 + x * 3]
-                    + px[y * 24 + x * 3 + 1]
-                    + px[y * 24 + x * 3 + 2]
-                    for y in range(8)
-                    for x in range(8)
-                ]
-                mean = sum(lums) / 64
-                hi = lo = 0
-                for i, lum in enumerate(lums):
-                    if lum > mean:
-                        if i < 32:
-                            hi |= 1 << (31 - i)
-                        else:
-                            lo |= 1 << (63 - i)
+                hi, lo = _ahash_words_from_bmp(bytes(payload))
                 ids.append(int(did))
                 hashes.append(f"{hi:08x}{lo:08x}")
                 his.append(hi)
@@ -370,7 +380,20 @@ def image_near_dup_pairs(hashes: DataFrame) -> DataFrame:
     pigeonhole gives GUARANTEED recall at the <= 3 threshold: three
     wrong bits can dirty at most three bands. The SimHash banding trick
     (operators/dedup.py) applied to the image modality."""
-    w = hashes.select("doc_id", "hi", "lo")
+    return hamming_band_pairs(hashes)
+
+
+def hamming_band_pairs(
+    words: DataFrame, max_hamming: int = _AHASH_MAX_HAMMING
+) -> DataFrame:
+    """Banded Hamming pair join over any 64-bit signature split into
+    (doc_id, hi, lo) 32-bit words — the shared engine behind image aHash
+    AND audio contour near-dups: 4x16-bit bands, equi-join candidates,
+    popcount verify. Pigeonhole recall guarantee: ``max_hamming`` wrong
+    bits can dirty at most ``max_hamming`` of the 4 bands, so any pair
+    within the default <= 3 threshold shares a clean band. All JVM-side
+    bit arithmetic (shift/and/xor/bit_count) — no Python in the join."""
+    w = words.select("doc_id", "hi", "lo")
     bands = w.select(
         "doc_id",
         F.explode(
@@ -419,12 +442,90 @@ def image_near_dup_pairs(hashes: DataFrame) -> DataFrame:
         cand.join(wa, "a")
         .join(wb, "b")
         .select("a", "b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
 FP_SCHEMA = "doc_id bigint, fingerprint string"
 _FP_WINDOWS = 16
+
+AUDIO64_SCHEMA = "doc_id bigint, afp string, hi bigint, lo bigint"
+_CONTOUR_WINDOWS = 64
+
+
+def audio_contour64(df: DataFrame) -> DataFrame:
+    """64-window energy contour over the REAL audio payloads — the
+    near-dup-grade signature (the 16-window fingerprint of
+    :func:`audio_fingerprint` stays the exact-dedup key; 16 bits is too
+    coarse to band: each 4-bit band would bucket 1/16 of the corpus).
+    Same RIFF walk and EXACT integer cross-multiplied mean threshold
+    (``win_sum * n_total > total_sum * win_count`` — no FP anywhere),
+    64 windows ``i*64//n``, bits packed MSB-first into the same
+    (hi, lo) 32-bit-word pair the image aHash uses, so
+    :func:`hamming_band_pairs` bands it identically. Clips shorter than
+    64 samples leave their empty windows' bits 0. Non-audio rows drop."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            fps: list[str] = []
+            his: list[int] = []
+            los: list[int] = []
+            for did, kind, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if kind != "audio/wav":
+                    continue
+                b = bytes(payload)
+                pos, data = 12, b""
+                while pos + 8 <= len(b):
+                    cid, clen = struct.unpack_from("<4sI", b, pos)
+                    if cid == b"data":
+                        data = b[pos + 8 : pos + 8 + clen]
+                        break
+                    pos += 8 + clen + (clen % 2)
+                n = len(data) // 2
+                if n == 0:
+                    continue
+                s = np.frombuffer(data[: 2 * n], dtype="<i2").astype(
+                    np.int64
+                )
+                a = np.abs(s)
+                wdx = (np.arange(n) * _CONTOUR_WINDOWS) // n
+                total = int(a.sum())
+                hi = lo = 0
+                for wi in range(_CONTOUR_WINDOWS):
+                    mask = wdx == wi
+                    nw = int(mask.sum())
+                    ws = int(a[mask].sum())
+                    if ws * n > total * nw:
+                        if wi < 32:
+                            hi |= 1 << (31 - wi)
+                        else:
+                            lo |= 1 << (63 - wi)
+                ids.append(int(did))
+                fps.append(f"{hi:08x}{lo:08x}")
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype=object),
+                    "hi": pd.Series(his, dtype="int64"),
+                    "lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO64_SCHEMA)
+
+
+def audio_near_dup_pairs(contours: DataFrame) -> DataFrame:
+    """Hamming near-dup pairs over the 64-window audio contour — the
+    banded join :func:`image_near_dup_pairs` runs on image hashes,
+    applied to the audio modality via the shared
+    :func:`hamming_band_pairs` (4x16-bit bands, pigeonhole recall
+    guarantee at hamming <= 3, popcount verify on candidates only)."""
+    return hamming_band_pairs(contours)
 
 
 def audio_fingerprint(df: DataFrame) -> DataFrame:
@@ -481,6 +582,164 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: a dependency-free multi-frame container (concatenated 24-bpp BMP
+# frames behind a tiny length-prefixed header) so the video dedup path
+# exercises REAL bytes end-to-end — container parse → per-frame decode →
+# per-frame aHash → set-containment pair join. A production deployment
+# swaps the frame iterator for ffmpeg keyframe extraction; everything
+# downstream of the (doc_id, frame_id, hi, lo) table is format-agnostic.
+
+VIDEO_MAGIC = b"VID0"
+VFRAME_SCHEMA = "doc_id bigint, frame_id int, ahash string, hi bigint, lo bigint"
+
+
+def _video_encode(frames: list[bytes], junk: bytes = b"") -> bytes:
+    """Length-prefixed frame container; trailing ``junk`` models
+    re-encoder metadata — byte-different payloads, identical frames."""
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    out.append(junk)
+    return b"".join(out)
+
+
+def _video_frames(b: bytes) -> list[bytes]:
+    if b[:4] != VIDEO_MAGIC:
+        raise ValueError("not a video payload")
+    (nf,) = struct.unpack_from("<I", b, 4)
+    pos, frames = 8, []
+    for _ in range(nf):
+        (ln,) = struct.unpack_from("<I", b, pos)
+        frames.append(b[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
+def attach_real_video(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL multi-frame video payloads with PLANTED variants,
+    deterministically from doc_id (family = doc_id // 4, j = doc_id % 4):
+
+    - j=0  canonical: nf = fam%3+2 frames, frame k's BMP pattern seeded
+           ``(fam*31 + k*7) % 256`` at per-family dims
+           (w = fam%13+9, h = fam%9+9);
+    - j=1  re-encoded copy: SAME frames + trailing container junk —
+           byte-different payload, hash-identical frame set;
+    - j=2  trimmed: the first nf-1 frames;
+    - j=3  unrelated: same shape, seeds offset by 101.
+
+    The closed forms are what the ``multimodal_video_dedup`` oracle
+    replays; a production table reads real containers instead."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fam, j = did // 4, did % 4
+                w, h = fam % 13 + 9, fam % 9 + 9
+                nf = fam % 3 + 2
+                soff = 101 if j == 3 else 0
+                n_out = nf - 1 if j == 2 else nf
+                frames = [
+                    _bmp_encode(w, h, (fam * 31 + k * 7 + soff) % 256)
+                    for k in range(n_out)
+                ]
+                junk = b"\x00" * (fam % 5 + 1) if j == 1 else b""
+                ids.append(did)
+                payloads.append(_video_encode(frames, junk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": "video/bmps",
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id bigint, media_type string, payload binary"
+    )
+
+
+def video_frame_hashes(df: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes: walk the container, aHash every
+    frame with the EXACT image kernel (:func:`_ahash_words_from_bmp`) —
+    one output row per frame. Map-only Arrow-batched 1→N fan-out; the
+    payload never leaves the map side (only 64-bit words shuffle in the
+    downstream pair join, the image-near-dup scale property)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            fids: list[int] = []
+            hashes: list[str] = []
+            his: list[int] = []
+            los: list[int] = []
+            for did, kind, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if kind != "video/bmps":
+                    continue
+                for k, fb in enumerate(_video_frames(bytes(payload))):
+                    hi, lo = _ahash_words_from_bmp(fb)
+                    ids.append(int(did))
+                    fids.append(k)
+                    hashes.append(f"{hi:08x}{lo:08x}")
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int32"),
+                    "ahash": pd.Series(hashes, dtype=object),
+                    "hi": pd.Series(his, dtype="int64"),
+                    "lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, VFRAME_SCHEMA)
+
+
+def video_dedup_pairs(frame_hashes: DataFrame) -> DataFrame:
+    """Video near-dup pairs from frame-hash set containment: two videos
+    pair when >= half of the smaller one's DISTINCT frame hashes appear
+    in the other — catches re-encodes (identical hash sets) AND
+    trims/extensions (subset hash sets), which a whole-signature equality
+    can't. Candidates come from an equi-join on frame hash, so work is
+    ∝ shared-frame volume, never videos²; the integer filter
+    ``2*shared >= least(n_a, n_b)`` keeps the decision FP-free and the
+    reported containment is derived after it."""
+    hset = frame_hashes.select("doc_id", "hi", "lo").distinct()
+    sizes = hset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hset.alias("l")
+        .join(
+            hset.alias("r"),
+            (F.col("l.hi") == F.col("r.hi"))
+            & (F.col("l.lo") == F.col("r.lo"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b")), "b")
+        .filter(2 * F.col("shared_frames") >= F.least("n_a", "n_b"))
+        .select(
+            "a",
+            "b",
+            F.col("shared_frames").cast("int").alias("shared_frames"),
+            F.round(
+                F.col("shared_frames") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )
 
 
 def extract_features(df: DataFrame) -> DataFrame:

@@ -1100,6 +1100,150 @@ FROM bits GROUP BY 1
 """
 
 
+# Banded-Hamming pair tail shared by the audio near-dup oracle (the
+# image twin _MULTIMODAL_NEAR_SQL carries the same text inline): bands a
+# (doc_id, hi, lo) `words` CTE into 4x16-bit values, equi-joins
+# candidates, popcount-verifies <= 3 — hamming_band_pairs relationally.
+_BAND_PAIRS_TAIL = """
+wbands AS (
+  SELECT doc_id, b.i AS band,
+         CASE b.i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                  WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS val
+  FROM words, range(4) b(i)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM wbands l
+  JOIN wbands r ON l.band = r.band AND l.val = r.val
+               AND l.doc_id < r.doc_id
+)
+SELECT c.a, c.b,
+       cast(bit_count(xor(wa.hi, wb.hi)) + bit_count(xor(wa.lo, wb.lo))
+            AS int) AS hamming
+FROM cand c
+JOIN words wa ON wa.doc_id = c.a
+JOIN words wb ON wb.doc_id = c.b
+WHERE bit_count(xor(wa.hi, wb.hi)) + bit_count(xor(wa.lo, wb.lo)) <= 3
+"""
+
+
+def multimodal_audio_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-dup pairs: 64-window energy contour over the REAL WAV
+    payloads (operators/multimodal.audio_contour64 — exact integer
+    cross-multiplied thresholds, no FP), banded into 4x16-bit words and
+    Hamming-verified <= 3 by the same hamming_band_pairs engine the
+    image modality uses. Oracle replays the sample math and the banding
+    in closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.audio_near_dup_pairs(
+        M.audio_contour64(M.attach_real_media(rebalance(docs)))
+    )
+
+
+_MULTIMODAL_AUDIO_NEAR_SQL = f"""
+WITH wav AS (
+  SELECT doc_id, length(text) % 1000 + 1 AS n, doc_id % 256 AS seed
+  FROM documents WHERE doc_id % 2 = 1
+),
+samples AS (
+  SELECT doc_id, n,
+         abs(((seed * 31 + i * 17) % 65536) - 32768) AS a,
+         i * 64 // n AS w
+  FROM wav, unnest(generate_series(0, n - 1)) AS t(i)
+),
+tot AS (SELECT doc_id, sum(a) AS total FROM samples GROUP BY doc_id),
+wins AS (SELECT doc_id, max(n) AS n, w, sum(a) AS ws, count(*) AS nw
+         FROM samples GROUP BY doc_id, w),
+words AS (
+  SELECT w.doc_id,
+         sum(CASE WHEN ws * n > total * nw AND w.w < 32
+                  THEN 1::bigint << (31 - w.w) ELSE 0 END) AS hi,
+         sum(CASE WHEN ws * n > total * nw AND w.w >= 32
+                  THEN 1::bigint << (63 - w.w) ELSE 0 END) AS lo
+  FROM wins w JOIN tot USING (doc_id) GROUP BY w.doc_id
+),
+{_BAND_PAIRS_TAIL}
+"""
+
+
+def _video_frame_hashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame aHash table over the synthetic video corpus, staged
+    once per session (the written frame-hash table every video-dedup
+    consumer reads)."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "video_frame_hashes",
+        sf_dir,
+        lambda: M.video_frame_hashes(
+            M.attach_real_video(
+                rebalance(load_table(spark, sf_dir, "documents"))
+            )
+        ),
+    )
+
+
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs from frame hashes: real multi-frame
+    containers (planted re-encoded + trimmed variants) → per-frame
+    aHash with the EXACT image kernel → frame-hash set containment
+    (2*shared >= smaller side's distinct frames — integer decision).
+    Catches re-encodes (identical sets) and trims (subsets). Oracle
+    replays the per-frame pixel closed forms and the containment join."""
+    return M.video_dedup_pairs(_video_frame_hashes_shared(spark, sf_dir))
+
+
+_MULTIMODAL_VIDEO_SQL = """
+WITH params AS (
+  SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS j,
+         (doc_id // 4) % 13 + 9 AS w, (doc_id // 4) % 9 + 9 AS h,
+         CASE WHEN doc_id % 4 = 2 THEN (doc_id // 4) % 3 + 1
+              ELSE (doc_id // 4) % 3 + 2 END AS nf,
+         CASE WHEN doc_id % 4 = 3 THEN 101 ELSE 0 END AS soff
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, w, h, k, (fam * 31 + k * 7 + soff) % 256 AS seed
+  FROM params, unnest(generate_series(0, nf - 1)) AS t(k)
+),
+cells AS (
+  SELECT doc_id, k, ty * 8 + tx AS i,
+         ((tx * w // 8) * 7 + (ty * h // 8) * 13 + seed) % 256 AS v
+  FROM frames, range(8) t1(tx), range(8) t2(ty)
+),
+lums AS (SELECT doc_id, k, i, v + (v * 3) % 256 + (v * 5) % 256 AS lum
+         FROM cells),
+th AS (SELECT doc_id, k, sum(lum) / 64.0 AS mean
+       FROM lums GROUP BY doc_id, k),
+words AS (
+  SELECT l.doc_id, l.k,
+         sum(CASE WHEN i < 32 AND lum > mean
+                  THEN 1::bigint << (31 - i) ELSE 0 END) AS hi,
+         sum(CASE WHEN i >= 32 AND lum > mean
+                  THEN 1::bigint << (63 - i) ELSE 0 END) AS lo
+  FROM lums l JOIN th ON th.doc_id = l.doc_id AND th.k = l.k
+  GROUP BY l.doc_id, l.k
+),
+hset AS (SELECT DISTINCT doc_id, hi, lo FROM words),
+sizes AS (SELECT doc_id, count(*) AS nh FROM hset GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
+  FROM hset l JOIN hset r ON l.hi = r.hi AND l.lo = r.lo
+                         AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, cast(shared AS int) AS shared_frames,
+       round(shared / least(sa.nh, sb.nh), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE 2 * shared >= least(sa.nh, sb.nh)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data assembly: deterministic weighted sampling (data mixing),
 # per-group top-k selection, and quantile (curriculum) bucketing.
@@ -3442,9 +3586,10 @@ SELECT q_id AS vec_id, neighbor_id, cosine, rank FROM knn
 # destination; the edge table is the localCheckpointed kNN-join output,
 # so iterating never re-runs the search, and ranks stay (id, long)
 # metadata-thin. At 100 TB: edges partition by src once and every
-# iteration reuses that layout for the ranks join; for deep iteration
-# counts checkpoint ranks every ~8 rounds to truncate lineage (3 fixed
-# rounds here).
+# iteration reuses that layout for the ranks join; deep iteration
+# counts checkpoint state every ~8 rounds to truncate lineage — the
+# shared operators/graph.iterate_with_checkpoint mechanism both this
+# and LPA run on (3 fixed rounds here never trigger it).
 
 _PR_ITERS = 3
 _PR_SCALE = 120  # 20 (damping denominator) x 6 (lcm of outdegrees 1..3)
@@ -3471,34 +3616,9 @@ def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
         ),
     )
-    nodes = emb.select("vec_id")
-    n = nodes.count()  # one scalar: the PR normalizer
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = edges.join(deg, "src").select(
-        "src", "dst", (F.lit(102) / F.col("outdeg")).cast("long").alias("w")
-    )
-    ranks = nodes.select("vec_id", F.lit(1).cast("long").alias("s"))
-    for t in range(1, _PR_ITERS + 1):
-        contrib = (
-            ew.join(ranks, ew.src == ranks.vec_id)
-            .select("dst", (F.col("w") * F.col("s")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = nodes.join(
-            contrib, nodes.vec_id == contrib.dst, "left"
-        ).select(
-            nodes.vec_id,
-            (
-                F.lit(18 * _PR_SCALE ** (t - 1)).cast("long")
-                + F.coalesce(F.col("contrib"), F.lit(0).cast("long"))
-            ).alias("s"),
-        )
-    denom = float(n) * float(_PR_SCALE**_PR_ITERS)  # exact below 2^53
-    return ranks.select(
-        "vec_id",
-        (F.col("s").cast("double") / F.lit(denom)).alias("pagerank"),
-    )
+    from rds_pgbadger_etl_spark.operators.graph import pagerank_exact
+
+    return pagerank_exact(emb.select("vec_id"), edges, _PR_ITERS)
 
 
 # ---------------------------------------------------------------------------
@@ -3533,30 +3653,12 @@ def embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
         ),
     )
+    from rds_pgbadger_etl_spark.operators.graph import lpa_labels
+
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    nodes = emb.select("vec_id")
-    labels = nodes.select("vec_id", F.col("vec_id").alias("label"))
-    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), "label")
-    for _ in range(_LPA_ITERS):
-        votes = (
-            sym.join(labels, sym.src == labels.vec_id)
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        win = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst"), F.col("label").alias("new_label"))
-        )
-        labels = labels.join(
-            win, labels.vec_id == win.dst, "left"
-        ).select(
-            "vec_id",
-            F.coalesce("new_label", "label").alias("label"),
-        )
-    return labels
+    return lpa_labels(emb.select("vec_id"), sym, _LPA_ITERS)
 
 
 def _lpa_iter_sql(i: int) -> str:
@@ -3734,6 +3836,123 @@ def ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_2level_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Two-level (sharded-quantizer) index built once per (process,
+    sf_dir) — the layout past the AUTO_MAX_CELLS wall, exercised at
+    fixture scale with the registered G=4/C=16 shape."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        build_ann_index_2level,
+    )
+
+    key = sf_dir + "#2level"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_2level_")
+        build_ann_index_2level(
+            spark, rebalance(load_table(spark, sf_dir, "embeddings")), d
+        )
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_index_2level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path past the 4096-cell cap: IVF search where the coarse
+    quantizer is sharded into groups (IMI/two-level IVF) — probe the
+    live groups, then rank fine cells only within the probed groups'
+    shards, then exact cosine inside the probed (group, cell)
+    partitions. Oracle = the IVF math with the composed assignment
+    (nearest live group, then nearest fine cell within it), expressed
+    relationally in _ANN_2LEVEL_SQL."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_topk(
+        spark,
+        _ann_index_2level_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+# The composed two-level assignment, relationally: gmap shards the fine
+# cells by nearest coarse group (over ALL groups); `live` is the set of
+# groups owning >=1 cell; vectors take their nearest LIVE group, then
+# their nearest fine cell WITHIN it; queries probe the top
+# N_PROBE_GROUPS live groups, then the top N_PROBE cells among those
+# groups' cells. Scoring/tie-breaks identical to _ANN_IVF_SQL.
+def _ann_2level_sql() -> str:
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {AI.N_CELLS_2L}),
+g AS (SELECT vec_id AS grp, emb AS g_emb FROM e WHERE vec_id < {AI.N_GROUPS_2L}),
+gmap AS (
+  SELECT cell, grp, c_emb FROM (
+    SELECT c.cell, g.grp, c.c_emb,
+           row_number() OVER (PARTITION BY c.cell
+                              ORDER BY {_cos_sql('c.c_emb', 'g.g_emb')} DESC, g.grp)
+             AS rn
+    FROM c, g) WHERE rn = 1
+),
+gl AS (SELECT g.grp, g.g_emb FROM g
+       WHERE g.grp IN (SELECT DISTINCT grp FROM gmap)),
+asgng AS (
+  SELECT vec_id, emb, grp FROM (
+    SELECT e.vec_id, e.emb, gl.grp,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'gl.g_emb')} DESC, gl.grp)
+             AS rn
+    FROM e, gl) WHERE rn = 1
+),
+asgn AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT a.vec_id, a.emb, m.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_cos_sql('a.emb', 'm.c_emb')} DESC, m.cell)
+             AS rn
+    FROM asgng a JOIN gmap m ON m.grp = a.grp) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+qg AS (
+  SELECT q_id, grp FROM (
+    SELECT q.q_id, gl.grp,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'gl.g_emb')} DESC, gl.grp)
+             AS rn
+    FROM q, gl) WHERE rn <= {AI.N_PROBE_GROUPS}
+),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, m.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'm.c_emb')} DESC, m.cell)
+             AS rn
+    FROM q JOIN qg ON qg.q_id = q.q_id
+           JOIN gmap m ON m.grp = qg.grp) WHERE rn <= {S.N_PROBE}
+),
+sims AS (
+  SELECT p.q_id, a.vec_id, {_cos_sql('q.q_emb', 'a.emb')} AS sim
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_TOPK}
+"""
+
+
+_ANN_2LEVEL_SQL = _ann_2level_sql()
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -3754,6 +3973,11 @@ QUERIES = {
     "multimodal_decode": (multimodal_decode, _MULTIMODAL_DECODE_SQL),
     "multimodal_image_dedup": (multimodal_image_dedup, _MULTIMODAL_AHASH_SQL),
     "multimodal_audio_dedup": (multimodal_audio_dedup, _MULTIMODAL_AUDIO_SQL),
+    "multimodal_audio_near_dups": (
+        multimodal_audio_near_dups,
+        _MULTIMODAL_AUDIO_NEAR_SQL,
+    ),
+    "multimodal_video_dedup": (multimodal_video_dedup, _MULTIMODAL_VIDEO_SQL),
     "multimodal_image_near_dups": (
         multimodal_image_near_dups,
         _MULTIMODAL_NEAR_SQL,
@@ -3803,6 +4027,7 @@ QUERIES = {
     "ann_index_ivf_topk": (ann_index_ivf_topk, _ANN_IVF_SQL),
     "ann_index_lsh_topk": (ann_index_lsh_topk, _ANN_LSH_SQL),
     "ann_index_upsert_topk": (ann_index_upsert_topk, _ANN_IVFPQ_SQL),
+    "ann_index_2level_topk": (ann_index_2level_topk, _ANN_2LEVEL_SQL),
     "ann_index_delete_topk": (ann_index_delete_topk, _ANN_DELETE_SQL),
     "ann_index_refined_recall": (ann_index_refined_recall, None),
     "ann_index_stats": (ann_index_stats, None),

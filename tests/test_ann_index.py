@@ -11,6 +11,7 @@ import sys
 import textwrap
 
 import pytest
+from pyspark.sql import functions as F
 
 from rds_pgbadger_etl_spark.operators import ann_index as AI
 from rds_pgbadger_etl_spark.operators import index_maintenance as M
@@ -329,3 +330,156 @@ def test_auto_n_centroids_rule(spark, index_dir, tmp_path):
         AI.ann_index_ivfpq_topk(spark, index_dir, _queries(spark), K)
     )
     assert got == expected and len(got) == len(QUERY_IDS) * K
+
+
+# ---------------------------------------------------------------------------
+# Two-level IVF (sharded quantizer) — the layout past the AUTO_MAX_CELLS
+# wall. Parity is checked against an independent numpy reference of the
+# composed assignment (the DuckDB twin _ANN_2LEVEL_SQL covers the
+# relational formulation in the oracle gate).
+
+
+@pytest.fixture(scope="module")
+def index2_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ann_index_2l"))
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    AI.build_ann_index_2level(spark, emb, d)
+    return d
+
+
+def _np_2level_expected(spark, k=K):
+    """Composed two-level search, straight numpy: gmap over ALL groups,
+    vector assignment over LIVE groups then within-group cells, probe =
+    top groups then top cells within probed groups, exact rounded
+    cosine rerank — the same conventions the operator documents."""
+    import numpy as np
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([int(r.vec_id) for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    assert (ids == np.arange(len(ids))).all()
+
+    def rcos(A, B):
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return np.round((A @ B.T) / (na[:, None] * nb[None, :]), 6)
+
+    G, C = AI.N_GROUPS_2L, AI.N_CELLS_2L
+    g_mat, c_mat = X[:G], X[:C]
+    gmap = np.argmax(rcos(c_mat, g_mat), axis=1)
+    live = sorted({int(g) for g in gmap})
+    gl = g_mat[np.array(live)]
+    vg = np.array(live)[np.argmax(rcos(X, gl), axis=1)]
+    cell = np.empty(len(X), dtype=int)
+    for g in live:
+        cells_g = np.nonzero(gmap == g)[0]
+        mask = vg == g
+        sims = rcos(X[mask], c_mat[cells_g])
+        cell[mask] = cells_g[np.argmax(sims, axis=1)]
+
+    expected = []
+    for q in QUERY_IDS:
+        qv = X[q : q + 1]
+        gsims = rcos(qv, gl)[0]
+        pg = [g for g, _ in sorted(zip(live, gsims), key=lambda t: (-t[1], t[0]))][
+            : AI.N_PROBE_GROUPS
+        ]
+        cand_cells = np.nonzero(np.isin(gmap, pg))[0]
+        csims = rcos(qv, c_mat[cand_cells])[0]
+        pc = [
+            c
+            for c, _ in sorted(
+                zip(cand_cells, csims), key=lambda t: (-t[1], t[0])
+            )
+        ][: S.N_PROBE]
+        members = np.nonzero(np.isin(cell, pc) & (ids != q))[0]
+        sims = rcos(qv, X[members])[0]
+        ranked = sorted(zip(members, sims), key=lambda t: (-t[1], t[0]))[:k]
+        expected.extend(
+            (q, int(v), float(s), r + 1) for r, (v, s) in enumerate(ranked)
+        )
+    return sorted(map(str, expected))
+
+
+def test_2level_reader_matches_numpy_reference(spark, index2_dir):
+    got = sorted(
+        str((r.q_id, r.vec_id, float(r.sim), r.rank))
+        for r in AI.ann_index_2level_topk(
+            spark, index2_dir, _queries(spark), K
+        ).collect()
+    )
+    assert got == _np_2level_expected(spark) and len(got) == len(QUERY_IDS) * K
+
+
+def test_2level_layout_total_and_consistent(spark, index2_dir):
+    """Every corpus vector lands in exactly one (group, cell) partition,
+    and each raw row's group agrees with the fine table's gmap."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    raw = spark.read.parquet(M.table_path(index2_dir, "raw"))
+    assert raw.count() == emb.count()
+    assert raw.select("vec_id").distinct().count() == emb.count()
+    fine = spark.read.parquet(M.table_path(index2_dir, "fine")).select(
+        "cell", F.col("group").alias("fine_group")
+    )
+    mismatches = (
+        raw.join(fine, "cell")
+        .filter(F.col("group") != F.col("fine_group"))
+        .count()
+    )
+    assert mismatches == 0
+    # live coarse groups == the groups that own fine cells
+    coarse = spark.read.parquet(M.table_path(index2_dir, "coarse"))
+    live_coarse = sorted(r.group for r in coarse.select("group").collect())
+    live_fine = sorted(
+        r.fine_group
+        for r in fine.select("fine_group").distinct().collect()
+    )
+    assert live_coarse == live_fine
+
+
+def test_2level_plan_is_pruned_and_corpus_free(spark, index2_dir):
+    """The 2-level search must prune BOTH partition levels (group at the
+    top directory level, cell below) and never touch the corpus."""
+    df = AI.ann_index_2level_topk(spark, index2_dir, _queries(spark), K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    explain = df._jdf.queryExecution().toString()
+    assert "embeddings.parquet" not in explain
+    assert "embeddings.parquet" not in plan
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[[^\]]*", plan)
+    assert any("group" in x and "cell" in x and " IN " in x for x in pf), pf
+
+
+def test_2level_fresh_process_answers_from_artifact(spark, index2_dir):
+    """A reader with no in-process quantizer cache answers from the
+    artifact alone (the build-once contract, 2-level edition)."""
+    AI._COARSE.pop(index2_dir, None)
+    got = _rows(AI.ann_index_2level_topk(spark, index2_dir, _queries(spark), K))
+    assert len(got) == len(QUERY_IDS) * K
+
+
+def test_auto_quantizer_shape_rule():
+    # below the cap: single level, same count as auto_n_centroids
+    for n in (0, 10**6, 4 * 10**6, 10**8):
+        g, c = AI.auto_quantizer_shape(n)
+        assert g == 1 and c == AI.auto_n_centroids(n)
+    # past the cap: two levels, uncapped constant-volume cell count,
+    # ~sqrt sharding, both powers of two
+    import math
+
+    for n in (6 * 10**8, 10**9, 10**10, 10**11):
+        g, c = AI.auto_quantizer_shape(n)
+        assert g > 1 and c > AI.AUTO_MAX_CELLS
+        assert 2 ** round(math.log2(g)) == g
+        assert 2 ** round(math.log2(c)) == c
+        assert g <= AI.AUTO_MAX_CELLS and c // g <= AI.AUTO_MAX_CELLS
+        # cell volume stays within 2x of the single-level target
+        assert c / 2 <= n / AI.AUTO_CELL_ROWS <= c * 2
+    # far wall: both levels cap together at AUTO_MAX_CELLS**2 cells
+    g, c = AI.auto_quantizer_shape(10**15)
+    assert c == AI.AUTO_MAX_CELLS**2 and g == AI.AUTO_MAX_CELLS
+    # monotone non-decreasing total cells across decades
+    cells = [AI.auto_quantizer_shape(10**p)[1] for p in range(3, 15)]
+    assert cells == sorted(cells)

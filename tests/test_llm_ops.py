@@ -795,3 +795,74 @@ def test_embedding_communities_assignment(spark, sf_oracle):
     counts = Counter(labels)
     assert len(counts) < n
     assert max(counts.values()) > 1
+
+
+def test_audio_contour64_near_dup_banding(spark):
+    """Planted PCM at the 64-window resolution: A's loud windows are
+    0..31, B shifts the loud block by one window (hamming 2 — inside
+    the pigeonhole window), C is A's complement (hamming 64). The
+    banded join must surface exactly (A, B), and a re-encoded copy
+    (extra RIFF chunk, same PCM) must land at hamming 0."""
+    import struct
+
+    def wav(loud_windows, extra_chunk=False):
+        # 128 samples -> window i*64//128: two samples per window
+        samples = []
+        for i in range(128):
+            w = i * 64 // 128
+            samples.append(30000 if w in loud_windows else 10)
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = struct.pack("<4sI", b"fmt ", 16) + fmt
+        if extra_chunk:
+            body += struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        body += struct.pack("<4sI", b"data", len(data)) + data
+        return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+    a = wav(set(range(32)))
+    b = wav(set(range(1, 33)))
+    c = wav(set(range(32, 64)))
+    a2 = wav(set(range(32)), extra_chunk=True)
+    df = spark.createDataFrame(
+        [(1, "audio/wav", a), (2, "audio/wav", b), (3, "audio/wav", c),
+         (4, "audio/wav", a2), (5, "image/bmp", b"BM")],
+        "doc_id long, media_type string, payload binary",
+    )
+    contours = M.audio_contour64(df)
+    got = {r.doc_id: (r.afp, r.hi, r.lo) for r in contours.collect()}
+    assert set(got) == {1, 2, 3, 4}  # non-audio dropped
+    assert got[1][1] == 0xFFFFFFFF and got[1][2] == 0
+    assert got[3][1] == 0 and got[3][2] == 0xFFFFFFFF
+    assert all(len(fp) == 16 and fp == fp.lower() for fp, *_ in got.values())
+    pairs = {(r.a, r.b): r.hamming
+             for r in M.audio_near_dup_pairs(contours).collect()}
+    assert pairs == {(1, 2): 2, (1, 4): 0, (2, 4): 2}
+
+
+def test_video_dedup_planted_variants(spark):
+    """attach_real_video's planted structure must come back out of the
+    frame-hash containment join: within every family the re-encoded
+    copy (byte-different payload) and the trimmed copy pair with the
+    canonical at containment 1.0; the unrelated j=3 member pairs with
+    nobody in its family."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    vids = M.attach_real_video(docs)
+    payloads = {r.doc_id: bytes(r.payload) for r in vids.collect()}
+    fh = M.video_frame_hashes(vids)
+    pairs = {(r.a, r.b): (r.shared_frames, r.containment)
+             for r in M.video_dedup_pairs(fh).collect()}
+    for fam in range(3):
+        base = 4 * fam
+        nf = fam % 3 + 2
+        # re-encode: byte-different container, identical frame set
+        assert payloads[base] != payloads[base + 1]
+        assert pairs[(base, base + 1)] == (nf, 1.0)
+        # trim: subset frame set, still containment 1.0
+        assert pairs[(base, base + 2)] == (nf - 1, 1.0)
+        assert pairs[(base + 1, base + 2)] == (nf - 1, 1.0)
+        # unrelated member: no pair with any family sibling
+        for j in range(3):
+            key = tuple(sorted((base + j, base + 3)))
+            assert key not in pairs

@@ -1,0 +1,194 @@
+"""Two-level IVF rehearsal at >= 8M vectors (round-9 verdict item 1).
+
+The sharded-quantizer layout (operators/ann_index.build_ann_index_2level)
+exists so the constant-cell-volume rule can keep running past the
+AUTO_MAX_CELLS wall (~270M vectors). A corpus past the wall is not
+buildable locally, so this rehearsal proves the layout's COST CLAIM at
+the largest affordable scale instead: at 8M vectors it builds BOTH
+
+- the single-level index at the auto shape (C = 128 cells, the
+  auto_n_centroids value for 8M), and
+- the two-level index FORCED to the same total cell count
+  (G = 16 groups x 8 cells/group = 128 fine cells, same ~65k-row cell
+  volume — the shape the rule would produce far past the cap, scaled
+  down),
+
+and measures the same search and 2000-query flag-batch legs on each.
+Flat-cost claim: per-query scan volume is identical (n_probe cells of
+the same volume), so search/flag must match the single-level row while
+the quantizer work per query drops from C cosines to
+G + n_probe_groups*(C/G) — the term that walls at 270M. Also compared
+against the 4M single-level row from BENCH_NOTES (search 1.48 s /
+flag 9.4 s): cost must stay flat as the corpus doubles again, because
+cell volume is held constant.
+
+Usage:  python tools/ann2level_rehearsal.py [n_vecs]
+Corpus parquet shared with tools/ann_rehearsal.py under $REHEARSAL_DIR
+(default /tmp/ann_rehearsal), reused when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.parse_rehearsal import stage_metrics  # noqa: E402
+
+BASE = os.environ.get("REHEARSAL_DIR", "/tmp/ann_rehearsal")
+DIM = 64
+FLAG_BATCH = 2_000
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def main() -> None:
+    n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    corpus = f"{BASE}/emb_{n_vecs}"
+    evdir = f"{BASE}/eventlog_2l"
+    idx1 = f"{BASE}/index1_{n_vecs}"
+    idx2 = f"{BASE}/index2_{n_vecs}"
+    shutil.rmtree(evdir, ignore_errors=True)
+    os.makedirs(evdir, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ann-2level-rehearsal",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+
+    t_gen = 0.0
+    if not os.path.isdir(corpus):
+        t0 = time.perf_counter()
+        cols = F.array(
+            *[F.rand(seed=1000 + j).cast("float") for j in range(DIM)]
+        )
+        (
+            spark.range(n_vecs)
+            .select(F.col("id").alias("vec_id"), cols.alias("embedding"))
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(corpus)
+        )
+        t_gen = time.perf_counter() - t0
+    emb = spark.read.parquet(corpus)
+
+    n_cells = AI.auto_n_centroids(n_vecs)
+    n_groups = 16
+    assert n_cells % n_groups == 0
+
+    # --- builds --------------------------------------------------------
+    shutil.rmtree(idx1, ignore_errors=True)
+    t0 = time.perf_counter()
+    AI.build_ann_index(spark, emb, idx1, n_centroids=n_cells)
+    t_build1 = time.perf_counter() - t0
+
+    shutil.rmtree(idx2, ignore_errors=True)
+    t0 = time.perf_counter()
+    AI.build_ann_index_2level(
+        spark, emb, idx2, n_groups=n_groups, n_cells=n_cells
+    )
+    t_build2 = time.perf_counter() - t0
+
+    # --- search + flag legs -------------------------------------------
+    q_rows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in q_rows]
+    flag_rows = emb.filter(
+        (F.col("vec_id") >= 100_000) & (F.col("vec_id") < 100_000 + FLAG_BATCH)
+    ).collect()
+    flag_q = [(int(r.vec_id), list(r.embedding)) for r in flag_rows]
+
+    def best_of_3(fn):
+        runs = []
+        for _ in range(3):
+            t = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t)
+        return round(min(runs), 3)
+
+    t_search1 = best_of_3(
+        lambda: AI.ann_index_ivf_topk(spark, idx1, queries, 10)
+    )
+    t_search2 = best_of_3(
+        lambda: AI.ann_index_2level_topk(spark, idx2, queries, 10)
+    )
+    t_flag1 = best_of_3(
+        lambda: AI.ann_index_ivf_topk(spark, idx1, flag_q, 3)
+    )
+    t_flag2 = best_of_3(
+        lambda: AI.ann_index_2level_topk(spark, idx2, flag_q, 3)
+    )
+
+    # result parity: same scoring (exact cosine in probed ~65k-row
+    # cells), same probed VOLUME; the probed cells themselves differ
+    # (global top-2 of 128 vs top-2 within 2 coarse groups), so compare
+    # top-1 agreement as a recall-style sanity, not exact equality
+    r1 = {
+        (r.q_id, r.rank): r.vec_id
+        for r in AI.ann_index_ivf_topk(spark, idx1, queries, 10).collect()
+    }
+    r2 = {
+        (r.q_id, r.rank): r.vec_id
+        for r in AI.ann_index_2level_topk(spark, idx2, queries, 10).collect()
+    }
+    overlap = sum(1 for k in r1 if r2.get(k) == r1[k]) / max(len(r1), 1)
+
+    df2 = AI.ann_index_2level_topk(spark, idx2, queries, 10)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    pruned2 = "PartitionFilters" in plan2 and " IN " in plan2
+
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    time.sleep(2)
+    stages = stage_metrics(evdir)
+    spill_mb = sum(s.get("spill_mb", 0) for s in stages)
+
+    print(
+        json.dumps(
+            {
+                "app_id": app_id,
+                "n_vecs": n_vecs,
+                "gen_sec": round(t_gen, 1),
+                "shape_single": {"n_cells": n_cells},
+                "shape_2level": {
+                    "n_groups": n_groups,
+                    "n_cells": n_cells,
+                    "cells_per_group": n_cells // n_groups,
+                },
+                "build_single_sec": round(t_build1, 1),
+                "build_2level_sec": round(t_build2, 1),
+                "index_single_mb": round(_dir_bytes(idx1) / 1e6, 1),
+                "index_2level_mb": round(_dir_bytes(idx2) / 1e6, 1),
+                "search_single_sec": t_search1,
+                "search_2level_sec": t_search2,
+                "flag_batch": FLAG_BATCH,
+                "flag_single_sec": t_flag1,
+                "flag_2level_sec": t_flag2,
+                "result_overlap": round(overlap, 3),
+                "partition_pruned_2level": pruned2,
+                "spill_mb": round(spill_mb, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,77 @@ def generate_corpus(spark, path: str, n_images: int) -> None:
     )
 
 
+AUDIO_SAMPLES = 4_096  # per clip: 8 KB of 16-bit PCM, 64 samples/window
+
+
+def _np_wav(seed: int, flip: int | None) -> bytes:
+    """Numpy WAV builder, same container layout as
+    operators/multimodal._wav_encode: the family's contour is a random
+    32-of-64 loud-window pattern from RandomState(seed) (so families
+    are unique w.p. ~1), with per-sample jitter; ``flip`` swaps the
+    flip-th loud window with the flip-th quiet window — hamming(head,
+    variant) == 2 exactly (the loud count stays 32, so the clip mean
+    is unmoved), hamming(variant_i, variant_j) == 4 (outside the <= 3
+    threshold): planted pairs are precisely (head, variant)."""
+    rs = np.random.RandomState(seed)
+    order = rs.permutation(64)
+    loud = set(order[:32].tolist())
+    if flip is not None:
+        loud.discard(int(order[flip]))
+        loud.add(int(order[32 + flip]))
+    wdx = (np.arange(AUDIO_SAMPLES) * 64) // AUDIO_SAMPLES
+    base = np.where(np.isin(wdx, list(loud)), 28000, 10)
+    samples = (base + rs.randint(0, 1000, AUDIO_SAMPLES)).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def generate_audio_corpus(spark, path: str, n_clips: int) -> None:
+    """Families of FAMILY consecutive ids: head (j=0) + DUPS planted
+    hamming-2 variants (j=1..DUPS) + unique fillers."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["id"]:
+                did = int(did)
+                fam, j = did // FAMILY, did % FAMILY
+                if j == 0:
+                    b = _np_wav(fam, None)
+                elif j <= DUPS:
+                    b = _np_wav(fam, j - 1)
+                else:
+                    b = _np_wav(10_000_019 + did, None)  # unique filler
+                ids.append(did)
+                payloads.append(b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": "audio/wav",
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    (
+        spark.range(n_clips)
+        .repartition(64)
+        .mapInPandas(
+            batches, "doc_id bigint, media_type string, payload binary"
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def main() -> None:
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 12_500
     corpus = f"{BASE}/imgs_{n_images}"
@@ -189,8 +260,38 @@ def main() -> None:
     }
     t_join = time.perf_counter() - t0
 
+    # --- stage 3 (round 9): audio near-dup leg — 64-window contour +
+    # the same banded Hamming join, over a planted hamming-2 corpus
+    from rds_pgbadger_etl_spark.operators.multimodal import (
+        audio_contour64,
+        audio_near_dup_pairs,
+    )
+
+    audio_corpus = f"{BASE}/wavs_{n_images}"
+    t_agen = 0.0
+    if not os.path.isdir(audio_corpus):
+        t0 = time.perf_counter()
+        generate_audio_corpus(spark, audio_corpus, n_images)
+        t_agen = time.perf_counter() - t0
+    clips = spark.read.parquet(audio_corpus)
+    t0 = time.perf_counter()
+    contours = audio_contour64(clips).persist()
+    n_contours = contours.count()
+    t_contour = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    apairs = audio_near_dup_pairs(contours).persist()
+    n_apairs = apairs.count()
+    a_by_h = {
+        int(r.hamming): int(r.n)
+        for r in apairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t_ajoin = time.perf_counter() - t0
+
     fam = n_images // FAMILY
     expected = fam * (DUPS + 1) * DUPS // 2  # C(DUPS+1, 2) per family
+    audio_expected = fam * DUPS  # exactly (head, variant) pairs
     stages = stage_metrics(evdir)
     print(
         json.dumps(
@@ -208,6 +309,17 @@ def main() -> None:
                 "expected_pairs": expected,
                 "recall_vs_planted": round(n_pairs / expected, 4),
                 "pairs_by_hamming": by_h,
+                "audio_clips": n_contours,
+                "audio_gen_s": round(t_agen, 1),
+                "audio_contour_s": round(t_contour, 1),
+                "audio_clips_per_s": round(n_contours / t_contour, 0),
+                "audio_join_s": round(t_ajoin, 1),
+                "audio_near_pairs": n_apairs,
+                "audio_expected_pairs": audio_expected,
+                "audio_recall_vs_planted": round(
+                    n_apairs / audio_expected, 4
+                ),
+                "audio_pairs_by_hamming": a_by_h,
                 "shuffle_write_mb": round(
                     sum(s.get("shuffle_write_mb", 0) for s in stages), 1
                 ),
@@ -219,6 +331,8 @@ def main() -> None:
     )
     pairs.unpersist()
     hashes.unpersist()
+    apairs.unpersist()
+    contours.unpersist()
 
 
 if __name__ == "__main__":
