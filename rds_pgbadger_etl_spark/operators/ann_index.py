@@ -719,6 +719,11 @@ def build_ann_index_2level(
     )
     cent_rows.sort(key=lambda r: r.vec_id)
     mat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    # corpora whose low ids are sparse (a half-built fixture, a slice)
+    # may yield fewer quantizer rows than requested — clamp, as the
+    # single-level filter(vec_id < n) implicitly does
+    n_groups = min(n_groups, len(mat))
+    n_cells = min(n_cells, len(mat))
     g_mat_all = mat[:n_groups]
     c_mat = mat[:n_cells]
     gmap = _group_of_cells(c_mat, g_mat_all)
@@ -773,6 +778,48 @@ def build_ann_index_2level(
         .select("vec_id", "embedding", "group", "cell")
         .repartition("group", "cell")
         .write.mode("overwrite")
+        .partitionBy("group", "cell")
+        .parquet(M.table_path(index_dir, "raw"))
+    )
+
+
+def append_to_ann_index_2level(
+    spark: SparkSession, emb_new: DataFrame, index_dir: str
+) -> None:
+    """Incremental append for the sharded-quantizer layout — the same
+    immutable-quantizer invariant as :func:`append_to_ann_index`: new
+    vectors take the composed assignment against the STORED coarse/fine
+    tables (both metadata-sized) and their rows append into the
+    (group, cell) partitions; nothing existing is rewritten, so append
+    is O(new). Equivalence with a from-scratch build over the union
+    corpus is pinned by tests (same quantizers => identical
+    assignments and search results). Deletes need no 2-level twin:
+    :func:`delete_from_ann_index` writes the layout-agnostic tombstone
+    side table and the 2-level reader anti-joins it like every other
+    reader."""
+    groups, g_mat = _read_coarse(spark, index_dir)
+    fine = spark.read.parquet(M.table_path(index_dir, "fine")).collect()
+    fine.sort(key=lambda r: r.cell)
+    gmap_pairs = [(int(r.cell), int(r.group)) for r in fine]
+    fine_by_group: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for g in groups:
+        rows = [r for r in fine if int(r.group) == g]
+        fine_by_group[g] = (
+            np.array([int(r.cell) for r in rows], dtype="int64"),
+            np.array([r.c_emb for r in rows], dtype=np.float64),
+        )
+    nearest = nearest_cell_2level_udf(
+        np.array(groups, dtype="int64"), g_mat, fine_by_group
+    )
+    gmap_df = spark.createDataFrame(gmap_pairs, "cell long, group long")
+    (
+        emb_new.select(
+            "vec_id", "embedding", nearest(F.col("embedding")).alias("cell")
+        )
+        .join(F.broadcast(gmap_df), "cell")
+        .select("vec_id", "embedding", "group", "cell")
+        .repartition("group", "cell")
+        .write.mode("append")
         .partitionBy("group", "cell")
         .parquet(M.table_path(index_dir, "raw"))
     )
@@ -841,12 +888,13 @@ def ann_index_2level_topk(
 
     probes_df = spark.createDataFrame(probes, "q_id long, group long, cell long")
     cells = sorted({c for _, _, c in probes})
-    raw = (
-        spark.read.parquet(M.table_path(index_dir, "raw"))
-        .where(
+    raw = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(M.table_path(index_dir, "raw")).where(
             F.col("group").isin(sorted({g for _, g, _ in probes}))
             & F.col("cell").isin(cells)
-        )
+        ),
     )
     scored = (
         raw.join(F.broadcast(probes_df), ["group", "cell"])

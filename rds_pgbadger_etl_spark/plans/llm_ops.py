@@ -1168,6 +1168,45 @@ words AS (
 """
 
 
+def multimodal_audio_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-window contour table itself (RIFF walk → integer window
+    thresholds → 16-hex signature) — the written signature table the
+    audio near-dup join reads. Oracle replays the sample math closed
+    form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.audio_contour64(M.attach_real_media(rebalance(docs))).select(
+        "doc_id", "afp"
+    )
+
+
+_MULTIMODAL_AUDIO_CONTOUR_SQL = f"""
+WITH wav AS (
+  SELECT doc_id, length(text) % 1000 + 1 AS n, doc_id % 256 AS seed
+  FROM documents WHERE doc_id % 2 = 1
+),
+samples AS (
+  SELECT doc_id, n,
+         abs(((seed * 31 + i * 17) % 65536) - 32768) AS a,
+         i * 64 // n AS w
+  FROM wav, unnest(generate_series(0, n - 1)) AS t(i)
+),
+tot AS (SELECT doc_id, sum(a) AS total FROM samples GROUP BY doc_id),
+wins AS (SELECT doc_id, max(n) AS n, w, sum(a) AS ws, count(*) AS nw
+         FROM samples GROUP BY doc_id, w),
+words AS (
+  SELECT w.doc_id,
+         sum(CASE WHEN ws * n > total * nw AND w.w < 32
+                  THEN 1::bigint << (31 - w.w) ELSE 0 END) AS hi,
+         sum(CASE WHEN ws * n > total * nw AND w.w >= 32
+                  THEN 1::bigint << (63 - w.w) ELSE 0 END) AS lo
+  FROM wins w JOIN tot USING (doc_id) GROUP BY w.doc_id
+)
+SELECT doc_id,
+       lower(lpad(to_hex(hi), 8, '0') || lpad(to_hex(lo), 8, '0')) AS afp
+FROM words
+"""
+
+
 def _video_frame_hashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame aHash table over the synthetic video corpus, staged
     once per session (the written frame-hash table every video-dedup
@@ -1186,6 +1225,16 @@ def _video_frame_hashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-frame hash table itself (container walk → per-frame
+    decode → aHash): the written artifact every video-dedup consumer
+    reads — one row per frame with the 16-hex perceptual hash. Oracle
+    replays the frame synthesis and pixel math in closed form."""
+    return _video_frame_hashes_shared(spark, sf_dir).select(
+        "doc_id", "frame_id", "ahash"
+    )
+
+
 def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs from frame hashes: real multi-frame
     containers (planted re-encoded + trimmed variants) → per-frame
@@ -1196,8 +1245,9 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_dedup_pairs(_video_frame_hashes_shared(spark, sf_dir))
 
 
-_MULTIMODAL_VIDEO_SQL = """
-WITH params AS (
+# Closed-form per-frame hash words for the synthetic video corpus —
+# shared by the frame-table oracle and the containment-dedup oracle.
+_VIDEO_WORDS_CTES = """params AS (
   SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS j,
          (doc_id // 4) % 13 + 9 AS w, (doc_id // 4) % 9 + 9 AS h,
          CASE WHEN doc_id % 4 = 2 THEN (doc_id // 4) % 3 + 1
@@ -1226,7 +1276,17 @@ words AS (
                   THEN 1::bigint << (63 - i) ELSE 0 END) AS lo
   FROM lums l JOIN th ON th.doc_id = l.doc_id AND th.k = l.k
   GROUP BY l.doc_id, l.k
-),
+)"""
+
+_MULTIMODAL_VFRAMES_SQL = f"""
+WITH {_VIDEO_WORDS_CTES}
+SELECT doc_id, cast(k AS int) AS frame_id,
+       lower(lpad(to_hex(hi), 8, '0') || lpad(to_hex(lo), 8, '0')) AS ahash
+FROM words
+"""
+
+_MULTIMODAL_VIDEO_SQL = f"""
+WITH {_VIDEO_WORDS_CTES},
 hset AS (SELECT DISTINCT doc_id, hi, lo FROM words),
 sizes AS (SELECT doc_id, count(*) AS nh FROM hset GROUP BY doc_id),
 inter AS (
@@ -3952,6 +4012,225 @@ SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
 
 _ANN_2LEVEL_SQL = _ann_2level_sql()
 
+# Same guard surgery as _ANN_DELETE_SQL for the two-level twin:
+# tombstones exclude members from the sims stage only (quantizers and
+# probes are untouched by delete, exactly like the reader).
+assert _MEMBER_GUARD in _ANN_2LEVEL_SQL
+_ANN_2LEVEL_DELETE_SQL = _ANN_2LEVEL_SQL.replace(
+    _MEMBER_GUARD,
+    _MEMBER_GUARD
+    + f" AND a.vec_id NOT IN ({', '.join(map(str, _DELETE_IDS))})",
+)
+
+
+def _ann_index_2level_flag_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Two-level index over the corpus MINUS the benchmark query ids —
+    the ingest-flag scenario: new vectors arrive, the store knows
+    nothing of them."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        build_ann_index_2level,
+    )
+
+    key = sf_dir + "#2level-flag"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_2l_flag_")
+        build_ann_index_2level(
+            spark,
+            rebalance(load_table(spark, sf_dir, "embeddings")).filter(
+                ~F.col("vec_id").isin(_QUERY_IDS)
+            ),
+            d,
+        )
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_2level_flag_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level ingest-flag verb as a query: flag a batch of NEW
+    vectors (the benchmark query ids, withheld from the build) against
+    the sharded-quantizer store — distributed two-stage broadcast probe
+    + cogrouped per-cell matmul (streaming/incremental_ann.
+    flag_against_index_2level). Oracle = the 2-level search math with
+    the quantizer prefixes taken from the WITHHELD corpus (first rows
+    by id among vec_id not in the batch), which is exactly what the
+    build stored."""
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        flag_against_index_2level,
+    )
+
+    batch = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isin(_QUERY_IDS)
+    )
+    return flag_against_index_2level(
+        spark, batch, _ann_index_2level_flag_shared(spark, sf_dir), k=_TOPK
+    )
+
+
+def _ann_2level_flag_sql() -> str:
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    ids = ", ".join(map(str, _QUERY_IDS))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+store AS (SELECT vec_id, emb FROM e WHERE vec_id NOT IN ({ids})),
+-- the build's quantizer pool: corpus rows with vec_id < max(G, C),
+-- positionally indexed by id order; C and G clamp to the pool size
+-- (exactly build_ann_index_2level's collect + clamp semantics)
+cpool AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS pos
+          FROM store
+          WHERE vec_id < {max(AI.N_GROUPS_2L, AI.N_CELLS_2L)}),
+c AS (SELECT pos AS cell, emb AS c_emb FROM cpool WHERE pos < {AI.N_CELLS_2L}),
+g AS (SELECT pos AS grp, emb AS g_emb FROM cpool WHERE pos < {AI.N_GROUPS_2L}),
+gmap AS (
+  SELECT cell, grp FROM (
+    SELECT c.cell, g.grp,
+           row_number() OVER (PARTITION BY c.cell
+                              ORDER BY {_cos_sql('c.c_emb', 'g.g_emb')} DESC, g.grp)
+             AS rn
+    FROM c, g) WHERE rn = 1
+),
+gl AS (SELECT g.grp, g.g_emb FROM g
+       WHERE g.grp IN (SELECT DISTINCT grp FROM gmap)),
+asgng AS (
+  SELECT vec_id, emb, grp FROM (
+    SELECT s.vec_id, s.emb, gl.grp,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {_cos_sql('s.emb', 'gl.g_emb')} DESC, gl.grp)
+             AS rn
+    FROM store s, gl) WHERE rn = 1
+),
+asgn AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT a.vec_id, a.emb, m.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_cos_sql('a.emb', 'c.c_emb')} DESC, m.cell)
+             AS rn
+    FROM asgng a JOIN gmap m ON m.grp = a.grp
+                 JOIN c ON c.cell = m.cell) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({ids})),
+qg AS (
+  SELECT q_id, grp FROM (
+    SELECT q.q_id, gl.grp,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'gl.g_emb')} DESC, gl.grp)
+             AS rn
+    FROM q, gl) WHERE rn <= {AI.N_PROBE_GROUPS}
+),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, m.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, m.cell)
+             AS rn
+    FROM q JOIN qg ON qg.q_id = q.q_id
+           JOIN gmap m ON m.grp = qg.grp
+           JOIN c ON c.cell = m.cell) WHERE rn <= {S.N_PROBE}
+),
+sims AS (
+  SELECT p.q_id, a.vec_id, {_cos_sql('q.q_emb', 'a.emb')} AS sim
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell
+  JOIN q ON q.q_id = p.q_id
+)
+SELECT q_id AS vec_id, vec_id_n AS neighbor_id, sim AS cosine,
+       cast(rnk AS int) AS rank FROM (
+  SELECT q_id, vec_id AS vec_id_n, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_TOPK}
+"""
+
+
+_ANN_2LEVEL_FLAG_SQL = _ann_2level_flag_sql()
+
+
+def _ann_index_2level_upsert_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Two-level index built on the FIRST HALF of the corpus, remainder
+    appended against the STORED quantizers — the incremental lifecycle
+    verb for the sharded layout. The half corpus covers both quantizer
+    prefixes (G=4, C=16 << half), so the oracle is the SAME SQL as the
+    one-shot build: hash equality proves append O(new) loses nothing."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        append_to_ann_index_2level,
+        build_ann_index_2level,
+    )
+
+    key = sf_dir + "#2level-upsert"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_2l_upsert_")
+        emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+        half = emb.count() // 2
+        build_ann_index_2level(spark, emb.filter(F.col("vec_id") < half), d)
+        append_to_ann_index_2level(
+            spark, emb.filter(F.col("vec_id") >= half), d
+        )
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_index_2level_upsert_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_topk(
+        spark,
+        _ann_index_2level_upsert_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+def _ann_index_2level_delete_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Full 2-level index with a block of ids tombstoned — the
+    layout-agnostic delete verb (the same tombstone side table and
+    reader anti-join as the single-level family)."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        build_ann_index_2level,
+        delete_from_ann_index,
+    )
+
+    key = sf_dir + "#2level-delete"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_2l_delete_")
+        build_ann_index_2level(
+            spark, rebalance(load_table(spark, sf_dir, "embeddings")), d
+        )
+        delete_from_ann_index(spark, _DELETE_IDS, d)
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_index_2level_delete_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level search over a tombstoned index: deleted vectors vanish,
+    survivors take their ranks, zero partition rewrites. Oracle = the
+    2-level twin minus the deleted ids (the reader anti-join's exact
+    relational meaning)."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_topk(
+        spark,
+        _ann_index_2level_delete_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
 
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
@@ -3977,7 +4256,15 @@ QUERIES = {
         multimodal_audio_near_dups,
         _MULTIMODAL_AUDIO_NEAR_SQL,
     ),
+    "multimodal_audio_contours": (
+        multimodal_audio_contours,
+        _MULTIMODAL_AUDIO_CONTOUR_SQL,
+    ),
     "multimodal_video_dedup": (multimodal_video_dedup, _MULTIMODAL_VIDEO_SQL),
+    "multimodal_video_frames": (
+        multimodal_video_frames,
+        _MULTIMODAL_VFRAMES_SQL,
+    ),
     "multimodal_image_near_dups": (
         multimodal_image_near_dups,
         _MULTIMODAL_NEAR_SQL,
@@ -4028,6 +4315,15 @@ QUERIES = {
     "ann_index_lsh_topk": (ann_index_lsh_topk, _ANN_LSH_SQL),
     "ann_index_upsert_topk": (ann_index_upsert_topk, _ANN_IVFPQ_SQL),
     "ann_index_2level_topk": (ann_index_2level_topk, _ANN_2LEVEL_SQL),
+    "ann_index_2level_upsert_topk": (
+        ann_index_2level_upsert_topk,
+        _ANN_2LEVEL_SQL,
+    ),
+    "ann_index_2level_delete_topk": (
+        ann_index_2level_delete_topk,
+        _ANN_2LEVEL_DELETE_SQL,
+    ),
+    "ann_2level_flag_batch": (ann_2level_flag_batch, _ANN_2LEVEL_FLAG_SQL),
     "ann_index_delete_topk": (ann_index_delete_topk, _ANN_DELETE_SQL),
     "ann_index_refined_recall": (ann_index_refined_recall, None),
     "ann_index_stats": (ann_index_stats, None),

@@ -141,6 +141,104 @@ def flag_against_index(
         probes.unpersist()
 
 
+def flag_against_index_2level(
+    spark: SparkSession,
+    emb_batch: DataFrame,
+    index_dir: str,
+    k: int = 3,
+    n_probe_groups: int = AI.N_PROBE_GROUPS,
+    n_probe: int = S.N_PROBE,
+    threshold: float | None = None,
+) -> DataFrame:
+    """:func:`flag_against_index` for the two-level (sharded-quantizer)
+    layout — the streaming/batch flag verb that keeps working past the
+    4096-cell cap. Probe selection runs DISTRIBUTED in two broadcast
+    stages, never collecting the batch: batch x coarse (broadcast,
+    ~n_groups rows) -> top coarse groups per vector, then a broadcast
+    join against the fine table restricted to those groups -> top
+    ``n_probe`` cells per vector. Per-vector quantizer work is
+    n_groups + n_probe_groups*(n_cells/n_groups) cosines — the same
+    term the driver-side reader saves. Scoring is the identical
+    cogrouped per-cell matmul over the (group, cell)-pruned,
+    tombstone-filtered raw scan; the result is eagerly
+    local-checkpointed (mutation-safe, like the single-level verb)."""
+    coarse = spark.read.parquet(M.table_path(index_dir, "coarse")).select(
+        F.col("group"), F.col("g_emb")
+    )
+    fine = spark.read.parquet(M.table_path(index_dir, "fine")).select(
+        "cell", "group", "c_emb"
+    )
+    q = emb_batch.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    wg = Window.partitionBy("q_id").orderBy(
+        F.col("gsim").desc(), F.col("group")
+    )
+    gprobes = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            "q_id",
+            "q_emb",
+            "group",
+            S.cosine_batch(F.col("q_emb"), F.col("g_emb")).alias("gsim"),
+        )
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= n_probe_groups)
+        .select("q_id", "q_emb", "group")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("cell")
+    )
+    probes = (
+        gprobes.join(F.broadcast(fine), "group")
+        .select(
+            "q_id",
+            "q_emb",
+            "group",
+            "cell",
+            S.cosine_batch(F.col("q_emb"), F.col("c_emb")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_emb", "group", "cell")
+    )
+    probes = probes.persist()
+    try:
+        pairs = sorted(
+            (r.group, r.cell)
+            for r in probes.select("group", "cell").distinct().collect()
+        )
+        raw = AI._live(
+            spark,
+            index_dir,
+            spark.read.parquet(M.table_path(index_dir, "raw")).where(
+                F.col("group").isin(sorted({g for g, _ in pairs}))
+                & F.col("cell").isin(sorted({c for _, c in pairs}))
+            ),
+        )
+        local = S.knn_join_cells(
+            probes.select("q_id", "q_emb", "cell"),
+            raw.select("vec_id", "embedding", "cell"),
+            k,
+        )
+        top = S.topk_per_key(
+            local.withColumnRenamed("vec_id", "neighbor_id"),
+            "q_id",
+            [F.col("cosine").desc(), F.col("neighbor_id")],
+            k,
+        ).select(
+            F.col("q_id").alias("vec_id"),
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        if threshold is not None:
+            top = top.filter(F.col("cosine") >= threshold)
+        return top.localCheckpoint(eager=True)
+    finally:
+        probes.unpersist()
+
+
 def run_incremental_ann(
     emb_stream: DataFrame,
     index_dir: str,

@@ -483,3 +483,67 @@ def test_auto_quantizer_shape_rule():
     # monotone non-decreasing total cells across decades
     cells = [AI.auto_quantizer_shape(10**p)[1] for p in range(3, 15)]
     assert cells == sorted(cells)
+
+
+def test_2level_upsert_equals_full_build(spark, index2_dir, tmp_path):
+    """build(first half) + append_to_ann_index_2level(rest) must be
+    search-equivalent to the one-shot build: stored quantizers make the
+    composed assignment identical for old and new rows."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d = str(tmp_path / "idx2l_upsert")
+    AI.build_ann_index_2level(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.append_to_ann_index_2level(
+        spark, emb.filter(F.col("vec_id") >= half), d
+    )
+    got = _rows(AI.ann_index_2level_topk(spark, d, _queries(spark), K))
+    expected = _rows(
+        AI.ann_index_2level_topk(spark, index2_dir, _queries(spark), K)
+    )
+    assert got == expected and len(got) == len(QUERY_IDS) * K
+
+
+def test_2level_delete_tombstones_filter_results(spark, tmp_path):
+    """The layout-agnostic tombstone delete applies to the 2-level
+    reader: deleted ids vanish from results, survivors fill the ranks,
+    nothing in the partitioned tables is rewritten."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "idx2l_del")
+    AI.build_ann_index_2level(spark, emb, d)
+    before = {
+        (r.q_id, r.rank): r.vec_id
+        for r in AI.ann_index_2level_topk(spark, d, _queries(spark), K).collect()
+    }
+    victims = sorted({v for v in before.values()})[:3]
+    files_before = sorted(M.data_files(M.table_path(d, "raw")))
+    AI.delete_from_ann_index(spark, victims, d)
+    after = AI.ann_index_2level_topk(spark, d, _queries(spark), K).collect()
+    assert sorted(M.data_files(M.table_path(d, "raw"))) == files_before
+    assert not {r.vec_id for r in after} & set(victims)
+    assert len(after) == len(QUERY_IDS) * K  # survivors fill the ranks
+
+
+def test_2level_flag_matches_reader(spark, tmp_path):
+    """flag_against_index_2level (distributed two-stage broadcast probe
+    + cogrouped per-cell matmul) must answer exactly what the
+    driver-probe reader answers for the same query vectors — the
+    ingest-flag verb and the search verb are one semantics."""
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        flag_against_index_2level,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "idx2l_flag")
+    AI.build_ann_index_2level(spark, emb.filter(F.col("vec_id") >= 10), d)
+    batch = emb.filter(F.col("vec_id") < 10)
+    flags = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in flag_against_index_2level(spark, batch, d, k=K).collect()
+    }
+    rows = emb.filter(F.col("vec_id") < 10).collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in rows]
+    reader = {
+        (r.q_id, r.rank): (r.vec_id, r.sim)
+        for r in AI.ann_index_2level_topk(spark, d, queries, K).collect()
+    }
+    assert flags == reader and len(flags) == len(queries) * K
