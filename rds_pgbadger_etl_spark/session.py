@@ -69,6 +69,21 @@ def size_shuffle_partitions(
         input_bytes, cores=spark.sparkContext.defaultParallelism
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    # AQE's coalescing works from POST-shuffle read bytes and assumes
+    # stages are size-preserving — for a stage that EXPANDS after the
+    # exchange (shingle explode, PQ long form) the default 64 MB
+    # advisory merges the volume-sized partitions right back down and
+    # the expanded working set spills (measured: the 8x pipeline
+    # rehearsal's verify join read 767 MB coalesced to 34 tasks and
+    # spilled 10.8 GB while spark.sql.shuffle.partitions was 235).
+    # Align the advisory with the same byte rule, quartered: post-
+    # shuffle data is typically compacted relative to scan-side input,
+    # and a 4x expansion margin keeps exploding stages in memory while
+    # AQE still coalesces genuinely tiny exchanges.
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        str(SHUFFLE_INPUT_BYTES_PER_PARTITION // 4),
+    )
     return n
 
 

@@ -54,5 +54,11 @@ def test_size_shuffle_partitions_applies_to_session(spark, tmp_path):
         )
         assert big == 1024
         assert spark.conf.get("spark.sql.shuffle.partitions") == "1024"
+        # AQE's advisory follows the same byte rule (quartered) so
+        # coalescing cannot undo the sizing on post-shuffle reads
+        assert spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ) == str(SES.SHUFFLE_INPUT_BYTES_PER_PARTITION // 4)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
