@@ -742,6 +742,98 @@ def video_dedup_pairs(frame_hashes: DataFrame) -> DataFrame:
     )
 
 
+def video_near_dup_pairs(
+    frame_hashes: DataFrame, max_hamming: int = _AHASH_MAX_HAMMING
+) -> DataFrame:
+    """Video near-dup pairs where frames need only be PERCEPTUALLY
+    close, not hash-identical — the near-match refinement of
+    :func:`video_dedup_pairs` (which catches re-encodes/trims whose
+    frames hash equal, but not re-renders that nudge a frame within a
+    few aHash bits). Frame-level candidates come from the same 4x16-bit
+    banding (pigeonhole recall guarantee at hamming <= max_hamming);
+    per video pair, a frame "matches" when it has >= 1 counterpart
+    within the threshold, and the pair survives when at least half of
+    the smaller side's DISTINCT frame hashes match (the integer
+    ``2*matched >= least(n_a, n_b)`` decision again). Only 64-bit
+    words and band values shuffle."""
+    hset = frame_hashes.select("doc_id", "ahash", "hi", "lo").distinct()
+    bands = hset.select(
+        "doc_id",
+        "ahash",
+        "hi",
+        "lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("hi") if i < 2 else F.col("lo"),
+                            16 if i % 2 == 0 else 0,
+                        )
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(_AHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", "hi", "lo", "bv.band", "bv.val")
+    hamming = (
+        F.bit_count(F.col("l.hi").bitwiseXOR(F.col("r.hi")))
+        + F.bit_count(F.col("l.lo").bitwiseXOR(F.col("r.lo")))
+    ).cast("int")
+    fpairs = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.ahash").alias("ha"),
+            F.col("r.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    matched = fpairs.groupBy("a", "b").agg(
+        F.countDistinct("ha").alias("ma"),
+        F.countDistinct("hb").alias("mb"),
+    )
+    sizes = hset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        matched.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b")),
+            "b",
+        )
+        .withColumn(
+            "matched_frames",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("ma")).otherwise(
+                F.col("mb")
+            ),
+        )
+    )
+    return (
+        joined.filter(2 * F.col("matched_frames") >= F.least("n_a", "n_b"))
+        .select(
+            "a",
+            "b",
+            F.col("matched_frames").cast("int").alias("matched_frames"),
+            F.round(
+                F.col("matched_frames") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched fake feature extraction over the binary payload.
 

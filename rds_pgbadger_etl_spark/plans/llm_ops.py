@@ -1304,6 +1304,58 @@ WHERE 2 * shared >= least(sa.nh, sb.nh)
 """
 
 
+def multimodal_video_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video near-dups where frames need only be perceptually CLOSE
+    (hamming <= 3 per frame), not hash-identical — catches re-renders
+    that nudge pixels, on top of the exact-frame re-encode/trim cases
+    multimodal_video_dedup covers. Frame-level banded candidates, then
+    the same integer containment decision over MATCHED (not equal)
+    frames. Oracle replays the closed-form frame words, the banding,
+    and the min-side matched count."""
+    return M.video_near_dup_pairs(_video_frame_hashes_shared(spark, sf_dir))
+
+
+_MULTIMODAL_VIDEO_NEAR_SQL = f"""
+WITH {_VIDEO_WORDS_CTES},
+hset AS (
+  SELECT DISTINCT doc_id,
+         lower(lpad(to_hex(hi), 8, '0') || lpad(to_hex(lo), 8, '0')) AS ah,
+         hi, lo
+  FROM words
+),
+fb AS (
+  SELECT doc_id, ah, hi, lo, b.i AS band,
+         CASE b.i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                  WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS val
+  FROM hset, range(4) b(i)
+),
+fpairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.ah AS ha, r.ah AS hb
+  FROM fb l
+  JOIN fb r ON l.band = r.band AND l.val = r.val
+           AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) <= 3
+),
+m AS (
+  SELECT a, b, count(DISTINCT ha) AS ma, count(DISTINCT hb) AS mb
+  FROM fpairs GROUP BY a, b
+),
+sizes AS (SELECT doc_id, count(*) AS nh FROM hset GROUP BY doc_id)
+SELECT m.a, m.b,
+       cast(CASE WHEN sa.nh <= sb.nh THEN ma ELSE mb END AS int)
+         AS matched_frames,
+       round(CASE WHEN sa.nh <= sb.nh THEN ma ELSE mb END
+             / least(sa.nh, sb.nh), 6) AS containment
+FROM m
+JOIN sizes sa ON sa.doc_id = m.a
+JOIN sizes sb ON sb.doc_id = m.b
+WHERE 2 * (CASE WHEN sa.nh <= sb.nh THEN ma ELSE mb END)
+      >= least(sa.nh, sb.nh)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data assembly: deterministic weighted sampling (data mixing),
 # per-group top-k selection, and quantile (curriculum) bucketing.
@@ -4264,6 +4316,10 @@ QUERIES = {
     "multimodal_video_frames": (
         multimodal_video_frames,
         _MULTIMODAL_VFRAMES_SQL,
+    ),
+    "multimodal_video_near_dups": (
+        multimodal_video_near_dups,
+        _MULTIMODAL_VIDEO_NEAR_SQL,
     ),
     "multimodal_image_near_dups": (
         multimodal_image_near_dups,

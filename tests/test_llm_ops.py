@@ -866,3 +866,28 @@ def test_video_dedup_planted_variants(spark):
         for j in range(3):
             key = tuple(sorted((base + j, base + 3)))
             assert key not in pairs
+
+
+def test_video_near_dup_pairs_frame_level_hamming(spark):
+    """video_near_dup_pairs must pair videos whose frames are CLOSE but
+    not identical (the case video_dedup_pairs misses): video 2's first
+    frame is one bit off video 1's, its second is far from everything,
+    so exactly half the smaller side matches (containment 0.5)."""
+    def row(doc, fid, hi, lo):
+        return (doc, fid, f"{hi:08x}{lo:08x}", hi, lo)
+
+    far = 0x0F0F0F0F
+    rows = [
+        row(1, 0, 0xFFFF0000, 0), row(1, 1, 0x12345678, 0x9ABCDEF0),
+        row(2, 0, 0xFFFF0001, 0), row(2, 1, far, far),  # 1 bit off A
+        row(3, 0, 0x00FF00FF, 0x11111111), row(3, 1, 0x33333333, 0x77777777),
+    ]
+    fh = spark.createDataFrame(
+        rows, "doc_id long, frame_id int, ahash string, hi long, lo long"
+    )
+    near = {(r.a, r.b): (r.matched_frames, r.containment)
+            for r in M.video_near_dup_pairs(fh).collect()}
+    assert near == {(1, 2): (1, 0.5)}
+    # the exact-frame join does NOT pair them — no identical hashes
+    exact = M.video_dedup_pairs(fh).collect()
+    assert exact == []
