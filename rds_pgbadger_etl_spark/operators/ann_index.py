@@ -48,6 +48,14 @@ Query = tuple[int, list[float]]
 
 AUTO_CELL_ROWS = 65_536  # target IVF cell volume for auto sizing
 AUTO_MAX_CELLS = 4_096
+# Fine-cell ceiling for the SHIPPED two-level build: quantizer training
+# collects the max(n_groups, n_cells) prefix to the driver and
+# _group_of_cells does a dense n_cells x n_groups matmul — ~1M cells
+# (256 MB of float64 centroids at DIM=64) is where that pass stops
+# being driver-feasible. The (group, cell) LAYOUT itself would carry
+# AUTO_MAX_CELLS**2 cells; raising this cap means distributing the
+# quantizer-assignment pass, not changing the layout or any reader.
+AUTO_MAX_CELLS_2L = 2**20
 
 # Two-level IVF defaults for the registered benchmark queries (tiny
 # fixture corpora; production shapes come from auto_quantizer_shape).
@@ -101,9 +109,16 @@ def auto_quantizer_shape(n_vecs: int) -> tuple[int, int]:
     ``n_groups + n_probe_groups * n_cells / n_groups`` centroid cosines
     instead of ``n_cells`` — the driver/assignment-side wall that
     motivated the cap. Both levels stay power-of-two for stability
-    across nearby corpus sizes; the scheme covers AUTO_MAX_CELLS**2
-    fine cells (~1.1e12 rows) before either level would itself need
-    sharding again.
+    across nearby corpus sizes.
+
+    The rule clamps at AUTO_MAX_CELLS_2L fine cells (~6.9e10 rows at
+    constant volume) — not the layout's theoretical AUTO_MAX_CELLS**2 —
+    because the SHIPPED build trains the quantizers driver-side
+    (build_ann_index_2level's prefix collect + _group_of_cells matmul),
+    which is feasible to ~1M cells. Past the clamp, cells fatten
+    linearly exactly as single-level does past ITS cap; recovering
+    constant volume means distributing the quantizer-assignment pass,
+    which changes no reader and no layout.
     """
     import math
 
@@ -112,7 +127,7 @@ def auto_quantizer_shape(n_vecs: int) -> tuple[int, int]:
     n_cells = int(max(S.N_CENTROIDS, pow2))
     if n_cells <= AUTO_MAX_CELLS:
         return 1, n_cells
-    n_cells = min(n_cells, AUTO_MAX_CELLS**2)
+    n_cells = min(n_cells, AUTO_MAX_CELLS_2L)
     n_groups = 2 ** round(math.log2(math.sqrt(n_cells)))
     return int(n_groups), n_cells
 
@@ -551,6 +566,25 @@ _PARTITIONED_TABLES = {
     "lsh_buckets": "table_id",
 }
 
+# The two-level (sharded-quantizer) layout's partitioned tables: corpus
+# tables keyed by the composed (group, cell); the fine quantizer shard
+# table by group. No lsh_buckets arm in this layout.
+_PARTITIONED_TABLES_2L = {
+    "vectors": ("group", "cell"),
+    "raw": ("group", "cell"),
+    "fine": ("group",),
+}
+
+
+def _is_2level(index_dir: str) -> bool:
+    """Which layout lives at ``index_dir`` — the two schemes' table sets
+    are disjoint markers (2-level has ``coarse/``, single-level has
+    ``centroids/``), so maintenance verbs can dispatch without a flag.
+    (Local-FS probe, like ann_index_exists.)"""
+    import os
+
+    return os.path.isdir(M.table_path(index_dir, "coarse"))
+
 
 _data_files = M.data_files
 
@@ -558,7 +592,7 @@ _data_files = M.data_files
 def compact_ann_index(
     spark: SparkSession,
     index_dir: str,
-    tables: tuple[str, ...] = ("vectors", "raw", "lsh_buckets"),
+    tables: tuple[str, ...] | None = None,
 ) -> dict:
     """Rewrite each partitioned artifact table so every partition holds
     one file-set again, and return per-table file counts before/after.
@@ -587,9 +621,15 @@ def compact_ann_index(
     the deleted rows' storage is actually reclaimed. Partial-table
     compactions keep the tombstones (the anti-join is idempotent, so a
     survivor table stays correct either way).
+
+    Works on BOTH layouts: the single-level (cell / table_id) tables and
+    the two-level (group, cell) tables — dispatch is by the on-disk
+    marker (:func:`_is_2level`); ``tables=None`` compacts every
+    partitioned table of whichever layout is present.
     """
+    table_map = _PARTITIONED_TABLES_2L if _is_2level(index_dir) else _PARTITIONED_TABLES
     return M.compact_index(
-        spark, index_dir, _PARTITIONED_TABLES, tables, "vec_id"
+        spark, index_dir, table_map, tables or tuple(table_map), "vec_id"
     )
 
 
@@ -600,8 +640,9 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     ``max_part_files``) and whether the partitioning is balanced
     (``max_part_rows`` vs ``avg_part_rows``). Rows-only by design: the
     physical file layout is Spark-side state with no SQL-expressible
-    DuckDB twin."""
-    return M.index_stats(spark, index_dir, _PARTITIONED_TABLES)
+    DuckDB twin. Layout-dispatched like :func:`compact_ann_index`."""
+    table_map = _PARTITIONED_TABLES_2L if _is_2level(index_dir) else _PARTITIONED_TABLES
+    return M.index_stats(spark, index_dir, table_map)
 
 
 # --------------------------------------------------------------------------
@@ -622,6 +663,16 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
 #   the corpus under the COMPOSED assignment (nearest live group, then
 #   nearest fine cell within it). Search prunes on group at the top
 #   directory level and cell below it.
+# - ``codebook/`` (subspace, dim, cell, ic) — the PQ codebook, same
+#   layout and convention as the single-level table (corpus rows with
+#   vec_id < PQ_K, integer domain), so ``_load_codebook``/``_adc_lut``
+#   serve both families unchanged.
+# - ``vectors/`` (vec_id, subspace, code) **partitioned by (group,
+#   cell)** — the PQ-encoded corpus: the billion-vector arm. The layout
+#   exists precisely for corpora past ~270M vectors, where a probed-cell
+#   scan of raw floats (256 B/vector at DIM=64 float32) costs ~100x the
+#   IO of 2-byte PQ codes; ``ann_index_2level_ivfpq_topk`` reads ONLY
+#   this table plus the metadata-sized quantizers.
 #
 # Assignment, probe selection, and scoring all use the same rounded-6
 # cosine + (sim desc, id asc) tie-break as the single-level family, so
@@ -633,9 +684,9 @@ def _group_of_cells(c_mat: np.ndarray, g_mat: np.ndarray) -> np.ndarray:
     """cell -> nearest coarse group (rounded cosine, ties to lower
     group id) — the gmap that shards the fine quantizer. Driver-side:
     n_cells x n_groups cosines over the two metadata-sized quantizer
-    matrices (33 MB of centroids at the 65k-cell shape; past ~1M cells
-    this pass itself would distribute, which is beyond the
-    AUTO_MAX_CELLS**2 coverage documented on auto_quantizer_shape)."""
+    matrices (33 MB of centroids at the 65k-cell shape) — feasible to
+    ~1M cells, which is exactly where auto_quantizer_shape clamps
+    (AUTO_MAX_CELLS_2L); past that this pass must distribute."""
     c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
     g_norm = np.sqrt(np.einsum("ij,ij->i", g_mat, g_mat))
     sims = np.round((c_mat @ g_mat.T) / (c_norm[:, None] * g_norm[None, :]), 6)
@@ -705,12 +756,17 @@ def build_ann_index_2level(
     maps to single-level still build fine here (n_groups=1 is just one
     coarse shard). Corpus assignment is ONE map-only pass
     (nearest_cell_2level_udf — no join, no shuffle; the only exchange is
-    the partitionBy write)."""
+    the partitionBy write), feeding BOTH partitioned layouts: ``raw/``
+    (the exact-rerank arm) and ``vectors/`` (PQ codes — the arm a
+    billion-vector probe actually scans; codebook convention identical
+    to :func:`build_ann_index`, so quantizer immutability and code
+    comparability carry over verbatim)."""
     if n_groups is None or n_cells is None:
         auto_g, auto_c = auto_quantizer_shape(emb.count())
         n_groups = auto_g if n_groups is None else n_groups
         n_cells = auto_c if n_cells is None else n_cells
     _COARSE.pop(index_dir, None)
+    _CODEBOOKS.pop(index_dir, None)
 
     cent_rows = (
         emb.filter(F.col("vec_id") < max(n_groups, n_cells))
@@ -772,15 +828,48 @@ def build_ann_index_2level(
     gmap_df = spark.createDataFrame(
         [(int(c), int(gmap[c])) for c in range(n_cells)], "cell long, group long"
     )
-    (
+
+    # PQ codebook — the single-level convention verbatim (corpus rows
+    # with vec_id < PQ_K, integer domain): _load_codebook/_adc_lut work
+    # on a 2-level dir with zero changes
+    codebook = (
+        S.pq_long_form(emb)
+        .filter(F.col("vec_id") < S.PQ_K)
+        .select(
+            "subspace",
+            "dim",
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("iv").alias("ic"),
+        )
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(
+        M.table_path(index_dir, "codebook")
+    )
+
+    # one composed-assignment pass feeds both partitioned layouts
+    assigned = (
         emb.select("vec_id", "embedding", nearest(F.col("embedding")).alias("cell"))
         .join(F.broadcast(gmap_df), "cell")
         .select("vec_id", "embedding", "group", "cell")
-        .repartition("group", "cell")
-        .write.mode("overwrite")
-        .partitionBy("group", "cell")
-        .parquet(M.table_path(index_dir, "raw"))
+        .persist()
     )
+    try:
+        (
+            assigned.repartition("group", "cell")
+            .write.mode("overwrite")
+            .partitionBy("group", "cell")
+            .parquet(M.table_path(index_dir, "raw"))
+        )
+        codes = S.pq_codes_fast(emb)
+        (
+            codes.join(assigned.select("vec_id", "group", "cell"), "vec_id")
+            .repartition("group", "cell")
+            .write.mode("overwrite")
+            .partitionBy("group", "cell")
+            .parquet(M.table_path(index_dir, "vectors"))
+        )
+    finally:
+        assigned.unpersist()
 
 
 def append_to_ann_index_2level(
@@ -812,17 +901,33 @@ def append_to_ann_index_2level(
         np.array(groups, dtype="int64"), g_mat, fine_by_group
     )
     gmap_df = spark.createDataFrame(gmap_pairs, "cell long, group long")
-    (
+    assigned = (
         emb_new.select(
             "vec_id", "embedding", nearest(F.col("embedding")).alias("cell")
         )
         .join(F.broadcast(gmap_df), "cell")
         .select("vec_id", "embedding", "group", "cell")
-        .repartition("group", "cell")
-        .write.mode("append")
-        .partitionBy("group", "cell")
-        .parquet(M.table_path(index_dir, "raw"))
+        .persist()
     )
+    try:
+        (
+            assigned.repartition("group", "cell")
+            .write.mode("append")
+            .partitionBy("group", "cell")
+            .parquet(M.table_path(index_dir, "raw"))
+        )
+        # PQ-encode against the STORED codebook (immutable-quantizer
+        # invariant: old and new codes stay comparable under one LUT)
+        codes = S.pq_codes_fast(emb_new, ic=_load_codebook(spark, index_dir))
+        (
+            codes.join(assigned.select("vec_id", "group", "cell"), "vec_id")
+            .repartition("group", "cell")
+            .write.mode("append")
+            .partitionBy("group", "cell")
+            .parquet(M.table_path(index_dir, "vectors"))
+        )
+    finally:
+        assigned.unpersist()
 
 
 _COARSE: dict[str, tuple] = {}
@@ -840,23 +945,21 @@ def _read_coarse(spark: SparkSession, index_dir: str):
     return groups, mat
 
 
-def ann_index_2level_topk(
+def _probe_cells_2level(
     spark: SparkSession,
     index_dir: str,
     queries: list[Query],
-    k: int = 5,
     n_probe_groups: int = N_PROBE_GROUPS,
     n_probe: int = S.N_PROBE,
-) -> DataFrame:
-    """Two-level IVF search from the artifact: coarse-probe the live
-    groups (driver, n_groups cosines), fetch ONLY the probed groups'
-    fine-centroid shards (partition-pruned ``fine/`` read), rank each
-    query's candidate cells within its own probed groups, then exact
-    cosine inside the probed (group, cell) raw partitions. Output
-    contract matches similarity.ivf_topk: (q_id, vec_id, sim, rank).
-    Per query the quantizer work is n_groups + n_probe_groups *
-    n_cells/n_groups cosines — never n_cells — which is what lets the
-    cell count keep the constant-volume rule uncapped."""
+) -> list[tuple[int, int, int]]:
+    """(q_id, group, cell) probe triples for the sharded quantizer:
+    coarse-probe the live groups (driver, n_groups cosines per query),
+    fetch ONLY the probed groups' fine-centroid shards (partition-pruned
+    ``fine/`` read), then rank each query's candidate cells within its
+    own probed groups — n_groups + n_probe_groups*(n_cells/n_groups)
+    cosines per query, never n_cells. Shared by the IVF-Flat and IVF-PQ
+    readers so both arms probe identically (same rounded-6 cosine +
+    (sim desc, cell asc) tie-break as the single-level _probe_cells)."""
     groups, g_mat = _read_coarse(spark, index_dir)
     q_groups: dict[int, list[int]] = {}
     for q_id, vec in queries:
@@ -885,7 +988,29 @@ def ann_index_2level_topk(
             key=lambda gcs: (-gcs[2], gcs[1]),
         )
         probes.extend((q_id, g, c) for g, c, _ in ranked[:n_probe])
+    return probes
 
+
+def ann_index_2level_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    n_probe_groups: int = N_PROBE_GROUPS,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """Two-level IVF search from the artifact: coarse-probe the live
+    groups (driver, n_groups cosines), fetch ONLY the probed groups'
+    fine-centroid shards (partition-pruned ``fine/`` read), rank each
+    query's candidate cells within its own probed groups, then exact
+    cosine inside the probed (group, cell) raw partitions. Output
+    contract matches similarity.ivf_topk: (q_id, vec_id, sim, rank).
+    Per query the quantizer work is n_groups + n_probe_groups *
+    n_cells/n_groups cosines — never n_cells — which is what lets the
+    cell count keep the constant-volume rule uncapped."""
+    probes = _probe_cells_2level(
+        spark, index_dir, queries, n_probe_groups, n_probe
+    )
     probes_df = spark.createDataFrame(probes, "q_id long, group long, cell long")
     cells = sorted({c for _, _, c in probes})
     raw = _live(
@@ -908,4 +1033,50 @@ def ann_index_2level_topk(
     )
     return S.topk_per_key(
         scored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )
+
+
+def ann_index_2level_ivfpq_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    n_probe_groups: int = N_PROBE_GROUPS,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """IVF-PQ search over the sharded-quantizer layout — the
+    billion-vector arm the two-level index exists for: probe selection
+    is the shared two-level term (n_groups + n_probe_groups *
+    n_cells/n_groups cosines per query), and the corpus is touched ONLY
+    through the (group, cell)-pruned ``vectors/`` PQ codes — log2(PQ_K)
+    bits per subspace per vector instead of full raw floats, the ~100x
+    probed-IO cut at scale. Scoring is the exact single-level ADC math
+    (broadcast integer LUT from the shared ``codebook/`` table, sum of
+    per-subspace squared distances, vec_id tie-break), so the output
+    contract matches :func:`ann_index_ivfpq_topk`: (q_id, vec_id,
+    adc_dist, rank)."""
+    probes = _probe_cells_2level(
+        spark, index_dir, queries, n_probe_groups, n_probe
+    )
+    lut = _adc_lut(spark, index_dir, queries)
+    probes_df = spark.createDataFrame(probes, "q_id long, group long, cell long")
+    lut_df = spark.createDataFrame(lut, _LUT_SCHEMA)
+
+    vectors = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(M.table_path(index_dir, "vectors")).where(
+            F.col("group").isin(sorted({g for _, g, _ in probes}))
+            & F.col("cell").isin(sorted({c for _, _, c in probes}))
+        ),
+    )
+    scored = (
+        vectors.join(F.broadcast(probes_df), ["group", "cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(lut_df), ["q_id", "subspace", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    return S.topk_per_key(
+        scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], k
     )

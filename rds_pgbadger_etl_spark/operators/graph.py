@@ -38,7 +38,7 @@ def iterate_with_checkpoint(
     """Run ``state = step(state, t)`` for t = 1..n_iters, truncating
     lineage with an eager ``localCheckpoint`` every ``checkpoint_every``
     rounds. The checkpoint changes ONLY physical lineage, never values:
-    a checkpointed deep run is bit-identical to the unchaptered one
+    a checkpointed deep run is bit-identical to the uncheckpointed one
     (test-pinned). Not checkpointing after the FINAL step leaves the
     last plan lazy for the caller's own projection/write."""
     for t in range(1, n_iters + 1):
@@ -68,6 +68,17 @@ def pagerank_exact(
     (src, dst)."""
     n = nodes.count()  # one scalar: the PR normalizer
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # exactness precondition: 102/outdeg must divide evenly, i.e.
+    # outdeg in {1, 2, 3} — a higher outdegree would silently truncate
+    # in the cast below and return quietly-wrong ranks. Fail loudly
+    # instead (one metadata-sized take on the aggregated degree table).
+    bad = deg.filter(F.col("outdeg") > 3).take(1)
+    if bad:
+        raise ValueError(
+            "pagerank_exact requires outdegrees in {1,2,3} (k<=3 kNN "
+            f"graph); found src={bad[0]['src']} with outdeg="
+            f"{bad[0]['outdeg']}"
+        )
     ew = edges.join(deg, "src").select(
         "src", "dst", (F.lit(102) / F.col("outdeg")).cast("long").alias("w")
     )

@@ -175,10 +175,32 @@ def live(
     return df.join(F.broadcast(tomb), key_col, "left_anti")
 
 
+def _partition_cols(pc) -> tuple[str, ...]:
+    """Normalize a table's partition spec — a single column name or a
+    tuple of them (multi-level layouts like the two-level ANN index's
+    (group, cell)) — to a tuple."""
+    return (pc,) if isinstance(pc, str) else tuple(pc)
+
+
+def _leaf_partition_count(src: str, pcs: tuple[str, ...]) -> int:
+    """Exact partition-value count from the directory layout (no scan):
+    walk one `col=value` directory level per partition column."""
+    dirs = [src]
+    for pc in pcs:
+        dirs = [
+            os.path.join(d, sub)
+            for d in dirs
+            for sub in os.listdir(d)
+            if sub.startswith(f"{pc}=")
+            and os.path.isdir(os.path.join(d, sub))
+        ]
+    return max(1, len(dirs))
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
-    tables: dict[str, str],
+    tables: dict[str, str | tuple[str, ...]],
     compact_tables: tuple[str, ...] | None = None,
     tombstone_key: str | None = None,
     rows_per_task: dict[str, int] | None = None,
@@ -214,30 +236,23 @@ def compact_index(
     )
     stats = {}
     for t in todo:
-        pc = tables[t]
+        pcs = _partition_cols(tables[t])
         src = table_path(index_dir, t)
         new_dir = f"{index_dir}/{t}__g{_gen_of(os.path.basename(src), t) + 1}"
         before = len(data_files(src))
         table_df = spark.read.parquet(src)
-        if tomb is not None:
+        # quantizer-metadata tables (e.g. the 2-level `fine/` shard map)
+        # carry no corpus key — tombstones don't apply to them
+        if tomb is not None and tombstone_key in table_df.columns:
             table_df = table_df.join(
                 F.broadcast(tomb), tombstone_key, "left_anti"
             )
         rpt = (rows_per_task or {}).get(t)
         if rpt:
             n_tasks = max(1, math.ceil(table_df.count() / rpt))
-            # partition-value count from the directory layout (exact,
-            # no scan): bare-table dirs are `pc=value` subdirs
-            n_vals = max(
-                1,
-                sum(
-                    1
-                    for d in os.listdir(src)
-                    if d.startswith(f"{pc}=")
-                ),
-            )
+            n_vals = _leaf_partition_count(src, pcs)
             salt = max(1, math.ceil(n_tasks / n_vals))
-            exprs = [F.col(pc)]
+            exprs = [F.col(c) for c in pcs]
             if salt > 1 and tombstone_key:
                 # seeded hash — partition values are commonly themselves
                 # pmod(hash(key), n_vals), and an unseeded
@@ -252,10 +267,10 @@ def compact_index(
                 )
             part = table_df.repartition(n_tasks, *exprs)
         else:
-            part = table_df.repartition(F.col(pc))
+            part = table_df.repartition(*[F.col(c) for c in pcs])
         (
             part.write.mode("overwrite")
-            .partitionBy(pc)
+            .partitionBy(*pcs)
             .parquet(new_dir)
         )
         manifest = _read_manifest(index_dir)
@@ -277,7 +292,7 @@ def compact_index(
 
 
 def index_stats(
-    spark: SparkSession, index_dir: str, tables: dict[str, str]
+    spark: SparkSession, index_dir: str, tables: dict[str, str | tuple[str, ...]]
 ) -> DataFrame:
     """Layout audit: one row per table with rows/partition skew and
     files/partition — rising ``max_part_files`` says compact now;
@@ -285,9 +300,10 @@ def index_stats(
     Rows-only by design: physical file layout has no SQL twin."""
     out = None
     for t, pc in tables.items():
+        pcs = _partition_cols(pc)
         per_part = (
             spark.read.parquet(table_path(index_dir, t))
-            .groupBy(F.col(pc).alias("part"))
+            .groupBy(*[F.col(c) for c in pcs])
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.countDistinct(F.col("_metadata.file_path")).alias("files"),

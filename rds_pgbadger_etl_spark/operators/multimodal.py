@@ -384,7 +384,9 @@ def image_near_dup_pairs(hashes: DataFrame) -> DataFrame:
 
 
 def hamming_band_pairs(
-    words: DataFrame, max_hamming: int = _AHASH_MAX_HAMMING
+    words: DataFrame,
+    max_hamming: int = _AHASH_MAX_HAMMING,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Banded Hamming pair join over any 64-bit signature split into
     (doc_id, hi, lo) 32-bit words — the shared engine behind image aHash
@@ -392,7 +394,21 @@ def hamming_band_pairs(
     popcount verify. Pigeonhole recall guarantee: ``max_hamming`` wrong
     bits can dirty at most ``max_hamming`` of the 4 bands, so any pair
     within the default <= 3 threshold shares a clean band. All JVM-side
-    bit arithmetic (shift/and/xor/bit_count) — no Python in the join."""
+    bit arithmetic (shift/and/xor/bit_count) — no Python in the join.
+
+    ``max_band_freq`` bounds the equi-join's hot keys: a band value
+    shared by f signatures contributes f^2/2 candidate rows, so a
+    constant signature region (black frames, silence) occurring in a
+    large fraction of the corpus makes one 16-bit value quadratic. With
+    the cap, (band, val) buckets larger than the cap are excluded from
+    candidate generation — the hot set is metadata-sized by construction
+    (< 4*2^16 values can ever exceed a fixed cap... in practice a
+    handful), so the exclusion is a broadcast anti-join. Recall: a true
+    pair is lost only if EVERY clean band it shares is globally hot —
+    for near-identical variants of non-degenerate content the clean
+    bands carry the content's own bits, so planted-variant recall is
+    unharmed (rehearsed in tools/multimodal_rehearsal.py). Default off:
+    the fixture-scale oracle twins model the uncapped join."""
     w = words.select("doc_id", "hi", "lo")
     bands = w.select(
         "doc_id",
@@ -413,6 +429,14 @@ def hamming_band_pairs(
             )
         ).alias("bv"),
     ).select("doc_id", "bv.band", "bv.val")
+    if max_band_freq is not None:
+        hot = (
+            bands.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("band", "val")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")
     cand = (
         bands.alias("l")
         .join(
@@ -493,16 +517,24 @@ def audio_contour64(df: DataFrame) -> DataFrame:
                 a = np.abs(s)
                 wdx = (np.arange(n) * _CONTOUR_WINDOWS) // n
                 total = int(a.sum())
-                hi = lo = 0
-                for wi in range(_CONTOUR_WINDOWS):
-                    mask = wdx == wi
-                    nw = int(mask.sum())
-                    ws = int(a[mask].sum())
-                    if ws * n > total * nw:
-                        if wi < 32:
-                            hi |= 1 << (31 - wi)
-                        else:
-                            lo |= 1 << (63 - wi)
+                # all 64 window sums/counts in two bincount passes, not
+                # 64 masked scans (float64 weights are exact: sums of
+                # ints < 2^53); the 64 threshold comparisons stay in
+                # Python ints — total*nw can exceed int64 on hour-long
+                # clips — so the contour is bit-identical to the old
+                # per-window integer loop
+                ws = np.bincount(
+                    wdx, weights=a, minlength=_CONTOUR_WINDOWS
+                ).astype(np.int64).tolist()
+                nw = np.bincount(wdx, minlength=_CONTOUR_WINDOWS).tolist()
+                hot = np.fromiter(
+                    (w * n > total * c for w, c in zip(ws, nw)),
+                    dtype=bool,
+                    count=_CONTOUR_WINDOWS,
+                )
+                packed = np.packbits(hot)  # MSB-first, like 1<<(31-wi)
+                hi = int.from_bytes(packed[:4].tobytes(), "big")
+                lo = int.from_bytes(packed[4:8].tobytes(), "big")
                 ids.append(int(did))
                 fps.append(f"{hi:08x}{lo:08x}")
                 his.append(hi)
@@ -743,7 +775,9 @@ def video_dedup_pairs(frame_hashes: DataFrame) -> DataFrame:
 
 
 def video_near_dup_pairs(
-    frame_hashes: DataFrame, max_hamming: int = _AHASH_MAX_HAMMING
+    frame_hashes: DataFrame,
+    max_hamming: int = _AHASH_MAX_HAMMING,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Video near-dup pairs where frames need only be PERCEPTUALLY
     close, not hash-identical — the near-match refinement of
@@ -755,7 +789,19 @@ def video_near_dup_pairs(
     within the threshold, and the pair survives when at least half of
     the smaller side's DISTINCT frame hashes match (the integer
     ``2*matched >= least(n_a, n_b)`` decision again). Only 64-bit
-    words and band values shuffle."""
+    words and band values shuffle.
+
+    ``max_band_freq`` is the hot-band cap of :func:`hamming_band_pairs`
+    applied at FRAME granularity — the exposure is worse here because a
+    degenerate frame (black/uniform: constant aHash words) recurs across
+    most videos, making its band values quadratic in the corpus's frame
+    count. Buckets above the cap are excluded via a broadcast anti-join;
+    a video pair is lost only if every matching frame pair's every
+    clean band is globally hot — i.e. pairs held together ONLY by
+    boilerplate frames, which the containment decision should not count
+    anyway. Default off (oracle twins model the uncapped join);
+    production corpora should set it (rehearsed with a planted hot band
+    in tools/multimodal_rehearsal.py)."""
     hset = frame_hashes.select("doc_id", "ahash", "hi", "lo").distinct()
     bands = hset.select(
         "doc_id",
@@ -779,6 +825,14 @@ def video_near_dup_pairs(
             )
         ).alias("bv"),
     ).select("doc_id", "ahash", "hi", "lo", "bv.band", "bv.val")
+    if max_band_freq is not None:
+        hot = (
+            bands.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("band", "val")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")
     hamming = (
         F.bit_count(F.col("l.hi").bitwiseXOR(F.col("r.hi")))
         + F.bit_count(F.col("l.lo").bitwiseXOR(F.col("r.lo")))

@@ -4284,6 +4284,118 @@ def ann_index_2level_delete_topk(
     )
 
 
+def ann_index_2level_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level index's PQ arm — the billion-vector path: probe
+    selection is the sharded-quantizer term (groups, then cells within
+    probed groups), and scoring reads ONLY the (group, cell)-pruned
+    ``vectors/`` PQ codes with the broadcast integer ADC LUT — 2-byte
+    codes instead of raw floats, the ~100x probed-IO cut the layout
+    exists for. Oracle = the composed-assignment membership/probes of
+    _ANN_2LEVEL_SQL + the exact ADC math of _ANN_IVFPQ_SQL."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_ivfpq_topk(
+        spark,
+        _ann_index_2level_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+# The 2-level twin's quantizer/membership/probe CTEs with the
+# single-level ADC scoring grafted on: members come from the COMPOSED
+# assignment (nearest live group, then nearest fine cell within it),
+# probes from the two-level selection, distances from the shared PQ
+# codebook (corpus rows with vec_id < PQ_K — the same convention both
+# build verbs store).
+def _ann_2level_ivfpq_sql() -> str:
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {AI.N_CELLS_2L}),
+g AS (SELECT vec_id AS grp, emb AS g_emb FROM e WHERE vec_id < {AI.N_GROUPS_2L}),
+gmap AS (
+  SELECT cell, grp, c_emb FROM (
+    SELECT c.cell, g.grp, c.c_emb,
+           row_number() OVER (PARTITION BY c.cell
+                              ORDER BY {_cos_sql('c.c_emb', 'g.g_emb')} DESC, g.grp)
+             AS rn
+    FROM c, g) WHERE rn = 1
+),
+gl AS (SELECT g.grp, g.g_emb FROM g
+       WHERE g.grp IN (SELECT DISTINCT grp FROM gmap)),
+asgng AS (
+  SELECT vec_id, emb, grp FROM (
+    SELECT e.vec_id, e.emb, gl.grp,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'gl.g_emb')} DESC, gl.grp)
+             AS rn
+    FROM e, gl) WHERE rn = 1
+),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, m.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_cos_sql('a.emb', 'm.c_emb')} DESC, m.cell)
+             AS rn
+    FROM asgng a JOIN gmap m ON m.grp = a.grp) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+qg AS (
+  SELECT q_id, grp FROM (
+    SELECT q.q_id, gl.grp,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'gl.g_emb')} DESC, gl.grp)
+             AS rn
+    FROM q, gl) WHERE rn <= {AI.N_PROBE_GROUPS}
+),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, m.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'm.c_emb')} DESC, m.cell)
+             AS rn
+    FROM q JOIN qg ON qg.q_id = q.q_id
+           JOIN gmap m ON m.grp = qg.grp) WHERE rn <= {S.N_PROBE}
+),
+member AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN asgn a ON a.cell = p.cell
+  WHERE a.vec_id <> p.q_id
+),
+lf AS ({_PQ_LF_SQL}),
+dist AS ({_PQ_DIST_SQL}),
+codes AS ({_PQ_CODES_SQL}),
+lut AS (
+  SELECT vec_id AS q_id, subspace, cell AS code, sq AS d
+  FROM dist WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+scored AS (
+  SELECT m.q_id, m.vec_id, sum(l.d) AS adc_dist
+  FROM member m
+  JOIN codes cd ON cd.vec_id = m.vec_id
+  JOIN lut l ON l.q_id = m.q_id AND l.subspace = cd.subspace
+            AND l.code = cd.code
+  GROUP BY m.q_id, m.vec_id
+)
+SELECT q_id, vec_id, cast(adc_dist AS bigint) AS adc_dist, cast(rank AS int) AS rank
+FROM (
+  SELECT q_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {_TOPK}
+"""
+
+
+_ANN_2LEVEL_IVFPQ_SQL = _ann_2level_ivfpq_sql()
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -4380,6 +4492,10 @@ QUERIES = {
         _ANN_2LEVEL_DELETE_SQL,
     ),
     "ann_2level_flag_batch": (ann_2level_flag_batch, _ANN_2LEVEL_FLAG_SQL),
+    "ann_index_2level_ivfpq_topk": (
+        ann_index_2level_ivfpq_topk,
+        _ANN_2LEVEL_IVFPQ_SQL,
+    ),
     "ann_index_delete_topk": (ann_index_delete_topk, _ANN_DELETE_SQL),
     "ann_index_refined_recall": (ann_index_refined_recall, None),
     "ann_index_stats": (ann_index_stats, None),

@@ -285,3 +285,66 @@ def run_incremental_ann(
         .start()
     )
     q.awaitTermination()
+
+
+def ann_index_2level_exists(index_dir: str) -> bool:
+    """Whether the two-level index has been bootstrapped (its coarse
+    quantizer table is on disk) — the first-batch probe for the sharded
+    layout."""
+    return os.path.isdir(M.table_path(index_dir, "coarse"))
+
+
+def run_incremental_ann_2level(
+    emb_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    flags_out_dir: str,
+    k: int = 3,
+    n_probe_groups: int = AI.N_PROBE_GROUPS,
+    n_probe: int = S.N_PROBE,
+    threshold: float | None = None,
+    n_groups: int | None = AI.N_GROUPS_2L,
+    n_cells: int | None = AI.N_CELLS_2L,
+) -> None:
+    """:func:`run_incremental_ann` for the two-level (sharded-quantizer)
+    layout — the exactly-once ingestion path past the 4096-cell cap:
+    per micro-batch, flag each new embedding against everything indexed
+    before it (:func:`flag_against_index_2level` — distributed two-stage
+    broadcast probe, cogrouped per-cell matmul, eagerly checkpointed so
+    the append below can't leak into the flags), write the flags, then
+    admit the batch (``append_to_ann_index_2level`` — composed
+    assignment + PQ encode against the STORED quantizers, appended into
+    the (group, cell) partitions, nothing rewritten). First batch
+    bootstraps with ``build_ann_index_2level`` and emits no flags.
+
+    ``n_groups``/``n_cells`` size the bootstrap build only (quantizers
+    are immutable afterwards); as with the single-level driver, a stream
+    expecting to grow should pass ``auto_quantizer_shape(expected_corpus
+    _size)`` explicitly rather than ``None`` (which would size for the
+    first batch)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if ann_index_2level_exists(index_dir):
+            flags = flag_against_index_2level(
+                spark, batch, index_dir, k, n_probe_groups, n_probe, threshold
+            )  # checkpointed — safe across the append below
+            flags.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(flags_out_dir)
+            AI.append_to_ann_index_2level(spark, batch, index_dir)
+        else:
+            spark.createDataFrame([], _FLAG_SCHEMA).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(flags_out_dir)
+            AI.build_ann_index_2level(
+                spark, batch, index_dir, n_groups=n_groups, n_cells=n_cells
+            )
+
+    q = (
+        emb_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

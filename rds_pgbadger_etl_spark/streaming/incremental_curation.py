@@ -201,6 +201,7 @@ def curate_batch(
         bands_ck = bands.localCheckpoint(eager=True)
         for df in pinned:
             df.unpersist()
+        pinned.clear()  # the finally block now only covers error paths
         _exact_store_append(acc_h, exact_dir)
         _write(prof_ck, bands_ck, store_dir, "doc_id", "append")
         return flags

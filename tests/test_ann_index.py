@@ -469,7 +469,7 @@ def test_auto_quantizer_shape_rule():
     # ~sqrt sharding, both powers of two
     import math
 
-    for n in (6 * 10**8, 10**9, 10**10, 10**11):
+    for n in (6 * 10**8, 10**9, 10**10, 6 * 10**10):
         g, c = AI.auto_quantizer_shape(n)
         assert g > 1 and c > AI.AUTO_MAX_CELLS
         assert 2 ** round(math.log2(g)) == g
@@ -477,9 +477,11 @@ def test_auto_quantizer_shape_rule():
         assert g <= AI.AUTO_MAX_CELLS and c // g <= AI.AUTO_MAX_CELLS
         # cell volume stays within 2x of the single-level target
         assert c / 2 <= n / AI.AUTO_CELL_ROWS <= c * 2
-    # far wall: both levels cap together at AUTO_MAX_CELLS**2 cells
+    # far wall: cells clamp at the driver-feasible quantizer-build
+    # size (AUTO_MAX_CELLS_2L), not the layout's theoretical max —
+    # the shipped build trains quantizers driver-side
     g, c = AI.auto_quantizer_shape(10**15)
-    assert c == AI.AUTO_MAX_CELLS**2 and g == AI.AUTO_MAX_CELLS
+    assert c == AI.AUTO_MAX_CELLS_2L and g == 2 ** 10
     # monotone non-decreasing total cells across decades
     cells = [AI.auto_quantizer_shape(10**p)[1] for p in range(3, 15)]
     assert cells == sorted(cells)
@@ -547,3 +549,118 @@ def test_2level_flag_matches_reader(spark, tmp_path):
         for r in AI.ann_index_2level_topk(spark, d, queries, K).collect()
     }
     assert flags == reader and len(flags) == len(queries) * K
+
+def test_2level_ivfpq_reader_matches_upsert_build(spark, index2_dir, tmp_path):
+    """The 2-level PQ arm: (a) well-formed top-k from codes alone, and
+    (b) build(half) + append(rest) is search-identical to the one-shot
+    build — the stored codebook makes incremental PQ encoding equal to
+    one-shot encoding (the immutable-quantizer invariant, PQ edition)."""
+    got_full = _rows(
+        AI.ann_index_2level_ivfpq_topk(spark, index2_dir, _queries(spark), K)
+    )
+    assert len(got_full) == len(QUERY_IDS) * K
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d = str(tmp_path / "idx2l_pq_upsert")
+    AI.build_ann_index_2level(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.append_to_ann_index_2level(
+        spark, emb.filter(F.col("vec_id") >= half), d
+    )
+    got_upsert = _rows(
+        AI.ann_index_2level_ivfpq_topk(spark, d, _queries(spark), K)
+    )
+    assert got_upsert == got_full
+
+
+def test_2level_ivfpq_plan_reads_codes_not_floats(spark, index2_dir):
+    """The PQ arm's plan must (a) prune BOTH partition levels of the
+    vectors table, (b) never touch the corpus, and (c) never scan the
+    raw-embedding table — codes are the only per-vector bytes read (the
+    ~100x probed-IO cut the two-level layout exists for)."""
+    df = AI.ann_index_2level_ivfpq_topk(spark, index2_dir, _queries(spark), K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    explain = df._jdf.queryExecution().toString()
+    assert "embeddings.parquet" not in explain
+    assert "embeddings.parquet" not in plan
+    assert "/raw" not in plan  # no raw-float scan anywhere in the plan
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[[^\]]*", plan)
+    assert any("group" in x and "cell" in x and " IN " in x for x in pf), pf
+
+
+def test_2level_compaction_preserves_search_and_reduces_files(spark, tmp_path):
+    """Maintenance verbs on the (group, cell) layout: three appends
+    accumulate file-sets per hot partition; compact_ann_index
+    (layout-dispatched) collapses them, both search arms stay
+    bit-identical, and ann_index_stats audits the 2-level tables."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    d = str(tmp_path / "idx2l_compact")
+    AI.build_ann_index_2level(spark, emb.filter(F.col("vec_id") < n // 4), d)
+    for b in range(1, 4):
+        AI.append_to_ann_index_2level(
+            spark,
+            emb.filter(
+                (F.col("vec_id") >= b * n // 4)
+                & (F.col("vec_id") < (b + 1) * n // 4)
+            ),
+            d,
+        )
+    qs = _queries(spark)
+    before_flat = _rows(AI.ann_index_2level_topk(spark, d, qs, K))
+    before_pq = _rows(AI.ann_index_2level_ivfpq_topk(spark, d, qs, K))
+
+    stats = AI.compact_ann_index(spark, d)
+    assert set(stats) == {"vectors", "raw", "fine"}
+    for t in ("vectors", "raw"):
+        assert stats[t]["files_after"] < stats[t]["files_before"], (t, stats)
+    # one file-set per (group, cell) partition after the rewrite
+    vec_dir = M.table_path(d, "vectors")
+    assert vec_dir.endswith("__g1")  # manifest flipped to gen 1
+    per_part = {}
+    for f in M.data_files(vec_dir):
+        part = "/".join(f.split("/")[:-1])
+        per_part[part] = per_part.get(part, 0) + 1
+    assert per_part and max(per_part.values()) == 1
+
+    assert _rows(AI.ann_index_2level_topk(spark, d, qs, K)) == before_flat
+    assert _rows(AI.ann_index_2level_ivfpq_topk(spark, d, qs, K)) == before_pq
+
+    st = {r.table: r for r in AI.ann_index_stats(spark, d).collect()}
+    assert set(st) == {"vectors", "raw", "fine"}
+    assert st["vectors"].max_part_files == 1
+    assert st["raw"].rows == n
+
+
+def test_2level_delete_then_compaction_applies_physically(spark, tmp_path):
+    """Tombstoned ids must disappear PHYSICALLY from the 2-level tables
+    at compaction (rows gone from vectors/ and raw/, tombstone side
+    table cleared), with search results identical to the logical-delete
+    answers before the rewrite."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "idx2l_del_compact")
+    AI.build_ann_index_2level(spark, emb, d)
+    qs = _queries(spark)
+    victims = sorted(
+        {
+            r.vec_id
+            for r in AI.ann_index_2level_topk(spark, d, qs, K).collect()
+        }
+    )[:3]
+    AI.delete_from_ann_index(spark, victims, d)
+    logical_flat = _rows(AI.ann_index_2level_topk(spark, d, qs, K))
+    logical_pq = _rows(AI.ann_index_2level_ivfpq_topk(spark, d, qs, K))
+
+    AI.compact_ann_index(spark, d)
+    assert M.tombstones(spark, d) is None  # cleared after full compaction
+    for t in ("vectors", "raw"):
+        remaining = (
+            spark.read.parquet(M.table_path(d, t))
+            .filter(F.col("vec_id").isin([int(v) for v in victims]))
+            .count()
+        )
+        assert remaining == 0, t
+    assert _rows(AI.ann_index_2level_topk(spark, d, qs, K)) == logical_flat
+    assert _rows(AI.ann_index_2level_ivfpq_topk(spark, d, qs, K)) == logical_pq

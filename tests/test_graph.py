@@ -107,3 +107,16 @@ def test_lpa_deep_checkpoint_bit_identical(spark):
     assert ck[99] == 99  # isolated node never moves
     # the 6-7-8 triangle converges onto its smallest member
     assert ck[6] == ck[7] == ck[8] == 6
+
+def test_pagerank_rejects_outdegree_above_3(spark):
+    """pagerank_exact promises exact integer arithmetic, which holds
+    only when 102/outdeg divides evenly (outdeg in {1,2,3}); a node
+    with outdeg 4 must raise, not silently truncate 102/4 -> 25."""
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "vec_id long")
+    edges = spark.createDataFrame(
+        [(0, d) for d in (1, 2, 3, 4)] + [(1, 0)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="outdeg"):
+        G.pagerank_exact(nodes, edges, 2)

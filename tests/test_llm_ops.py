@@ -891,3 +891,72 @@ def test_video_near_dup_pairs_frame_level_hamming(spark):
     # the exact-frame join does NOT pair them — no identical hashes
     exact = M.video_dedup_pairs(fh).collect()
     assert exact == []
+
+def test_band_freq_cap_bounds_hot_band_candidates(spark):
+    """max_band_freq must stop a globally-hot band value (the constant
+    signature a black frame / silence produces) from generating
+    candidates, while pairs sharing any NON-hot clean band survive —
+    the quadratic-hot-key guard for corpus-scale banding. A pair whose
+    only clean bands are hot is the documented recall cost."""
+    # 10 fillers share band0=0xDEAD and band1=0x0000 (both hot at
+    # cap=5) but sit >=8 apart pairwise in lo, so none verify.
+    rows = [
+        (i, 0xDEAD0000, int(f"{i:x}" * 8, 16)) for i in range(1, 11)
+    ]
+    # C/D: within hamming 2, but their clean bands are exactly the two
+    # hot ones (lo differs one bit per band) -> lost under the cap.
+    rows += [(21, 0xDEAD0000, 0xABCD1234), (22, 0xDEAD0000, 0xABCC1235)]
+    # A/B: within hamming 1 via band1, clean bands 2/3 are private
+    # (freq 2) -> survive the cap.
+    rows += [(23, 0xDEAD7777, 0x55AA55AA), (24, 0xDEAD7776, 0x55AA55AA)]
+    words = spark.createDataFrame(rows, "doc_id long, hi long, lo long")
+
+    uncapped = {(r.a, r.b) for r in M.hamming_band_pairs(words).collect()}
+    capped = {
+        (r.a, r.b)
+        for r in M.hamming_band_pairs(words, max_band_freq=5).collect()
+    }
+    assert {(21, 22), (23, 24)} <= uncapped
+    assert (23, 24) in capped
+    assert (21, 22) not in capped
+    assert capped <= uncapped
+
+
+def test_video_near_dup_band_cap_drops_boilerplate_frame_pairs(spark):
+    """Frame-level hot-band cap: two videos whose ONLY near frames are a
+    boilerplate (constant, corpus-wide) frame must stop pairing when
+    max_band_freq is set; a pair matching on a distinctive frame keeps
+    its answer. The boilerplate frame's constant words appear in every
+    video, so all four of its bands blow past the cap."""
+    def row(doc, fid, hi, lo):
+        return (doc, fid, f"{hi:08x}{lo:08x}", hi, lo)
+
+    rows = []
+    # every video carries the boilerplate black frame (constant words)
+    for v in range(1, 9):
+        rows.append(row(v, 0, 0, 0))
+    # videos 1/2: a distinctive near pair (1 bit apart) -> containment
+    # 2/2 = 1.0 uncapped; with the boilerplate bands capped the
+    # distinctive frame still matches and the boilerplate frame pair is
+    # exact-equal... its hamming-0 candidacy comes only via hot bands,
+    # so matched drops to 1 of 2 (containment 0.5) — still >= half.
+    rows.append(row(1, 1, 0x12345678, 0x9ABCDEF0))
+    rows.append(row(2, 1, 0x12345679, 0x9ABCDEF0))
+    # videos 3/4: second frames far apart -> only the boilerplate frame
+    # matches (1 of 2 = half) -> paired uncapped, dropped when capped.
+    rows.append(row(3, 1, 0xFFFF0000, 0x11111111))
+    rows.append(row(4, 1, 0x0000FFFF, 0x66666666))
+    fh = spark.createDataFrame(
+        rows, "doc_id long, frame_id int, ahash string, hi long, lo long"
+    )
+    uncapped = {
+        (r.a, r.b): r.matched_frames
+        for r in M.video_near_dup_pairs(fh).collect()
+    }
+    capped = {
+        (r.a, r.b): r.matched_frames
+        for r in M.video_near_dup_pairs(fh, max_band_freq=4).collect()
+    }
+    assert uncapped[(1, 2)] == 2 and uncapped[(3, 4)] == 1
+    assert capped.get((1, 2)) == 1  # distinctive frame still pairs them
+    assert (3, 4) not in capped  # boilerplate-only pair gone

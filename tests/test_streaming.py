@@ -314,6 +314,86 @@ def test_incremental_ann_stream_matches_batch_lifecycle(spark, tmp_path):
     assert a == b and a
 
 
+def test_incremental_ann_2level_stream_matches_batch_lifecycle(spark, tmp_path):
+    """run_incremental_ann_2level (bootstrap-build + flag + append per
+    micro-batch over the sharded-quantizer store) must (1) emit exactly
+    the flags the 2-level batch verbs produce when interleaved the same
+    way, (2) leave behind the same artifact — BOTH search arms
+    (IVF-Flat and PQ/ADC) over the stream-built index equal the
+    batch-built twin — and (3) resume idempotently: a re-drain from the
+    same checkpoint with no new files appends nothing."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.plans.llm_ops import _query_vectors
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        flag_against_index_2level,
+        run_incremental_ann_2level,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    slices = [
+        emb.filter(
+            (F.col("vec_id") >= b * n // 3)
+            & (F.col("vec_id") < (b + 1) * n // 3)
+        )
+        for b in range(3)
+    ]
+
+    src, store, ckpt, flags = (
+        str(tmp_path / d) for d in ("src", "store", "ckpt", "flags")
+    )
+    for s in slices:
+        s.write.mode("append").parquet(src)
+        run_incremental_ann_2level(
+            spark.readStream.schema(emb.schema).parquet(src),
+            store, ckpt, flags, k=3,
+        )
+
+    twin = str(tmp_path / "twin")
+    AI.build_ann_index_2level(spark, slices[0], twin)
+    want = []
+    for s in slices[1:]:
+        f = flag_against_index_2level(spark, s, twin, k=3)
+        want.append(f)
+        AI.append_to_ann_index_2level(spark, s, twin)
+    cols = ["vec_id", "neighbor_id", "cosine", "rank"]
+    want_rows = sorted(
+        str(r) for df in want for r in df.select(*cols).collect()
+    )
+    got_rows = sorted(
+        str(r)
+        for r in spark.read.parquet(flags)
+        .filter("vec_id IS NOT NULL")
+        .select(*cols)
+        .collect()
+    )
+    assert got_rows == want_rows
+    assert len(got_rows) == 3 * (n - n // 3)  # top-3 per later-batch vector
+
+    q = _query_vectors(spark, sf)
+    for reader in (AI.ann_index_2level_topk, AI.ann_index_2level_ivfpq_topk):
+        a = sorted(map(str, reader(spark, store, q, 5).collect()))
+        b = sorted(map(str, reader(spark, twin, q, 5).collect()))
+        assert a == b and a, reader.__name__
+
+    # resume: same checkpoint, no new source files → nothing flagged,
+    # nothing appended (exactly-once per batch)
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+
+    rows_before = spark.read.parquet(flags).count()
+    store_rows = spark.read.parquet(M.table_path(store, "raw")).count()
+    run_incremental_ann_2level(
+        spark.readStream.schema(emb.schema).parquet(src),
+        store, ckpt, flags, k=3,
+    )
+    assert spark.read.parquet(flags).count() == rows_before
+    assert (
+        spark.read.parquet(M.table_path(store, "raw")).count() == store_rows
+    )
+
+
 def test_user_state_profiles_apis_agree_with_batch(spark, tmp_path):
     """The stateful per-user profile must equal a batch group-by, on
     whichever state API the environment supports (and on BOTH when the

@@ -3,7 +3,19 @@ given scale factor and compare to its DuckDB oracle (row count + columns +
 order-insensitive values), mirroring the driver's CORRECTNESS gate.
 
 Usage: python tools/selfcheck.py [sf_dir] [name_filter ...]
+       python tools/selfcheck.py --stateful-sf01
 Prints one line per query: PASS / FAIL <reason> / RowsOnly(n).
+
+``--stateful-sf01`` is the STANDING sf0.1 sweep of the stateful /
+multi-pass families (streaming ingestion, persisted dedup/ANN store
+lifecycles, curation funnel, two-level index, graph iteration): the
+round-9 recacheByPath lineage bug was invisible at the sf0.01 gate and
+surfaced only when these oracles ran at 10x the data — this mode pins
+that check so the next state-dependent bug doesn't wait for someone to
+remember. Run it at every round close (SELFCHECK_r{N}_sf01.txt).
+Known exception: ``sketch_rollup_daily`` (HLL beyond coupon-exact
+range at sf0.1, bounded by ``sketch_rollup_error``) is NOT in these
+families and is excluded by construction.
 """
 
 from __future__ import annotations
@@ -17,10 +29,32 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entry
 from tests.oracle import compare
 
+# The stateful/multi-pass families: every query whose answer depends on
+# mutated-store state, streaming batch order, or iterated plans.
+STATEFUL_PREFIXES = (
+    "stream_",
+    "dedup_index",
+    "ann_index",
+    "ann_2level",
+    "curation",
+    "embedding_pagerank",
+    "embedding_communities",
+)
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and args[0] == "--stateful-sf01":
+        sf_dir = "/root/testdata/sf0.1"
+        only = {
+            n
+            for n in entry.queries()
+            if n.startswith(STATEFUL_PREFIXES)
+        }
+        print(f"stateful sweep: {len(only)} queries at {sf_dir}")
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        only = set(args[1:])
     from rds_pgbadger_etl_spark.session import get_spark
 
     spark = get_spark()
