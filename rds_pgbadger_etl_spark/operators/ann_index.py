@@ -860,9 +860,22 @@ def build_ann_index_2level(
             .partitionBy("group", "cell")
             .parquet(M.table_path(index_dir, "raw"))
         )
-        codes = S.pq_codes_fast(emb)
+        # encode DIRECTLY on the assigned rows (map-only, same kernel as
+        # pq_codes_fast) — a codes-by-id join here would shuffle
+        # corpus x PQ_M rows against the assignment (measured: ~2 GB
+        # spill at 8M vectors); fused, the only exchange is the
+        # partitionBy write itself
         (
-            codes.join(assigned.select("vec_id", "group", "cell"), "vec_id")
+            assigned.select(
+                "vec_id",
+                "group",
+                "cell",
+                F.posexplode(
+                    S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                        F.col("embedding")
+                    )
+                ).alias("subspace", "code"),
+            )
             .repartition("group", "cell")
             .write.mode("overwrite")
             .partitionBy("group", "cell")
@@ -917,10 +930,19 @@ def append_to_ann_index_2level(
             .parquet(M.table_path(index_dir, "raw"))
         )
         # PQ-encode against the STORED codebook (immutable-quantizer
-        # invariant: old and new codes stay comparable under one LUT)
-        codes = S.pq_codes_fast(emb_new, ic=_load_codebook(spark, index_dir))
+        # invariant: old and new codes stay comparable under one LUT),
+        # fused onto the assigned rows — map-only, no codes-by-id join
         (
-            codes.join(assigned.select("vec_id", "group", "cell"), "vec_id")
+            assigned.select(
+                "vec_id",
+                "group",
+                "cell",
+                F.posexplode(
+                    S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                        F.col("embedding")
+                    )
+                ).alias("subspace", "code"),
+            )
             .repartition("group", "cell")
             .write.mode("append")
             .partitionBy("group", "cell")

@@ -93,37 +93,65 @@ def _encode(docs: DataFrame, id_col: str, text_col: str):
     return prof, bands
 
 
-def _write(prof: DataFrame, bands: DataFrame, index_dir: str, id_col: str, mode: str) -> None:
+def _write(
+    prof: DataFrame,
+    bands: DataFrame,
+    index_dir: str,
+    id_col: str,
+    mode: str,
+    parallel: bool = False,
+) -> None:
+    """Land the two store tables. ``parallel=True`` submits the two
+    write jobs from concurrent threads (Spark's scheduler interleaves
+    them): the tables are disjoint directories, and for SMALL batches
+    each write's cost is committer overhead (one file per partition
+    value per batch — ~256 pfx dirs), not data volume, so overlapping
+    them roughly halves a streaming batch's store-mutation wall time.
+    Callers must pass inputs whose lineage is already safe against the
+    mutation (persisted/checkpointed), as with the sequential path."""
     import math
 
-    (
-        bands.withColumn("pfx", F.substring("band", 1, PFX_LEN))
-        .repartition(F.col("pfx"))
-        .write.mode(mode)
-        .partitionBy("pfx")
-        .parquet(M.table_path(index_dir, "bands"))
-    )
-    # volume-sized exchange for the wide profile rows (see
-    # PROFILE_ROWS_PER_TASK): `prof` arrives persisted from _encode, so
-    # the count materializes the encode once and the write reads cache
-    n_tasks = max(1, math.ceil(prof.count() / PROFILE_ROWS_PER_TASK))
-    salt = max(1, math.ceil(n_tasks / N_BUCKETS))
-    (
-        prof.select(id_col, "shingle_set")
-        .withColumn("bucket", _bucket(id_col))
-        .repartition(
-            n_tasks,
-            F.col("bucket"),
-            # seeded hash: bucket itself is pmod(hash(id), 64), so an
-            # UNseeded pmod(hash(id), salt) is correlated with it
-            # (fully determined when salt divides 64) and splits
-            # nothing within a bucket
-            F.pmod(F.abs(F.hash(F.col(id_col), F.lit("salt"))), F.lit(salt)),
+    def _write_bands() -> None:
+        (
+            bands.withColumn("pfx", F.substring("band", 1, PFX_LEN))
+            .repartition(F.col("pfx"))
+            .write.mode(mode)
+            .partitionBy("pfx")
+            .parquet(M.table_path(index_dir, "bands"))
         )
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(M.table_path(index_dir, "profiles"))
-    )
+
+    def _write_profiles() -> None:
+        # volume-sized exchange for the wide profile rows (see
+        # PROFILE_ROWS_PER_TASK): `prof` arrives persisted from _encode,
+        # so the count materializes the encode once, the write reads cache
+        n_tasks = max(1, math.ceil(prof.count() / PROFILE_ROWS_PER_TASK))
+        salt = max(1, math.ceil(n_tasks / N_BUCKETS))
+        (
+            prof.select(id_col, "shingle_set")
+            .withColumn("bucket", _bucket(id_col))
+            .repartition(
+                n_tasks,
+                F.col("bucket"),
+                # seeded hash: bucket itself is pmod(hash(id), 64), so an
+                # UNseeded pmod(hash(id), salt) is correlated with it
+                # (fully determined when salt divides 64) and splits
+                # nothing within a bucket
+                F.pmod(F.abs(F.hash(F.col(id_col), F.lit("salt"))), F.lit(salt)),
+            )
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(M.table_path(index_dir, "profiles"))
+        )
+
+    if parallel:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for f in [ex.submit(_write_bands), ex.submit(_write_profiles)]:
+                f.result()
+    else:
+        _write_bands()
+        _write_profiles()
 
 
 def build_dedup_index(

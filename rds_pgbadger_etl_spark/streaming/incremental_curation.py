@@ -86,13 +86,25 @@ def curate_batch(
     bench_grams: DataFrame,
     bench_max_id: int,
     threshold: float = 0.5,
+    corpus_profiles: DataFrame | None = None,
 ) -> DataFrame:
     """One ingestion step: gate the batch through the four funnel
     stages against the persisted state, mutate the state with the
     accepted docs, and return the batch's flag table (doc_id, tok,
     pass1..pass4), eagerly local-checkpointed BEFORE the appends so no
     downstream plan can recompute against the just-mutated stores.
-    ``batch`` needs (doc_id, text, lang)."""
+    ``batch`` needs (doc_id, text, lang).
+
+    ``corpus_profiles`` attaches a batch-staged signature table: a
+    shingle-profile DataFrame (the exact ``_encode`` output schema)
+    covering at least this batch's doc_ids, computed ONCE for the whole
+    corpus by a batch job. When present, stage 3 takes the batch's
+    profiles by doc_id semijoin instead of re-shingling text per batch —
+    bit-identical rows (the profile is a deterministic function of
+    (doc_id, text) alone; history never enters the encode), so flags
+    and store contents are unchanged. This is the standard staging
+    pattern: encode passes are corpus-level artifacts, not per-consumer
+    recomputations."""
     from rds_pgbadger_etl_spark.operators import curation as CO
     from rds_pgbadger_etl_spark.operators import text as X
 
@@ -137,7 +149,15 @@ def curate_batch(
         # stage 3: near-dup vs the signature store (encode pass2 once,
         # shared between the flagging probe and the store append)
         accepted = b2.filter(F.col("pass2")).select("doc_id", "text")
-        prof, bands = _encode(accepted, "doc_id", "text")
+        if corpus_profiles is not None:
+            from rds_pgbadger_etl_spark.operators.dedup import lsh_bands
+
+            prof = corpus_profiles.join(
+                accepted.select("doc_id"), "doc_id"
+            ).persist()
+            bands = lsh_bands(prof, "doc_id")
+        else:
+            prof, bands = _encode(accepted, "doc_id", "text")
         pinned.append(prof)
         if dedup_index_exists(store_dir):
             result, lk_pinned = _lookup_encoded(
@@ -168,7 +188,11 @@ def curate_batch(
             .distinct()
             .withColumn("is_cont", F.lit(True))
         )
-        flags = (
+        # ONE flags checkpoint carries the hash column too, so the
+        # exact-store append below derives from this snapshot instead of
+        # paying its own eager materialization per batch (the funnel's
+        # cold cost is job-count-bound: batches are small, jobs are not)
+        flags_full = (
             b3.join(cont, "doc_id", "left")
             .withColumn(
                 "pass4",
@@ -176,8 +200,11 @@ def curate_batch(
                 & (F.col("doc_id") >= F.lit(bench_max_id))
                 & F.col("is_cont").isNull(),
             )
-            .select("doc_id", "tok", "pass1", "pass2", "pass3", "pass4")
+            .select("doc_id", "h", "tok", "pass1", "pass2", "pass3", "pass4")
             .localCheckpoint(eager=True)
+        )
+        flags = flags_full.select(
+            "doc_id", "tok", "pass1", "pass2", "pass3", "pass4"
         )
 
         # accept: mutate state AFTER the flags are pinned — and AFTER
@@ -194,16 +221,34 @@ def curate_batch(
         # localCheckpoint cuts the path dependence; the explicit
         # unpersist of the store-reading caches before the writes also
         # saves recacheByPath's eager rebuild of caches we're done with.
-        acc_h = (
-            b2.filter(F.col("pass2")).select("h").localCheckpoint(eager=True)
-        )
+        acc_h = flags_full.filter(F.col("pass2")).select("h")
         prof_ck = prof.localCheckpoint(eager=True)
-        bands_ck = bands.localCheckpoint(eager=True)
+        # bands derive map-side from the checkpointed profiles — same
+        # rows as lsh_bands(prof) (bands are a function of the sig
+        # columns), lineage already truncated, no third materialization
+        from rds_pgbadger_etl_spark.operators.dedup import lsh_bands as _lb
+
+        bands_ck = _lb(prof_ck, "doc_id")
         for df in pinned:
             df.unpersist()
         pinned.clear()  # the finally block now only covers error paths
-        _exact_store_append(acc_h, exact_dir)
-        _write(prof_ck, bands_ck, store_dir, "doc_id", "append")
+        # the three store writes mutate DISJOINT directories from
+        # already-checkpointed inputs — submit them concurrently: a
+        # small batch's mutation cost is per-partition committer
+        # overhead, not data, and it was the dominant term of the
+        # funnel's cold build (measured ~10.5 of ~15 s per batch)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [
+                ex.submit(_exact_store_append, acc_h, exact_dir),
+                ex.submit(
+                    _write, prof_ck, bands_ck, store_dir, "doc_id",
+                    "append", True,
+                ),
+            ]
+            for f in futs:
+                f.result()
         return flags
     finally:
         for df in pinned:
@@ -222,16 +267,25 @@ def run_incremental_curation(
     bench_grams: DataFrame,
     bench_max_id: int,
     threshold: float = 0.5,
+    corpus_profiles: DataFrame | None = None,
 ) -> None:
     """The funnel as a stream: per micro-batch, gate against history,
     accept survivors into the two stores, and append the batch's 5-row
     funnel to ``funnel_out_dir``. availableNow drain; exactly-once per
-    batch via the checkpoint."""
+    batch via the checkpoint. ``corpus_profiles`` optionally attaches a
+    batch-staged signature table (see :func:`curate_batch`) so each
+    micro-batch joins its profiles instead of re-shingling text."""
     from rds_pgbadger_etl_spark.plans.llm_ops import funnel_report
 
     def process(batch: DataFrame, batch_id: int) -> None:
         flags = curate_batch(
-            batch, store_dir, exact_dir, bench_grams, bench_max_id, threshold
+            batch,
+            store_dir,
+            exact_dir,
+            bench_grams,
+            bench_max_id,
+            threshold,
+            corpus_profiles,
         )
         (
             funnel_report(flags)

@@ -14,6 +14,10 @@ the largest affordable scale instead: at 8M vectors it builds BOTH
   down),
 
 and measures the same search and 2000-query flag-batch legs on each.
+Round-10 legs: the PQ arm vs the flat arm on the SAME probed (group,
+cell) partitions — probed bytes measured from the partition dirs (codes
+must be ~100x smaller than raw floats), an append-O(new) leg, and a
+two-batch run_incremental_ann_2level drain (per-batch cost flat).
 Flat-cost claim: per-query scan volume is identical (n_probe cells of
 the same volume), so search/flag must match the single-level row while
 the quantizer work per query drops from C cosines to
@@ -153,6 +157,41 @@ def main() -> None:
         lambda: AI.ann_index_ivf_topk(spark, idx1, queries, 10),
         lambda: AI.ann_index_2level_topk(spark, idx2, queries, 10),
     )
+    # PQ arm vs flat arm on the SAME probed (group, cell) partitions —
+    # the round-10 claim: probed IO is proportional to 2-byte codes,
+    # not raw floats. Interleaved like every comparison on this box.
+    t_search2_flat, t_search2_pq = best_of_3_pair(
+        lambda: AI.ann_index_2level_topk(spark, idx2, queries, 10),
+        lambda: AI.ann_index_2level_ivfpq_topk(spark, idx2, queries, 10),
+    )
+    # probed-IO bytes, measured from the partition directories the two
+    # arms actually scan (identical probe set by construction)
+    from rds_pgbadger_etl_spark.operators import index_maintenance as IM
+
+    probe_pairs = sorted(
+        {
+            (g, c)
+            for _, g, c in AI._probe_cells_2level(spark, idx2, queries)
+        }
+    )
+    raw_root = IM.table_path(idx2, "raw")
+    vec_root = IM.table_path(idx2, "vectors")
+    probed_raw_mb = round(
+        sum(
+            _dir_bytes(f"{raw_root}/group={g}/cell={c}")
+            for g, c in probe_pairs
+        )
+        / 1e6,
+        1,
+    )
+    probed_codes_mb = round(
+        sum(
+            _dir_bytes(f"{vec_root}/group={g}/cell={c}")
+            for g, c in probe_pairs
+        )
+        / 1e6,
+        1,
+    )
     # the production ingest-flag verbs: cogrouped per-cell matmul over
     # the pruned raw scan — one matmul per cell, not a per-pair UDF
     t_flag1, t_flag2 = best_of_3_pair(
@@ -178,6 +217,48 @@ def main() -> None:
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     pruned2 = "PartitionFilters" in plan2 and " IN " in plan2
 
+    # --- mutation legs (LAST: they grow idx2) ---------------------------
+    # append O(new): admitting a 2k batch into the 8M-row store must be
+    # seconds-scale — composed assignment + PQ encode are map-only over
+    # the new rows; nothing existing is rewritten.
+    t0 = time.perf_counter()
+    AI.append_to_ann_index_2level(spark, flag_batch, idx2)
+    t_append2 = round(time.perf_counter() - t0, 3)
+
+    # streaming two-batch leg (run_incremental_ann_2level over the SAME
+    # store): per-batch drain cost must be flat batch-to-batch — the
+    # store grows by only the batch size between them.
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        run_incremental_ann_2level,
+    )
+
+    stream_src = f"{BASE}/stream2l_src_{n_vecs}"
+    stream_ckpt = f"{BASE}/stream2l_ckpt_{n_vecs}"
+    stream_flags = f"{BASE}/stream2l_flags_{n_vecs}"
+    for d in (stream_src, stream_ckpt, stream_flags):
+        shutil.rmtree(d, ignore_errors=True)
+    t_stream_batches = []
+    for b in range(2):
+        batch_cols = F.array(
+            *[F.rand(seed=5000 + 100 * b + j).cast("float") for j in range(DIM)]
+        )
+        (
+            spark.range(20_000_000 + b * FLAG_BATCH, 20_000_000 + (b + 1) * FLAG_BATCH)
+            .select(F.col("id").alias("vec_id"), batch_cols.alias("embedding"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stream_src)
+        )
+        t0 = time.perf_counter()
+        run_incremental_ann_2level(
+            spark.readStream.schema(emb.schema).parquet(stream_src),
+            idx2,
+            stream_ckpt,
+            stream_flags,
+            k=3,
+        )
+        t_stream_batches.append(round(time.perf_counter() - t0, 3))
+
     app_id = spark.sparkContext.applicationId
     spark.stop()
     time.sleep(2)
@@ -202,9 +283,15 @@ def main() -> None:
                 "index_2level_mb": round(_dir_bytes(idx2) / 1e6, 1),
                 "search_single_sec": t_search1,
                 "search_2level_sec": t_search2,
+                "search_2level_flat_sec": t_search2_flat,
+                "search_2level_pq_sec": t_search2_pq,
+                "probed_raw_mb": probed_raw_mb,
+                "probed_codes_mb": probed_codes_mb,
                 "flag_batch": FLAG_BATCH,
                 "flag_single_sec": t_flag1,
                 "flag_2level_sec": t_flag2,
+                "append_2level_sec": t_append2,
+                "stream_2level_batch_secs": t_stream_batches,
                 "result_overlap": round(overlap, 3),
                 "partition_pruned_2level": pruned2,
                 "shuffle_partitions": n_shuffle,
