@@ -14,10 +14,15 @@ Layout (all under ``index_dir``):
 - ``centroids/``   (cell, c_emb) — the IVF coarse quantizer, tiny.
 - ``codebook/``    (subspace, dim, cell, ic) — PQ centroid components in
   the exact-integer domain (PQ_INT_SCALE), m×k×sub rows, tiny.
-- ``vectors/``     (vec_id, subspace, code) **partitioned by cell** — the
-  PQ-encoded corpus. Probing n_probe of n_centroids cells is a
-  partition-pruned scan reading ~n_probe/n_centroids of log2(PQ_K)·PQ_M
-  bits per vector: both IVF-PQ pruning axes fall out of the layout.
+- ``vectors/``     (vec_id, codes array<int>) **partitioned by cell** —
+  the PQ-encoded corpus, ONE row per vector with the PQ_M codes packed
+  into an array (the long form repeated the 8-byte vec_id per subspace
+  — 4x the rows and bytes for 4x 4-bit payloads). Probing n_probe of
+  n_centroids cells is a partition-pruned scan reading
+  ~n_probe/n_centroids of log2(PQ_K)·PQ_M bits per vector: both IVF-PQ
+  pruning axes fall out of the layout, and ADC scoring is a MAP-SIDE
+  array expression over the broadcast flattened LUT (no per-subspace
+  join, no (q_id, vec_id) re-aggregation shuffle).
 - ``raw/``         (vec_id, embedding) **partitioned by cell** — the
   IVF-Flat rerank arm: exact cosine inside probed cells only.
 - ``lsh_buckets/`` (vec_id, bucket) **partitioned by table_id** — the
@@ -202,12 +207,20 @@ def build_ann_index(
     # one assignment pass feeds both partitioned layouts
     cells = cells.persist()
     try:
-        # vectorized encoder (map-only) — bit-identical to the long-form
-        # reference S.pq_codes, pinned by test; at 100 TB the encode pass
-        # must not fan out corpus x dims x k rows through aggregates
-        codes = S.pq_codes_fast(emb)
+        # vectorized encoder (map-only) FUSED onto the assigned rows —
+        # bit-identical codes to the long-form reference S.pq_codes
+        # (pinned by test); at 100 TB the encode pass must not fan out
+        # corpus x dims x k rows through aggregates, and a codes-by-id
+        # join back to the assignment would shuffle corpus-sized tables
+        # (measured ~200 MB spill per 8M-row build before the fuse)
         (
-            codes.join(cells.select("vec_id", "cell"), "vec_id")
+            cells.select(
+                "vec_id",
+                "cell",
+                S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                    F.col("embedding")
+                ).alias("codes"),
+            )
             .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
@@ -263,11 +276,16 @@ def append_to_ann_index(
     )
     try:
         # PQ-encode against the STORED codebook with the vectorized
-        # kernel (map-only; same integer argmin + tie-break as the
-        # long-form reference path)
-        codes = S.pq_codes_fast(emb_new, ic=_load_codebook(spark, index_dir))
+        # kernel, fused onto the assigned rows (map-only; same integer
+        # argmin + tie-break as the long-form reference path)
         (
-            codes.join(cells.select("vec_id", "cell"), "vec_id")
+            cells.select(
+                "vec_id",
+                "cell",
+                S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                    F.col("embedding")
+                ).alias("codes"),
+            )
             .repartition("cell")
             .write.mode("append")
             .partitionBy("cell")
@@ -375,14 +393,17 @@ def _probe_cells(
     return out
 
 
-def _adc_lut(
+def _adc_lut_flat(
     spark: SparkSession, index_dir: str, queries: list[Query]
-) -> list[tuple[int, int, int, int]]:
-    """(q_id, subspace, code, d) rows: the query's exact integer squared
-    distance to every PQ centroid — pq_distances in the local domain."""
+) -> DataFrame:
+    """(q_id, d_flat) rows: the query's exact integer squared distance
+    to every PQ centroid — pq_distances in the local domain — flattened
+    to one PQ_M*PQ_K long array per query (``d_flat[s*PQ_K + code]``),
+    so ADC scoring is a broadcast join on q_id plus a MAP-SIDE array
+    aggregate: no per-subspace join, no re-aggregation shuffle."""
     ic = _load_codebook(spark, index_dir)
     n_sub, n_cells, sub_dim = ic.shape
-    lut = []
+    rows = []
     for q_id, vec in queries:
         # HALF_UP, not np.round: every other PQ quantization path
         # (pq_long_form's F.round, pq_encode_udf's _half_up) rounds
@@ -390,11 +411,23 @@ def _adc_lut(
         # query component landing exactly on .5 and silently break the
         # bit-identical parity with the in-session ivfpq_topk twin.
         iq = S._half_up(np.asarray(vec, dtype=np.float64) * S.PQ_INT_SCALE)
+        flat: list[int] = []
         for s in range(n_sub):
             qs = iq[s * sub_dim : (s + 1) * sub_dim]
             d = ((ic[s] - qs) ** 2).sum(axis=1)
-            lut.extend((q_id, s, c, int(d[c])) for c in range(n_cells))
-    return lut
+            flat.extend(int(d[c]) for c in range(n_cells))
+        rows.append((int(q_id), flat))
+    return spark.createDataFrame(rows, "q_id long, d_flat array<long>")
+
+
+def _adc_dist_col():
+    """Sum of the per-subspace LUT entries selected by the packed codes
+    array — exact int64 arithmetic, whole-stage-codegen higher-order
+    function (Spark array subscripts are 0-based)."""
+    return F.expr(
+        f"aggregate(sequence(0, {S.PQ_M - 1}), 0L,"
+        f" (acc, s) -> acc + d_flat[s * {S.PQ_K} + codes[s]])"
+    )
 
 
 def _cell_predicate(pairs: list[tuple[int, int]]):
@@ -403,7 +436,6 @@ def _cell_predicate(pairs: list[tuple[int, int]]):
 
 
 _PROBE_SCHEMA = "q_id long, cell int"
-_LUT_SCHEMA = "q_id long, subspace int, code int, d long"
 
 
 def _queries_df(spark: SparkSession, queries: list[Query]) -> DataFrame:
@@ -431,9 +463,8 @@ def ann_index_ivfpq_topk(
     adc_dist, rank), with zero corpus access."""
     cells, mat = _read_centroids(spark, index_dir)
     probes = _probe_cells(queries, cells, mat, n_probe)
-    lut = _adc_lut(spark, index_dir, queries)
     probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
-    lut_df = spark.createDataFrame(lut, _LUT_SCHEMA)
+    lut_df = _adc_lut_flat(spark, index_dir, queries)
 
     vectors = _live(
         spark,
@@ -445,9 +476,8 @@ def ann_index_ivfpq_topk(
     scored = (
         vectors.join(F.broadcast(probes_df), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(lut_df), ["q_id", "subspace", "code"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d").alias("adc_dist"))
+        .join(F.broadcast(lut_df), "q_id")
+        .select("q_id", "vec_id", _adc_dist_col().alias("adc_dist"))
     )
     return S.topk_per_key(
         scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], k
@@ -665,10 +695,10 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
 #   directory level and cell below it.
 # - ``codebook/`` (subspace, dim, cell, ic) — the PQ codebook, same
 #   layout and convention as the single-level table (corpus rows with
-#   vec_id < PQ_K, integer domain), so ``_load_codebook``/``_adc_lut``
-#   serve both families unchanged.
-# - ``vectors/`` (vec_id, subspace, code) **partitioned by (group,
-#   cell)** — the PQ-encoded corpus: the billion-vector arm. The layout
+#   vec_id < PQ_K, integer domain), so ``_load_codebook`` and the
+#   flattened ADC LUT serve both families unchanged.
+# - ``vectors/`` (vec_id, codes array<int>) **partitioned by (group,
+#   cell)** — the PQ-encoded corpus, packed: the billion-vector arm. The layout
 #   exists precisely for corpora past ~270M vectors, where a probed-cell
 #   scan of raw floats (256 B/vector at DIM=64 float32) costs ~100x the
 #   IO of 2-byte PQ codes; ``ann_index_2level_ivfpq_topk`` reads ONLY
@@ -829,9 +859,25 @@ def build_ann_index_2level(
         [(int(c), int(gmap[c])) for c in range(n_cells)], "cell long, group long"
     )
 
-    # PQ codebook — the single-level convention verbatim (corpus rows
-    # with vec_id < PQ_K, integer domain): _load_codebook/_adc_lut work
-    # on a 2-level dir with zero changes
+    # one composed-assignment pass feeds both partitioned layouts
+    assigned = (
+        emb.select("vec_id", "embedding", nearest(F.col("embedding")).alias("cell"))
+        .join(F.broadcast(gmap_df), "cell")
+        .select("vec_id", "embedding", "group", "cell")
+    )
+    _land_2level_corpus(spark, index_dir, emb, assigned)
+
+
+def _land_2level_corpus(
+    spark: SparkSession, index_dir: str, emb: DataFrame, assigned: DataFrame
+) -> None:
+    """Land the corpus-scale tables shared by the driver-side and
+    distributed 2-level builds: the PQ ``codebook/`` (single-level
+    convention verbatim — corpus rows with vec_id < PQ_K, integer
+    domain, so ``_load_codebook`` and the flattened ADC LUT work on a
+    2-level dir with zero changes), then ``raw/`` and packed
+    ``vectors/`` from ONE persisted pass over ``assigned``
+    (vec_id, embedding, group, cell)."""
     codebook = (
         S.pq_long_form(emb)
         .filter(F.col("vec_id") < S.PQ_K)
@@ -846,13 +892,7 @@ def build_ann_index_2level(
         M.table_path(index_dir, "codebook")
     )
 
-    # one composed-assignment pass feeds both partitioned layouts
-    assigned = (
-        emb.select("vec_id", "embedding", nearest(F.col("embedding")).alias("cell"))
-        .join(F.broadcast(gmap_df), "cell")
-        .select("vec_id", "embedding", "group", "cell")
-        .persist()
-    )
+    assigned = assigned.persist()
     try:
         (
             assigned.repartition("group", "cell")
@@ -861,20 +901,18 @@ def build_ann_index_2level(
             .parquet(M.table_path(index_dir, "raw"))
         )
         # encode DIRECTLY on the assigned rows (map-only, same kernel as
-        # pq_codes_fast) — a codes-by-id join here would shuffle
-        # corpus x PQ_M rows against the assignment (measured: ~2 GB
-        # spill at 8M vectors); fused, the only exchange is the
+        # pq_codes_fast, packed: one codes-array row per vector) — a
+        # codes-by-id join here would shuffle corpus-sized tables
+        # against the assignment; fused, the only exchange is the
         # partitionBy write itself
         (
             assigned.select(
                 "vec_id",
                 "group",
                 "cell",
-                F.posexplode(
-                    S.pq_encode_udf(_load_codebook(spark, index_dir))(
-                        F.col("embedding")
-                    )
-                ).alias("subspace", "code"),
+                S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                    F.col("embedding")
+                ).alias("codes"),
             )
             .repartition("group", "cell")
             .write.mode("overwrite")
@@ -931,17 +969,15 @@ def append_to_ann_index_2level(
         )
         # PQ-encode against the STORED codebook (immutable-quantizer
         # invariant: old and new codes stay comparable under one LUT),
-        # fused onto the assigned rows — map-only, no codes-by-id join
+        # fused onto the assigned rows — map-only, packed, no join
         (
             assigned.select(
                 "vec_id",
                 "group",
                 "cell",
-                F.posexplode(
-                    S.pq_encode_udf(_load_codebook(spark, index_dir))(
-                        F.col("embedding")
-                    )
-                ).alias("subspace", "code"),
+                S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                    F.col("embedding")
+                ).alias("codes"),
             )
             .repartition("group", "cell")
             .write.mode("append")
@@ -1080,9 +1116,8 @@ def ann_index_2level_ivfpq_topk(
     probes = _probe_cells_2level(
         spark, index_dir, queries, n_probe_groups, n_probe
     )
-    lut = _adc_lut(spark, index_dir, queries)
     probes_df = spark.createDataFrame(probes, "q_id long, group long, cell long")
-    lut_df = spark.createDataFrame(lut, _LUT_SCHEMA)
+    lut_df = _adc_lut_flat(spark, index_dir, queries)
 
     vectors = _live(
         spark,
@@ -1095,10 +1130,322 @@ def ann_index_2level_ivfpq_topk(
     scored = (
         vectors.join(F.broadcast(probes_df), ["group", "cell"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(lut_df), ["q_id", "subspace", "code"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d").alias("adc_dist"))
+        .join(F.broadcast(lut_df), "q_id")
+        .select("q_id", "vec_id", _adc_dist_col().alias("adc_dist"))
     )
     return S.topk_per_key(
         scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], k
     )
+
+
+# --------------------------------------------------------------------------
+# Two-stage search: ADC shortlist + exact rerank — the standard
+# production composition (a PQ scan alone trades recall for IO; the
+# rerank buys exactness back for shortlist x 256 B of targeted raw
+# reads). Both layouts share the shape: probe -> integer-ADC-score the
+# probed cells' CODES -> keep the top `shortlist` per query -> fetch
+# ONLY those vectors' raw embeddings (broadcast semijoin against the
+# already-pruned raw partitions) -> exact rounded cosine -> top-k.
+# With shortlist >= the probed population the result equals the
+# IVF-Flat reader exactly (test-pinned), which is the semantics anchor.
+
+
+def ann_index_ivfpq_rerank_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    shortlist: int | None = None,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """ADC-shortlist + exact-rerank over the single-level artifact:
+    scan codes for the probed cells (partition-pruned, 2 bytes/vector),
+    rank by the broadcast integer LUT, keep ``shortlist`` candidates
+    per query (ties to lower vec_id — the ivfpq contract), then exact
+    cosine ONLY on those candidates' raw rows. Output contract matches
+    ann_index_ivf_topk: (q_id, vec_id, sim, rank)."""
+    shortlist = 4 * k if shortlist is None else shortlist
+    cells, mat = _read_centroids(spark, index_dir)
+    probes = _probe_cells(queries, cells, mat, n_probe)
+    probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
+    lut_df = _adc_lut_flat(spark, index_dir, queries)
+
+    vectors = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(M.table_path(index_dir, "vectors")).where(
+            _cell_predicate(probes)
+        ),
+    )
+    scored = (
+        vectors.join(F.broadcast(probes_df), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(lut_df), "q_id")
+        .select("q_id", "vec_id", _adc_dist_col().alias("adc_dist"))
+    )
+    short = S.topk_per_key(
+        scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], shortlist
+    ).select("q_id", "vec_id")
+
+    raw = spark.read.parquet(M.table_path(index_dir, "raw")).where(
+        _cell_predicate(probes)
+    )
+    reranked = (
+        raw.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(_queries_df(spark, queries)), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    return S.topk_per_key(
+        reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )
+
+
+def ann_index_2level_ivfpq_rerank_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    shortlist: int | None = None,
+    n_probe_groups: int = N_PROBE_GROUPS,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """The two-stage search over the sharded-quantizer layout — at
+    billion-vector scale this is THE search: probed-cell IO is 2-byte
+    codes (the 2-level PQ arm), plus ``shortlist`` targeted raw rows
+    per query for the exact rerank. Output contract matches
+    ann_index_2level_topk: (q_id, vec_id, sim, rank)."""
+    shortlist = 4 * k if shortlist is None else shortlist
+    probes = _probe_cells_2level(
+        spark, index_dir, queries, n_probe_groups, n_probe
+    )
+    probes_df = spark.createDataFrame(probes, "q_id long, group long, cell long")
+    lut_df = _adc_lut_flat(spark, index_dir, queries)
+    g_pred = F.col("group").isin(sorted({g for _, g, _ in probes}))
+    c_pred = F.col("cell").isin(sorted({c for _, _, c in probes}))
+
+    vectors = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(M.table_path(index_dir, "vectors")).where(
+            g_pred & c_pred
+        ),
+    )
+    scored = (
+        vectors.join(F.broadcast(probes_df), ["group", "cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(lut_df), "q_id")
+        .select("q_id", "vec_id", _adc_dist_col().alias("adc_dist"))
+    )
+    short = S.topk_per_key(
+        scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], shortlist
+    ).select("q_id", "vec_id")
+
+    raw = spark.read.parquet(M.table_path(index_dir, "raw")).where(
+        g_pred & c_pred
+    )
+    reranked = (
+        raw.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(_queries_df(spark, queries)), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    return S.topk_per_key(
+        reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed 2-level build — the path past the AUTO_MAX_CELLS_2L clamp.
+# The driver-side build (build_ann_index_2level) collects the quantizer
+# pool and broadcasts every fine centroid into the assignment UDF: fine
+# to ~1M cells, a wall at the 16.7M-cell shapes the (group, cell) layout
+# itself supports. This build keeps the fine quantizer DISTRIBUTED end
+# to end — only the ``n_groups`` coarse rows (<= AUTO_MAX_CELLS ~ 2 MB)
+# ever reach the driver or an executor closure:
+#
+# - gmap (cell -> group) is a map-side pandas UDF over the fine pool
+#   with the coarse matrix broadcast — n_cells x n_groups cosines as a
+#   distributed pass instead of a driver matmul;
+# - corpus assignment is two stages: nearest LIVE group (map-side, tiny
+#   broadcast), then nearest cell WITHIN the group via a cogrouped
+#   per-group matmul against the fine shard table — each group's
+#   centroids stream through the cogroup (n_cells/n_groups rows), never
+#   a full-quantizer broadcast. One extra corpus shuffle (by group) is
+#   the price; for a one-time build at the scales that need it, the
+#   right trade.
+#
+# Same rounded-6 cosine / first-maximum / positional-pool conventions as
+# the driver build, so the artifacts are search-identical (test-pinned,
+# and the registered query's oracle is the SAME _ANN_2LEVEL_SQL).
+
+
+def _nearest_group_udf(g_ids: np.ndarray, g_mat: np.ndarray):
+    """Map-side nearest-group assignment (rounded cosine, ties to the
+    lower group id via first-maximum over ids sorted ascending) — the
+    coarse stage of the composed assignment, alone."""
+    ids = np.asarray(g_ids, dtype="int64")
+    assert list(ids) == sorted(ids)
+    g = g_mat.astype(np.float64)
+    g_norm = np.sqrt(np.einsum("ij,ij->i", g, g))
+
+    @F.pandas_udf(T.LongType())
+    def nearest(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        x_norm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        sims = np.round((x @ g.T) / (x_norm[:, None] * g_norm[None, :]), 6)
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    return nearest
+
+
+_ASSIGNED_SCHEMA = (
+    "vec_id long, embedding array<float>, group long, cell long"
+)
+
+
+def _assign_cells_in_group(key, left: pd.DataFrame, right: pd.DataFrame):
+    """Cogroup kernel: one group's corpus rows x that group's fine
+    shard — ONE rounded-cosine matmul, first-maximum over cells sorted
+    ascending (the nearest_cell_2level_udf tie-break)."""
+    if left.empty or right.empty:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "embedding": pd.Series(dtype=object),
+                "group": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int64"),
+            }
+        )
+    order = np.argsort(right["cell"].to_numpy(), kind="stable")
+    cells = right["cell"].to_numpy()[order]
+    c = np.vstack(right["c_emb"].to_numpy()[order]).astype(np.float64)
+    x = np.vstack(left["embedding"].to_numpy()).astype(np.float64)
+    xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+    cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+    sims = np.round((x @ c.T) / (xn[:, None] * cn[None, :]), 6)
+    sel = np.argmax(sims, axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": left["vec_id"].to_numpy(),
+            "embedding": left["embedding"],
+            "group": np.full(len(left), int(key[0]), dtype="int64"),
+            "cell": cells[sel],
+        }
+    )
+
+
+def build_ann_index_2level_distributed(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_groups: int | None = N_GROUPS_2L,
+    n_cells: int | None = N_CELLS_2L,
+) -> None:
+    """:func:`build_ann_index_2level` with the fine quantizer kept
+    distributed (module comment above) — artifacts are search-identical
+    to the driver-side build; use this past ~1M fine cells, where the
+    driver-side pool collect and full-quantizer UDF closure stop being
+    feasible. The pool-position window runs over quantizer-scale rows
+    only (<= n_cells), never the corpus."""
+    from pyspark.sql import Window
+
+    if n_groups is None or n_cells is None:
+        auto_g, auto_c = auto_quantizer_shape(emb.count())
+        n_groups = auto_g if n_groups is None else n_groups
+        n_cells = auto_c if n_cells is None else n_cells
+    _COARSE.pop(index_dir, None)
+    _CODEBOOKS.pop(index_dir, None)
+
+    pool = (
+        emb.filter(F.col("vec_id") < max(n_groups, n_cells))
+        .select("vec_id", "embedding")
+        .withColumn(
+            "pos", F.row_number().over(Window.orderBy("vec_id")) - 1
+        )
+        .persist()
+    )
+    try:
+        pool_n = pool.count()
+        # sparse-prefix clamp — the driver build's len(mat) semantics
+        n_groups = min(n_groups, pool_n)
+        n_cells = min(n_cells, pool_n)
+
+        g_rows = pool.filter(F.col("pos") < n_groups).collect()  # tiny
+        g_rows.sort(key=lambda r: r.pos)
+        g_mat_all = np.array([r.embedding for r in g_rows], dtype=np.float64)
+
+        # distributed gmap: every fine centroid -> nearest group over
+        # ALL groups (the _group_of_cells matmul as a map-side pass)
+        nearest_any = _nearest_group_udf(
+            np.arange(n_groups, dtype="int64"), g_mat_all
+        )
+        fine = (
+            pool.filter(F.col("pos") < n_cells)
+            .select(
+                F.col("pos").alias("cell"),
+                nearest_any(F.col("embedding")).alias("group"),
+                F.col("embedding").cast("array<float>").alias("c_emb"),
+            )
+            .persist()
+        )
+        live = sorted(
+            int(r.group) for r in fine.select("group").distinct().collect()
+        )
+        coarse_df = spark.createDataFrame(
+            [(g, [float(x) for x in g_mat_all[g]]) for g in live],
+            T.StructType(
+                [
+                    T.StructField("group", T.LongType()),
+                    T.StructField("g_emb", T.ArrayType(T.FloatType())),
+                ]
+            ),
+        )
+        coarse_df.coalesce(1).write.mode("overwrite").parquet(
+            M.table_path(index_dir, "coarse")
+        )
+        (
+            fine.select("cell", "group", "c_emb")
+            .repartition("group")
+            .write.mode("overwrite")
+            .partitionBy("group")
+            .parquet(M.table_path(index_dir, "fine"))
+        )
+        fine.unpersist()
+
+        # corpus assignment, two distributed stages
+        g_live_mat = g_mat_all[np.array(live)]
+        nearest_live = _nearest_group_udf(
+            np.array(live, dtype="int64"), g_live_mat
+        )
+        with_group = emb.select(
+            "vec_id",
+            "embedding",
+            nearest_live(F.col("embedding")).alias("group"),
+        )
+        # the partition column reads back as int — cast to long so the
+        # cogroup keys match with_group's UDF-typed long (mismatched key
+        # types silently cogroup as disjoint keys and drop rows)
+        fine_shards = spark.read.parquet(
+            M.table_path(index_dir, "fine")
+        ).select(
+            F.col("group").cast("long").alias("group"),
+            F.col("cell").cast("long").alias("cell"),
+            "c_emb",
+        )
+        assigned = (
+            with_group.groupBy("group")
+            .cogroup(fine_shards.groupBy("group"))
+            .applyInPandas(_assign_cells_in_group, _ASSIGNED_SCHEMA)
+        )
+        _land_2level_corpus(spark, index_dir, emb, assigned)
+    finally:
+        pool.unpersist()

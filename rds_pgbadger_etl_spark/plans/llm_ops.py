@@ -4284,6 +4284,43 @@ def ann_index_2level_delete_topk(
     )
 
 
+def _ann_index_2level_dist_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Two-level index built with the DISTRIBUTED quantizer-assignment
+    path (fine quantizer never collected, per-group cogrouped cell
+    assignment) — the build that stays feasible past ~1M fine cells."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        build_ann_index_2level_distributed,
+    )
+
+    key = sf_dir + "#2level-dist"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_2l_dist_")
+        build_ann_index_2level_distributed(
+            spark, rebalance(load_table(spark, sf_dir, "embeddings")), d
+        )
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_index_2level_dist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: the distributed-quantizer 2-level build searched
+    with the standard reader. The oracle is the SAME _ANN_2LEVEL_SQL as
+    the driver-side build's query — hash equality proves the
+    distributed assignment (map-side gmap + cogrouped per-group cell
+    argmax) writes the identical artifact."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_topk(
+        spark,
+        _ann_index_2level_dist_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
 def ann_index_2level_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-level index's PQ arm — the billion-vector path: probe
     selection is the sharded-quantizer term (groups, then cells within
@@ -4396,6 +4433,147 @@ WHERE rank <= {_TOPK}
 _ANN_2LEVEL_IVFPQ_SQL = _ann_2level_ivfpq_sql()
 
 
+# Two-stage search: ADC shortlist + exact rerank (the production
+# composition — PQ IO with exact top-k ordering). Shortlist is sized
+# strictly between k and the probed population so the rerank is doing
+# real work in the registered query.
+_RERANK_SHORTLIST = 3 * _TOPK
+
+
+def ann_index_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the two-stage search over the single-level artifact — rank
+    the probed cells by 2-byte ADC codes, keep a 3k shortlist, exact
+    cosine ONLY on those rows. Oracle = the IVFPQ twin's scored CTE cut
+    at the shortlist, reranked by the exact rounded cosine."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_ivfpq_rerank_topk(
+        spark,
+        _ann_index_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+    )
+
+
+_ANN_IVFPQ_RERANK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+member AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN asgn a ON a.cell = p.cell
+  WHERE a.vec_id <> p.q_id
+),
+lf AS ({_PQ_LF_SQL}),
+dist AS ({_PQ_DIST_SQL}),
+codes AS ({_PQ_CODES_SQL}),
+lut AS (
+  SELECT vec_id AS q_id, subspace, cell AS code, sq AS d
+  FROM dist WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+scored AS (
+  SELECT m.q_id, m.vec_id, sum(l.d) AS adc_dist
+  FROM member m
+  JOIN codes cd ON cd.vec_id = m.vec_id
+  JOIN lut l ON l.q_id = m.q_id AND l.subspace = cd.subspace
+            AND l.code = cd.code
+  GROUP BY m.q_id, m.vec_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist, vec_id) AS rn
+    FROM scored) WHERE rn <= {_RERANK_SHORTLIST}
+),
+rerank AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'v.emb')} AS sim
+  FROM short s
+  JOIN e v ON v.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM rerank
+) WHERE rnk <= {_TOPK}
+"""
+
+
+def ann_index_2level_ivfpq_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X3: the two-stage search over the sharded-quantizer layout — at
+    billion-vector scale THE search (code-IO shortlist + targeted exact
+    rerank). Oracle = the 2-level IVFPQ twin cut at the shortlist,
+    reranked by the exact rounded cosine."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_ivfpq_rerank_topk(
+        spark,
+        _ann_index_2level_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+    )
+
+
+def _ann_2level_ivfpq_rerank_sql() -> str:
+    # the 2-level IVFPQ twin with its final top-k swapped for a
+    # shortlist cut + exact-cosine rerank
+    base = _ann_2level_ivfpq_sql()
+    tail = f"""SELECT q_id, vec_id, cast(adc_dist AS bigint) AS adc_dist, cast(rank AS int) AS rank
+FROM (
+  SELECT q_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {_TOPK}
+"""
+    assert base.endswith(tail)
+    return base[: -len(tail)] + f""", short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist, vec_id) AS rn
+    FROM scored) WHERE rn <= {_RERANK_SHORTLIST}
+),
+rerank AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'v.emb')} AS sim
+  FROM short s
+  JOIN e v ON v.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM rerank
+) WHERE rnk <= {_TOPK}
+"""
+
+
+_ANN_2LEVEL_IVFPQ_RERANK_SQL = _ann_2level_ivfpq_rerank_sql()
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -4495,6 +4673,18 @@ QUERIES = {
     "ann_index_2level_ivfpq_topk": (
         ann_index_2level_ivfpq_topk,
         _ANN_2LEVEL_IVFPQ_SQL,
+    ),
+    "ann_index_ivfpq_rerank_topk": (
+        ann_index_ivfpq_rerank_topk,
+        _ANN_IVFPQ_RERANK_SQL,
+    ),
+    "ann_index_2level_dist_topk": (
+        ann_index_2level_dist_topk,
+        _ANN_2LEVEL_SQL,
+    ),
+    "ann_index_2level_ivfpq_rerank_topk": (
+        ann_index_2level_ivfpq_rerank_topk,
+        _ANN_2LEVEL_IVFPQ_RERANK_SQL,
     ),
     "ann_index_delete_topk": (ann_index_delete_topk, _ANN_DELETE_SQL),
     "ann_index_refined_recall": (ann_index_refined_recall, None),

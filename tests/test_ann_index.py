@@ -664,3 +664,58 @@ def test_2level_delete_then_compaction_applies_physically(spark, tmp_path):
         assert remaining == 0, t
     assert _rows(AI.ann_index_2level_topk(spark, d, qs, K)) == logical_flat
     assert _rows(AI.ann_index_2level_ivfpq_topk(spark, d, qs, K)) == logical_pq
+
+def test_rerank_with_full_shortlist_equals_ivf_flat(spark, index_dir):
+    """The two-stage search's semantics anchor: with a shortlist
+    covering the whole probed population, ADC-shortlist + exact-rerank
+    must equal the IVF-Flat reader EXACTLY (same probes, same cosine,
+    same tie-breaks) — the shortlist only ever trims, never reorders."""
+    qs = _queries(spark)
+    full = _rows(
+        AI.ann_index_ivfpq_rerank_topk(spark, index_dir, qs, K, 10**9)
+    )
+    flat = _rows(AI.ann_index_ivf_topk(spark, index_dir, qs, K))
+    assert full == flat and len(full) == len(QUERY_IDS) * K
+    # a tight shortlist still returns well-formed top-k
+    tight = AI.ann_index_ivfpq_rerank_topk(spark, index_dir, qs, K, K)
+    assert tight.count() == len(QUERY_IDS) * K
+
+
+def test_2level_rerank_with_full_shortlist_equals_flat(spark, index2_dir):
+    qs = _queries(spark)
+    full = _rows(
+        AI.ann_index_2level_ivfpq_rerank_topk(spark, index2_dir, qs, K, 10**9)
+    )
+    flat = _rows(AI.ann_index_2level_topk(spark, index2_dir, qs, K))
+    assert full == flat and len(full) == len(QUERY_IDS) * K
+
+def test_2level_distributed_build_matches_driver_build(spark, index2_dir, tmp_path):
+    """build_ann_index_2level_distributed (map-side gmap, cogrouped
+    per-group cell assignment, quantizer never collected) must write a
+    search-identical artifact to the driver-side build: identical raw
+    (vec_id, group, cell) assignments and identical results from all
+    three readers — the parity that licenses using it past the
+    AUTO_MAX_CELLS_2L clamp."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "idx2l_dist")
+    AI.build_ann_index_2level_distributed(spark, emb, d)
+    qs = _queries(spark)
+    for reader in (
+        AI.ann_index_2level_topk,
+        AI.ann_index_2level_ivfpq_topk,
+        AI.ann_index_2level_ivfpq_rerank_topk,
+    ):
+        assert _rows(reader(spark, d, qs, K)) == _rows(
+            reader(spark, index2_dir, qs, K)
+        ), reader.__name__
+    ra = {
+        (r.vec_id, r.group, r.cell)
+        for r in spark.read.parquet(M.table_path(d, "raw")).collect()
+    }
+    rb = {
+        (r.vec_id, r.group, r.cell)
+        for r in spark.read.parquet(
+            M.table_path(index2_dir, "raw")
+        ).collect()
+    }
+    assert ra == rb and ra

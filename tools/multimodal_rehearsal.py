@@ -289,6 +289,70 @@ def main() -> None:
     }
     t_ajoin = time.perf_counter() - t0
 
+    # --- stage 4 (round 10): the hot-band quadratic + its cap — every
+    # video carries a BOILERPLATE black frame (constant words: its band
+    # values are shared by the whole corpus), so uncapped, EVERY video
+    # pair is a candidate AND passes the containment rule via that one
+    # frame: the output itself is C(n, 2). The frame-hash table is
+    # synthesized directly (metadata-sized; the payload decode path is
+    # covered by the video oracle queries) with planted families: head
+    # + DUPS variants whose DISTINCTIVE frames sit 1-2 bits apart.
+    from rds_pgbadger_etl_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    def video_fh(n_videos: int):
+        import pandas as pd
+
+        rows = []
+        for v in range(n_videos):
+            rows.append((v, 0, "0" * 16, 0, 0))  # boilerplate black frame
+            famv, j = v // FAMILY, v % FAMILY
+            if j <= DUPS:
+                rs = np.random.RandomState(900_000 + famv)
+                hi, lo = int(rs.randint(0, 2**31)), int(rs.randint(0, 2**31))
+                if j >= 1:
+                    lo ^= 1 << j  # bits 1..9: all inside one 16-bit band
+            else:
+                rs = np.random.RandomState(10_000_019 + v)
+                hi, lo = int(rs.randint(0, 2**31)), int(rs.randint(0, 2**31))
+            rows.append((v, 1, f"{hi:08x}{lo:08x}", hi, lo))
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_id", "ahash", "hi", "lo"],
+            )
+        )
+
+    n_small = min(2_000, n_images)
+    fh_small = video_fh(n_small).persist()
+    fh_small.count()
+    t0 = time.perf_counter()
+    n_uncapped = video_near_dup_pairs(fh_small).count()
+    t_uncapped = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_capped_small = video_near_dup_pairs(fh_small, max_band_freq=64).count()
+    t_capped_small = time.perf_counter() - t0
+    fh_big = video_fh(n_images).persist()
+    fh_big.count()
+    t0 = time.perf_counter()
+    capped_big = video_near_dup_pairs(fh_big, max_band_freq=64).persist()
+    n_capped_big = capped_big.count()
+    t_capped_big = time.perf_counter() - t0
+    # planted recall under the cap: every within-family pair must
+    # survive via its distinctive frames (1-2 bits apart, family-unique
+    # bands far below the cap)
+    planted_small = (n_small // FAMILY) * (DUPS + 1) * DUPS // 2
+    planted_big = (n_images // FAMILY) * (DUPS + 1) * DUPS // 2
+    capped_fam_pairs = capped_big.filter(
+        (F.col("a") % FAMILY <= DUPS)
+        & (F.col("b") % FAMILY <= DUPS)
+        & ((F.col("a") / FAMILY).cast("long") == (F.col("b") / FAMILY).cast("long"))
+    ).count()
+    capped_big.unpersist()
+    fh_small.unpersist()
+    fh_big.unpersist()
+
     fam = n_images // FAMILY
     expected = fam * (DUPS + 1) * DUPS // 2  # C(DUPS+1, 2) per family
     audio_expected = fam * DUPS  # exactly (head, variant) pairs
@@ -320,6 +384,22 @@ def main() -> None:
                     n_apairs / audio_expected, 4
                 ),
                 "audio_pairs_by_hamming": a_by_h,
+                "video_hot_band": {
+                    "n_small": n_small,
+                    "uncapped_pairs": n_uncapped,
+                    "uncapped_s": round(t_uncapped, 1),
+                    "capped_pairs_small": n_capped_small,
+                    "capped_s_small": round(t_capped_small, 1),
+                    "planted_small": planted_small,
+                    "n_big": n_images,
+                    "capped_pairs_big": n_capped_big,
+                    "capped_s_big": round(t_capped_big, 1),
+                    "planted_big": planted_big,
+                    "capped_family_pairs_big": capped_fam_pairs,
+                    "cap_recall_vs_planted": round(
+                        capped_fam_pairs / planted_big, 4
+                    ),
+                },
                 "shuffle_write_mb": round(
                     sum(s.get("shuffle_write_mb", 0) for s in stages), 1
                 ),
