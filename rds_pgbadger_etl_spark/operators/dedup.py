@@ -96,8 +96,33 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).distinct()
 
 
-def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Self-join on band → unordered candidate pairs (a < b)."""
+def candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Self-join on band → unordered candidate pairs (a < b).
+
+    ``max_band_freq`` is the hot-key guard for corpora with huge
+    near-identical boilerplate families: a band value carried by f docs
+    contributes f^2/2 candidate rows, so one template repeated across a
+    large corpus fraction turns the equi-join quadratic. Buckets past
+    the cap are excluded via a broadcast anti-join (the hot set is a
+    handful of values by construction). Recall cost: a true pair is
+    lost only when EVERY band it shares is hot — i.e. pairs that are
+    themselves members of the giant template family, which exact dedup
+    upstream (or one canonical representative per hot bucket) should
+    own. Default off — the fixture-scale oracle twins model the
+    uncapped join; same knob and rationale as
+    multimodal.hamming_band_pairs."""
+    if max_band_freq is not None:
+        hot = (
+            bands.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("band")
+        )
+        bands = bands.join(F.broadcast(hot), "band", "left_anti")
     left = bands.select(F.col(id_col).alias("a"), "band")
     right = bands.select(F.col(id_col).alias("b"), "band")
     return (
@@ -242,6 +267,7 @@ def near_dup_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     verify_strategy: str = "auto",
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """X2 end-to-end: shingle → MinHash → LSH bands → candidates →
     Jaccard verify → pairs above threshold. ``verify_strategy="auto"``
@@ -261,7 +287,9 @@ def near_dup_pairs(
     sigs = minhash_signatures(char_shingles(df, id_col, text_col), id_col).persist()
     # cands feeds both the ids derivation and the final pair join —
     # persist so the band self-join over sigs runs once, not per consumer.
-    cands = candidate_pairs(lsh_bands(sigs, id_col), id_col).persist()
+    cands = candidate_pairs(
+        lsh_bands(sigs, id_col), id_col, max_band_freq
+    ).persist()
     prof = candidate_shingle_sets(df, cands, id_col, text_col)
     return pair_jaccard(cands, prof, id_col, strategy=verify_strategy).filter(
         F.col("jaccard") >= threshold

@@ -47,19 +47,31 @@ from rds_pgbadger_etl_spark.operators.dedup_index import (
 
 _EXACT_PFX_LEN = 2
 
+# table name -> partition column: the exact-hash store is one
+# pfx-partitioned table under the SHARED maintenance surface
+# (operators/index_maintenance.py), so it gets the same
+# manifest-flipped compaction the dedup/ANN artifacts have — each
+# streaming batch appends one file-set per touched prefix, and without
+# a compactor N batches leave N small files per hot prefix.
+_EXACT_TABLES = {"hashes": "pfx"}
+
 
 def _exact_store_lookup(batch_h: DataFrame, exact_dir: str) -> DataFrame:
     """Ids in ``batch_h (doc_id, h)`` whose hash is already accepted.
     The store scan prunes to the batch's own 2-hex prefixes (≤256
     values, collected metadata-sized); the batch side broadcasts."""
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+
     spark = batch_h.sparkSession
-    if not os.path.isdir(exact_dir):
+    if not os.path.isdir(M.table_path(exact_dir, "hashes")):
         return spark.createDataFrame([], "doc_id long")
     probe = batch_h.withColumn(
         "pfx", F.substring("h", 1, _EXACT_PFX_LEN)
     )
     pfxs = sorted(r.pfx for r in probe.select("pfx").distinct().collect())
-    store = spark.read.parquet(exact_dir).where(F.col("pfx").isin(pfxs))
+    store = spark.read.parquet(M.table_path(exact_dir, "hashes")).where(
+        F.col("pfx").isin(pfxs)
+    )
     return (
         store.join(F.broadcast(probe), "h", "inner")
         .select("doc_id")
@@ -68,6 +80,8 @@ def _exact_store_lookup(batch_h: DataFrame, exact_dir: str) -> DataFrame:
 
 
 def _exact_store_append(accepted_h: DataFrame, exact_dir: str) -> None:
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+
     (
         accepted_h.select(
             "h", F.substring("h", 1, _EXACT_PFX_LEN).alias("pfx")
@@ -75,8 +89,26 @@ def _exact_store_append(accepted_h: DataFrame, exact_dir: str) -> None:
         .repartition(F.col("pfx"))
         .write.mode("append")
         .partitionBy("pfx")
-        .parquet(exact_dir)
+        .parquet(M.table_path(exact_dir, "hashes"))
     )
+
+
+def compact_exact_store(spark, exact_dir: str) -> dict:
+    """Rewrite the exact-hash store so every prefix partition holds one
+    file-set again (atomic manifest flip; in-flight readers keep the
+    superseded generation) — the maintenance verb every other persisted
+    store already carries. Returns per-table file counts."""
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+
+    return M.compact_index(spark, exact_dir, _EXACT_TABLES)
+
+
+def exact_store_stats(spark, exact_dir: str) -> DataFrame:
+    """Rows/partition skew + files/partition for the exact-hash store —
+    the when-to-compact audit (rows-only: physical layout)."""
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+
+    return M.index_stats(spark, exact_dir, _EXACT_TABLES)
 
 
 def curate_batch(

@@ -960,3 +960,35 @@ def test_video_near_dup_band_cap_drops_boilerplate_frame_pairs(spark):
     assert uncapped[(1, 2)] == 2 and uncapped[(3, 4)] == 1
     assert capped.get((1, 2)) == 1  # distinctive frame still pairs them
     assert (3, 4) not in capped  # boilerplate-only pair gone
+
+
+def test_dedup_band_cap_bounds_template_family(spark):
+    """candidate_pairs(max_band_freq=...) must stop a giant boilerplate
+    family's band values from going quadratic while ordinary near-dup
+    pairs (bands shared by few docs) keep their answer — the text-dedup
+    twin of the multimodal hot-band cap."""
+    from rds_pgbadger_etl_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, base) for i in range(30)]  # one giant exact-ish family
+    rows += [(100, "completely different interesting content " * 8)]
+    rows += [(101, "completely different interesting content " * 8 + "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(D.char_shingles(docs))
+    bands = D.lsh_bands(sigs)
+    uncapped = {
+        (r.a, r.b) for r in D.candidate_pairs(bands).collect()
+    }
+    capped = {
+        (r.a, r.b)
+        for r in D.candidate_pairs(bands, max_band_freq=10).collect()
+    }
+    # the 30-doc family is quadratic uncapped (435 pairs), gone capped
+    assert sum(1 for a, b in uncapped if a < 30 and b < 30) == 435
+    assert not any(a < 30 and b < 30 for a, b in capped)
+    # the small true pair survives the cap
+    assert (100, 101) in uncapped and (100, 101) in capped
+    # end-to-end plumb: near_dup_pairs honors the cap
+    pairs = D.near_dup_pairs(docs, max_band_freq=10)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (100, 101) in got and not any(a < 30 for a, b in got)

@@ -611,3 +611,47 @@ def test_incremental_curation_funnel_semantics(spark, tmp_path):
     assert rows[(2, "2_exact_dedup")][0] == 2  # exact copy of 44 dies
     assert rows[(2, "3_near_dedup")][0] == 1  # near-dup of 44 dies
     assert rows[(2, "4_decontaminated")][0] == 1
+
+
+def test_exact_store_compaction_preserves_lookups(spark, tmp_path):
+    """The curation exact-hash store: N batch appends leave N file-sets
+    per hot prefix; compact_exact_store collapses them behind the
+    atomic manifest flip with lookup results identical, and the store
+    keeps accepting appends afterwards (the new generation is the
+    manifest-resolved write target)."""
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+    from rds_pgbadger_etl_spark.streaming.incremental_curation import (
+        _exact_store_append,
+        _exact_store_lookup,
+        compact_exact_store,
+        exact_store_stats,
+    )
+
+    d = str(tmp_path / "exact")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, h string")
+    h = lambda i: f"{i:032x}"
+    _exact_store_append(mk([(i, h(i)) for i in range(40)]).select("h"), d)
+    _exact_store_append(
+        mk([(i, h(i)) for i in range(40, 80)]).select("h"), d
+    )
+    _exact_store_append(
+        mk([(i, h(i)) for i in range(80, 120)]).select("h"), d
+    )
+    probe = mk([(200 + i, h(i)) for i in range(0, 120, 7)] + [(999, h(5000))])
+    before = sorted(
+        r.doc_id for r in _exact_store_lookup(probe, d).collect()
+    )
+    st = {r.table: r for r in exact_store_stats(spark, d).collect()}
+    assert st["hashes"].max_part_files >= 3  # one file-set per append
+
+    stats = compact_exact_store(spark, d)
+    assert stats["hashes"]["files_after"] < stats["hashes"]["files_before"]
+    assert M.table_path(d, "hashes").endswith("__g1")  # manifest flipped
+    after = sorted(r.doc_id for r in _exact_store_lookup(probe, d).collect())
+    assert after == before and before  # lookups bit-identical
+
+    # the store keeps working after the flip: appends land in the new
+    # generation and are immediately visible to lookups
+    _exact_store_append(mk([(0, h(5000))]).select("h"), d)
+    post = sorted(r.doc_id for r in _exact_store_lookup(probe, d).collect())
+    assert post == sorted(before + [999])
