@@ -118,6 +118,17 @@ def main() -> None:
     )
     t_build2 = time.perf_counter() - t0
 
+    # the distributed-quantizer build (round 10): fine quantizer never
+    # collected — measure its corpus-scale cost vs the driver-side
+    # build, and assert search parity at this scale
+    idx2d = f"{BASE}/index2d_{n_vecs}"
+    shutil.rmtree(idx2d, ignore_errors=True)
+    t0 = time.perf_counter()
+    AI.build_ann_index_2level_distributed(
+        spark, emb, idx2d, n_groups=n_groups, n_cells=n_cells
+    )
+    t_build2d = time.perf_counter() - t0
+
     # --- search + flag legs -------------------------------------------
     from rds_pgbadger_etl_spark.streaming.incremental_ann import (
         flag_against_index,
@@ -217,6 +228,12 @@ def main() -> None:
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     pruned2 = "PartitionFilters" in plan2 and " IN " in plan2
 
+    dist_parity = sorted(
+        map(str, AI.ann_index_2level_topk(spark, idx2d, queries, 10).collect())
+    ) == sorted(
+        map(str, AI.ann_index_2level_topk(spark, idx2, queries, 10).collect())
+    )
+
     # --- mutation legs (LAST: they grow idx2) ---------------------------
     # append O(new): admitting a 2k batch into the 8M-row store must be
     # seconds-scale — composed assignment + PQ encode are map-only over
@@ -279,6 +296,8 @@ def main() -> None:
                 },
                 "build_single_sec": round(t_build1, 1),
                 "build_2level_sec": round(t_build2, 1),
+                "build_2level_dist_sec": round(t_build2d, 1),
+                "dist_search_parity": dist_parity,
                 "index_single_mb": round(_dir_bytes(idx1) / 1e6, 1),
                 "index_2level_mb": round(_dir_bytes(idx2) / 1e6, 1),
                 "search_single_sec": t_search1,
