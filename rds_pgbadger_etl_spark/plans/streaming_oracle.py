@@ -723,18 +723,37 @@ def stream_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{root}/{d}" for d in ("src", "store", "ckpt", "flags")
         )
         try:
+            # one availableNow run drains the three thirds as three
+            # micro-batches via maxFilesPerTrigger=1 over mtime-ordered
+            # single-file writes — identical batch contents and store
+            # mutation order to the three-run formulation at one stream
+            # startup + one checkpoint (the funnel's r9 cut, applied
+            # here; same LOCAL-FS mtime-stamp assumption, see
+            # stream_curation_funnel).
+            import glob
+            import os
+            import time as _time
+
+            t0 = _time.time()
+            stamped: set[str] = set()
             for b in range(3):
                 lo, hi = b * n // 3, (b + 1) * n // 3
                 docs.filter(
                     (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-                ).write.mode("append").parquet(src)
-                run_incremental_dedup(
-                    spark.readStream.schema(docs.schema).parquet(src),
-                    store,
-                    ckpt,
-                    flags,
-                    threshold=0.5,
-                )
+                ).coalesce(1).write.mode("append").parquet(src)
+                for f in glob.glob(f"{src}/part-*"):
+                    if f not in stamped:
+                        os.utime(f, (t0 + 60 * b, t0 + 60 * b))
+                        stamped.add(f)
+            run_incremental_dedup(
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                store,
+                ckpt,
+                flags,
+                threshold=0.5,
+            )
             out = (
                 spark.read.parquet(flags)
                 .filter(F.col("doc_id").isNotNull())

@@ -76,7 +76,11 @@ def flag_and_accept_batch(
             ).localCheckpoint(eager=True)
         else:
             flags = spark.createDataFrame([], _FLAG_SCHEMA)
-        _write(prof, bands, store_dir, id_col, "append")
+        # bands/profiles are disjoint directories and the flags are
+        # already checkpointed — overlap the two appends: a small
+        # batch's store-mutation cost is per-partition committer work,
+        # not data volume (the funnel's round-10 measurement)
+        _write(prof, bands, store_dir, id_col, "append", parallel=True)
         return flags
     finally:
         prof.unpersist()
