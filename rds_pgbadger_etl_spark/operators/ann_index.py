@@ -68,6 +68,38 @@ N_GROUPS_2L = 4
 N_CELLS_2L = 16
 N_PROBE_GROUPS = 2
 
+# On-disk layout version, stamped into the generation manifest by every
+# build and checked by append/read/compact. Version 2 = the packed
+# ``vectors/`` schema (one (vec_id, codes array<int>) row per vector;
+# 2-level dirs additionally require vectors/ + codebook/). Artifacts
+# from before the stamp existed (or from the long-form (vec_id,
+# subspace, code) era) have no marker and fail loudly with a rebuild
+# message instead of, e.g., an append writing mixed-schema parquet into
+# one table — a corruption that only surfaces at read time.
+LAYOUT_VERSION = 2
+_LAYOUT_KEY = "__ann_layout__"
+_LAYOUT_OK: set[str] = set()  # per-process memo: one manifest read per dir
+
+
+def _stamp_layout(index_dir: str) -> None:
+    M.write_meta(index_dir, _LAYOUT_KEY, LAYOUT_VERSION)
+    _LAYOUT_OK.add(index_dir)
+
+
+def _check_layout(index_dir: str) -> None:
+    if index_dir in _LAYOUT_OK:
+        return
+    got = M.read_meta(index_dir, _LAYOUT_KEY)
+    if got != LAYOUT_VERSION:
+        raise ValueError(
+            f"ANN index at {index_dir!r} has layout version {got!r}, "
+            f"expected {LAYOUT_VERSION} (the packed vectors/ schema). "
+            "It predates the current on-disk format — rebuild it with "
+            "build_ann_index / build_ann_index_2level before appending, "
+            "searching, or compacting."
+        )
+    _LAYOUT_OK.add(index_dir)
+
 
 def auto_n_centroids(n_vecs: int, n_probe: int = S.N_PROBE) -> int:
     """Measured-calibrated coarse-quantizer size for ``n_vecs`` vectors:
@@ -167,6 +199,7 @@ def build_ann_index(
     """
     _CENTROIDS.pop(index_dir, None)  # rebuilt index invalidates the
     _CODEBOOKS.pop(index_dir, None)  # in-process quantizer cache
+    _stamp_layout(index_dir)
     if n_centroids is None:  # auto: sqrt-of-corpus rule (one count job)
         n_centroids = auto_n_centroids(emb.count())
     if refine_iters > 0:
@@ -261,6 +294,7 @@ def append_to_ann_index(
     rewritten. Equivalence with a from-scratch build over the union
     corpus is pinned by tests/test_ann_index.py (same quantizers ⇒
     identical assignments, codes, bands, and search results)."""
+    _check_layout(index_dir)
     # map-only assignment against the STORED quantizer (same vectorized
     # kernel and tie-break as similarity.ivf_cells — no join, no shuffle)
     cell_ids, cent_matrix = _read_centroids(spark, index_dir)
@@ -356,6 +390,7 @@ def _read_centroids(spark: SparkSession, index_dir: str):
     cached = _CENTROIDS.get(index_dir)
     if cached is not None:
         return cached
+    _check_layout(index_dir)  # every single-level reader passes here
     rows = spark.read.parquet(M.table_path(index_dir, "centroids")).collect()
     rows.sort(key=lambda r: r.cell)
     cells = [int(r.cell) for r in rows]
@@ -420,13 +455,18 @@ def _adc_lut_flat(
     return spark.createDataFrame(rows, "q_id long, d_flat array<long>")
 
 
-def _adc_dist_col():
+def _adc_dist_col(n_cells: int = S.PQ_K):
     """Sum of the per-subspace LUT entries selected by the packed codes
     array — exact int64 arithmetic, whole-stage-codegen higher-order
-    function (Spark array subscripts are 0-based)."""
+    function (Spark array subscripts are 0-based). ``n_cells`` is the
+    LUT's packing stride and MUST be the stored codebook's actual
+    per-subspace cell count (``ic.shape[1]`` — what _adc_lut_flat packs
+    with): a corpus without a full vec_id 0..PQ_K-1 prefix stores fewer
+    than PQ_K cells, and indexing with the nominal PQ_K would silently
+    misalign every subspace past the first."""
     return F.expr(
         f"aggregate(sequence(0, {S.PQ_M - 1}), 0L,"
-        f" (acc, s) -> acc + d_flat[s * {S.PQ_K} + codes[s]])"
+        f" (acc, s) -> acc + d_flat[s * {n_cells} + codes[s]])"
     )
 
 
@@ -477,7 +517,9 @@ def ann_index_ivfpq_topk(
         vectors.join(F.broadcast(probes_df), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(lut_df), "q_id")
-        .select("q_id", "vec_id", _adc_dist_col().alias("adc_dist"))
+        .select("q_id", "vec_id", _adc_dist_col(
+            _load_codebook(spark, index_dir).shape[1]
+        ).alias("adc_dist"))
     )
     return S.topk_per_key(
         scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], k
@@ -657,6 +699,7 @@ def compact_ann_index(
     marker (:func:`_is_2level`); ``tables=None`` compacts every
     partitioned table of whichever layout is present.
     """
+    _check_layout(index_dir)
     table_map = _PARTITIONED_TABLES_2L if _is_2level(index_dir) else _PARTITIONED_TABLES
     return M.compact_index(
         spark, index_dir, table_map, tables or tuple(table_map), "vec_id"
@@ -671,6 +714,7 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     (``max_part_rows`` vs ``avg_part_rows``). Rows-only by design: the
     physical file layout is Spark-side state with no SQL-expressible
     DuckDB twin. Layout-dispatched like :func:`compact_ann_index`."""
+    _check_layout(index_dir)
     table_map = _PARTITIONED_TABLES_2L if _is_2level(index_dir) else _PARTITIONED_TABLES
     return M.index_stats(spark, index_dir, table_map)
 
@@ -797,6 +841,7 @@ def build_ann_index_2level(
         n_cells = auto_c if n_cells is None else n_cells
     _COARSE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
+    _stamp_layout(index_dir)
 
     cent_rows = (
         emb.filter(F.col("vec_id") < max(n_groups, n_cells))
@@ -937,6 +982,7 @@ def append_to_ann_index_2level(
     :func:`delete_from_ann_index` writes the layout-agnostic tombstone
     side table and the 2-level reader anti-joins it like every other
     reader."""
+    _check_layout(index_dir)
     groups, g_mat = _read_coarse(spark, index_dir)
     fine = spark.read.parquet(M.table_path(index_dir, "fine")).collect()
     fine.sort(key=lambda r: r.cell)
@@ -995,6 +1041,7 @@ def _read_coarse(spark: SparkSession, index_dir: str):
     cached = _COARSE.get(index_dir)
     if cached is not None:
         return cached
+    _check_layout(index_dir)  # every two-level reader passes here
     rows = spark.read.parquet(M.table_path(index_dir, "coarse")).collect()
     rows.sort(key=lambda r: r.group)
     groups = [int(r.group) for r in rows]
@@ -1131,7 +1178,9 @@ def ann_index_2level_ivfpq_topk(
         vectors.join(F.broadcast(probes_df), ["group", "cell"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(lut_df), "q_id")
-        .select("q_id", "vec_id", _adc_dist_col().alias("adc_dist"))
+        .select("q_id", "vec_id", _adc_dist_col(
+            _load_codebook(spark, index_dir).shape[1]
+        ).alias("adc_dist"))
     )
     return S.topk_per_key(
         scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], k
@@ -1181,7 +1230,9 @@ def ann_index_ivfpq_rerank_topk(
         vectors.join(F.broadcast(probes_df), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(lut_df), "q_id")
-        .select("q_id", "vec_id", _adc_dist_col().alias("adc_dist"))
+        .select("q_id", "vec_id", _adc_dist_col(
+            _load_codebook(spark, index_dir).shape[1]
+        ).alias("adc_dist"))
     )
     short = S.topk_per_key(
         scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], shortlist
@@ -1238,7 +1289,9 @@ def ann_index_2level_ivfpq_rerank_topk(
         vectors.join(F.broadcast(probes_df), ["group", "cell"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(lut_df), "q_id")
-        .select("q_id", "vec_id", _adc_dist_col().alias("adc_dist"))
+        .select("q_id", "vec_id", _adc_dist_col(
+            _load_codebook(spark, index_dir).shape[1]
+        ).alias("adc_dist"))
     )
     short = S.topk_per_key(
         scored, "q_id", [F.col("adc_dist"), F.col("vec_id")], shortlist
@@ -1364,6 +1417,7 @@ def build_ann_index_2level_distributed(
         n_cells = auto_c if n_cells is None else n_cells
     _COARSE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
+    _stamp_layout(index_dir)
 
     pool = (
         emb.filter(F.col("vec_id") < max(n_groups, n_cells))

@@ -69,6 +69,24 @@ def _write_manifest(index_dir: str, mapping: dict) -> None:
     os.rename(tmp, path)
 
 
+def write_meta(index_dir: str, key: str, value) -> None:
+    """Store artifact-level metadata (e.g. a layout version) in the
+    generation manifest under a reserved dunder key — published with
+    the same atomic rename as a compaction flip. Dunder keys can never
+    collide with table names, so ``table_path`` resolution is
+    unaffected."""
+    assert key.startswith("__"), key
+    os.makedirs(index_dir, exist_ok=True)
+    m = _read_manifest(index_dir)
+    m[key] = value
+    _write_manifest(index_dir, m)
+
+
+def read_meta(index_dir: str, key: str, default=None):
+    """Read artifact-level metadata stored by :func:`write_meta`."""
+    return _read_manifest(index_dir).get(key, default)
+
+
 def table_path(index_dir: str, table: str) -> str:
     """Current directory of an artifact table — manifest-resolved; a
     table the manifest doesn't mention lives at the bare path

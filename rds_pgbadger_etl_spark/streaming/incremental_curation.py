@@ -56,12 +56,46 @@ _EXACT_PFX_LEN = 2
 _EXACT_TABLES = {"hashes": "pfx"}
 
 
+def _ensure_exact_layout(exact_dir: str) -> None:
+    """Migrate a legacy exact store (``pfx=*`` partitions at the dir
+    ROOT — the pre-maintenance-surface layout) into the ``hashes/``
+    table the current readers and writers resolve. Without this, a
+    store written before the move would be silently read as EMPTY
+    (lookups probe only ``hashes/``), previously-accepted hashes would
+    be forgotten, and exact-dup documents re-admitted. The migration is
+    a handful of directory renames (no data rewrite) and runs at most
+    once; a root that has neither layout is a fresh store."""
+    if not os.path.isdir(exact_dir):
+        return
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+
+    if os.path.isdir(M.table_path(exact_dir, "hashes")):
+        return
+    legacy = [
+        d
+        for d in os.listdir(exact_dir)
+        if d.startswith("pfx=")
+        and os.path.isdir(os.path.join(exact_dir, d))
+    ]
+    if not legacy:
+        return
+    dest = os.path.join(exact_dir, "hashes")
+    os.makedirs(dest)
+    for d in legacy:
+        os.rename(os.path.join(exact_dir, d), os.path.join(dest, d))
+    # the committer's _SUCCESS marker belongs to the moved table
+    marker = os.path.join(exact_dir, "_SUCCESS")
+    if os.path.isfile(marker):
+        os.rename(marker, os.path.join(dest, "_SUCCESS"))
+
+
 def _exact_store_lookup(batch_h: DataFrame, exact_dir: str) -> DataFrame:
     """Ids in ``batch_h (doc_id, h)`` whose hash is already accepted.
     The store scan prunes to the batch's own 2-hex prefixes (≤256
     values, collected metadata-sized); the batch side broadcasts."""
     from rds_pgbadger_etl_spark.operators import index_maintenance as M
 
+    _ensure_exact_layout(exact_dir)
     spark = batch_h.sparkSession
     if not os.path.isdir(M.table_path(exact_dir, "hashes")):
         return spark.createDataFrame([], "doc_id long")
@@ -82,6 +116,7 @@ def _exact_store_lookup(batch_h: DataFrame, exact_dir: str) -> DataFrame:
 def _exact_store_append(accepted_h: DataFrame, exact_dir: str) -> None:
     from rds_pgbadger_etl_spark.operators import index_maintenance as M
 
+    _ensure_exact_layout(exact_dir)
     (
         accepted_h.select(
             "h", F.substring("h", 1, _EXACT_PFX_LEN).alias("pfx")
@@ -100,6 +135,7 @@ def compact_exact_store(spark, exact_dir: str) -> dict:
     store already carries. Returns per-table file counts."""
     from rds_pgbadger_etl_spark.operators import index_maintenance as M
 
+    _ensure_exact_layout(exact_dir)
     return M.compact_index(spark, exact_dir, _EXACT_TABLES)
 
 
@@ -108,6 +144,7 @@ def exact_store_stats(spark, exact_dir: str) -> DataFrame:
     the when-to-compact audit (rows-only: physical layout)."""
     from rds_pgbadger_etl_spark.operators import index_maintenance as M
 
+    _ensure_exact_layout(exact_dir)
     return M.index_stats(spark, exact_dir, _EXACT_TABLES)
 
 

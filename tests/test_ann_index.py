@@ -141,6 +141,61 @@ def test_refined_build_and_recall_query(spark, index_dir, tmp_path):
         assert 0.0 <= r.recall_at_k <= 1.0 and r.n_hits >= 0
 
 
+def test_layout_version_guard(spark, tmp_path):
+    """An index dir without the manifest layout stamp (a pre-packed-
+    schema artifact) must fail LOUDLY on append/search/compact with a
+    rebuild message — not silently append mixed-schema parquet or
+    misread tables. A freshly-built dir carries the stamp and passes."""
+    d = str(tmp_path / "legacy_idx")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    AI.build_ann_index(spark, emb, d)
+    assert M.read_meta(d, AI._LAYOUT_KEY) == AI.LAYOUT_VERSION
+    # simulate a pre-stamp artifact: drop the marker, clear the memos
+    import json
+    import os
+
+    mpath = os.path.join(d, "_MANIFEST.json")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    manifest.pop(AI._LAYOUT_KEY)
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
+    AI._LAYOUT_OK.discard(d)
+    AI._CENTROIDS.pop(d, None)
+    AI._CODEBOOKS.pop(d, None)
+    with pytest.raises(ValueError, match="rebuild"):
+        AI.append_to_ann_index(spark, emb.limit(1), d)
+    with pytest.raises(ValueError, match="rebuild"):
+        AI.ann_index_ivfpq_topk(spark, d, _queries(spark), K)
+    with pytest.raises(ValueError, match="rebuild"):
+        AI.compact_ann_index(spark, d)
+    # rebuilding restamps and everything works again
+    AI.build_ann_index(spark, emb, d)
+    got = AI.ann_index_ivfpq_topk(spark, d, _queries(spark), K)
+    assert got.count() == len(QUERY_IDS) * K
+
+
+def test_adc_handles_short_codebook_prefix(spark, tmp_path):
+    """A corpus with fewer than PQ_K vectors stores a SHORT codebook
+    (< PQ_K cells per subspace). The flattened ADC LUT packs with the
+    STORED cell count, so the reader's subscript stride must be that
+    same count — indexing with the nominal PQ_K would silently misalign
+    every subspace past the first. Truth: the shape-agnostic in-session
+    IVF-PQ path over the identical corpus."""
+    d = str(tmp_path / "short_idx")
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") < 10
+    )
+    AI.build_ann_index(spark, emb, d)
+    assert AI._load_codebook(spark, d).shape[1] == 10  # genuinely short
+    qids = [0, 1]
+    rows = emb.filter(F.col("vec_id").isin(qids)).collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in rows]
+    expected = _rows(S.ivfpq_topk(emb, qids, 3))
+    got = _rows(AI.ann_index_ivfpq_topk(spark, d, queries, 3))
+    assert got == expected and got
+
+
 def test_fresh_session_answers_from_index(spark, index_dir, tmp_path):
     """A brand-new Spark process given ONLY the index directory must
     return the same top-k — with no encode/assignment stage (no corpus

@@ -655,3 +655,38 @@ def test_exact_store_compaction_preserves_lookups(spark, tmp_path):
     _exact_store_append(mk([(0, h(5000))]).select("h"), d)
     post = sorted(r.doc_id for r in _exact_store_lookup(probe, d).collect())
     assert post == sorted(before + [999])
+
+
+def test_exact_store_legacy_root_layout_migrates(spark, tmp_path):
+    """A store written before the hashes/ table move (pfx=* partitions
+    at the exact_dir ROOT) is detected and migrated in place: lookups
+    see every legacy hash instead of silently reading an empty store,
+    and subsequent appends land in the migrated table."""
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark.streaming.incremental_curation import (
+        _exact_store_append,
+        _exact_store_lookup,
+    )
+
+    d = str(tmp_path / "exact_legacy")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, h string")
+    h = lambda i: f"{i:032x}"
+    # the legacy writer: pfx-partitioned parquet at the dir root
+    (
+        mk([(i, h(i)) for i in range(30)])
+        .select("h", F.substring("h", 1, 2).alias("pfx"))
+        .write.partitionBy("pfx")
+        .parquet(d)
+    )
+    probe = mk([(100 + i, h(i)) for i in range(0, 30, 3)] + [(999, h(7777))])
+    found = sorted(r.doc_id for r in _exact_store_lookup(probe, d).collect())
+    assert found == sorted(100 + i for i in range(0, 30, 3))
+    import os
+
+    assert os.path.isdir(os.path.join(d, "hashes"))
+    assert not [p for p in os.listdir(d) if p.startswith("pfx=")]
+    # post-migration appends extend the same table
+    _exact_store_append(mk([(0, h(7777))]).select("h"), d)
+    post = sorted(r.doc_id for r in _exact_store_lookup(probe, d).collect())
+    assert post == sorted(found + [999])
