@@ -811,20 +811,169 @@ def nearest_cell_2level_udf(
     return nearest
 
 
+def _assign_cells_grouped(members: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment RESTRICTED to each row's group — the
+    per-group Lloyd's step of the two-level refinement: an equi-join on
+    ``group`` (each member only ever sees its own group's ~n_cells /
+    n_groups centroids — never the full quantizer) + the per-vector
+    top-1 window, with similarity._assign_cells' exact conventions
+    (rounded squared distance, cell-id tie-break). ``members``:
+    (vec_id, embedding, group); ``cents``: (group, cell, c_emb).
+    Returns (vec_id, embedding, group, cell)."""
+    from pyspark.sql import Window
+
+    scored = members.join(cents, "group").select(
+        "vec_id",
+        "embedding",
+        "group",
+        "cell",
+        S.sqdist_batch(
+            S.as_double(F.col("embedding")), F.col("c_emb")
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "group", "cell")
+    )
+
+
+def _refined_quantizers_2level(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_groups: int,
+    n_cells: int,
+    refine_iters: int,
+):
+    """Train BOTH two-level quantizer levels with Lloyd's k-means — the
+    production refinement the prefix convention defers to, composable
+    with either build path:
+
+    - **coarse**: global ``similarity.kmeans_centroids`` with
+      k = n_groups (exactly build_ann_index's ``refine_iters`` path) —
+      the trained group table is metadata-sized and collected, the same
+      contract the distributed build already has for the coarse level.
+    - **fine**: per-group Lloyd's, fully distributed — corpus rows are
+      assigned to their (cosine-)nearest refined group ONCE, each
+      group's fine shard initializes from its first n_cells/n_groups
+      member ids, and every round is a group-equi-join assignment
+      (:func:`_assign_cells_grouped`) + the kmeans_centroids recompute
+      aggregate. The fine quantizer never reaches the driver here.
+
+    Cell ids are the INIT member's vec_id (globally unique since a
+    vector belongs to one group), so gmap falls out of the table with
+    no matmul. Prefix centroids put cell boundaries wherever the first
+    N corpus vectors happen to sit — on clustered real data that packs
+    most of a skewed corpus into a few over-full cells (a probed-IO hot
+    spot AND a recall hole, measured in tools/ann2level_rehearsal.py);
+    Lloyd's rounds move centroids toward the data's actual modes so
+    cell volume tracks density. Quantizer tables are written as
+    DOUBLES: refined components are round(avg, 6) values that a float32
+    cast would perturb, and the DuckDB twin computes in doubles — the
+    prefix path keeps float (its values are exact in either type).
+    Group membership for training uses the SAME rounded-cosine /
+    lower-id convention as the final composed assignment, so training
+    shards and search shards agree. At 100 TB run the recompute on a
+    fixed-rate hash sample (mini-batch k-means) exactly as
+    kmeans_refine's docstring prescribes — same plan, sampled input.
+
+    Returns (live_groups, g_live_mat, fine_df) where fine_df is
+    (cell, group, c_emb array<double>) — quantizer-sized, eagerly
+    checkpointed so callers can consume it after members unpersist."""
+    from pyspark.sql import Window
+
+    g_rows = S.kmeans_centroids(emb, n_groups, refine_iters + 1).collect()
+    g_rows.sort(key=lambda r: r.cell)
+    live = [int(r.cell) for r in g_rows]
+    g_mat = np.array([r.c_emb for r in g_rows], dtype=np.float64)
+
+    nearest = _nearest_group_udf(np.array(live, dtype="int64"), g_mat)
+    members = emb.select(
+        "vec_id", "embedding", nearest(F.col("embedding")).alias("group")
+    ).persist()
+    try:
+        k_g = max(1, n_cells // n_groups)
+        w = Window.partitionBy("group").orderBy("vec_id")
+        cents = (
+            members.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k_g)
+            .select(
+                "group",
+                F.col("vec_id").alias("cell"),
+                S.as_double(F.col("embedding")).alias("c_emb"),
+            )
+        )
+        for _ in range(refine_iters):
+            assigned = _assign_cells_grouped(members, cents)
+            cents = (
+                assigned.select(
+                    "group",
+                    "cell",
+                    F.posexplode("embedding").alias("dim", "val"),
+                )
+                .groupBy("group", "cell", "dim")
+                .agg(
+                    F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
+                )
+                .groupBy("group", "cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "c"))
+                    ).alias("s")
+                )
+                .select(
+                    "group",
+                    "cell",
+                    F.transform("s", lambda x: x["c"]).alias("c_emb"),
+                )
+            )
+        # quantizer-sized; eager checkpoint so the fine table survives
+        # the members unpersist without re-deriving the training rounds
+        fine_df = cents.select("cell", "group", "c_emb").localCheckpoint(
+            eager=True
+        )
+    finally:
+        members.unpersist()
+    return live, g_mat, fine_df
+
+
+def _write_coarse_refined(
+    spark: SparkSession, index_dir: str, live: list[int], g_mat: np.ndarray
+) -> None:
+    """Land the refined coarse table (group, g_emb array<double> — see
+    _refined_quantizers_2level on why doubles)."""
+    coarse_df = spark.createDataFrame(
+        [(g, [float(x) for x in g_mat[i]]) for i, g in enumerate(live)],
+        T.StructType(
+            [
+                T.StructField("group", T.LongType()),
+                T.StructField("g_emb", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    coarse_df.coalesce(1).write.mode("overwrite").parquet(
+        M.table_path(index_dir, "coarse")
+    )
+
+
 def build_ann_index_2level(
     spark: SparkSession,
     emb: DataFrame,
     index_dir: str,
     n_groups: int | None = N_GROUPS_2L,
     n_cells: int | None = N_CELLS_2L,
+    refine_iters: int = 0,
 ) -> None:
     """Build the sharded-quantizer index: coarse groups over fine cells.
 
-    Quantizers are deterministic prefixes of the corpus (coarse = first
-    ``n_groups`` vectors, fine = first ``n_cells``), the same
-    oracle-reproducible convention as ivf_cells; a production build
-    refines them with kmeans exactly as build_ann_index's
-    ``refine_iters`` does — the layout and readers never care what
+    Quantizers default to deterministic prefixes of the corpus (coarse
+    = first ``n_groups`` vectors, fine = first ``n_cells``), the same
+    oracle-reproducible convention as ivf_cells; ``refine_iters > 0``
+    trains BOTH levels with Lloyd's k-means instead
+    (:func:`_refined_quantizers_2level` — the production refinement
+    build_ann_index already has), allocating n_cells/n_groups fine
+    cells per live group; the layout and readers never care what
     produced the centroid tables. ``n_groups=None`` sizes both levels
     with :func:`auto_quantizer_shape` (one count job); shapes the rule
     maps to single-level still build fine here (n_groups=1 is just one
@@ -842,6 +991,58 @@ def build_ann_index_2level(
     _COARSE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
     _stamp_layout(index_dir)
+
+    if refine_iters > 0:
+        trained, g_mat, fine_df = _refined_quantizers_2level(
+            spark, emb, n_groups, n_cells, refine_iters
+        )
+        # coarse stores ALL trained groups: query probes rank over the
+        # full trained set (the twin's g1), including a group that won
+        # no cosine members (it then simply has no fine shard to scan).
+        _write_coarse_refined(spark, index_dir, trained, g_mat)
+        (
+            fine_df.repartition("group")
+            .write.mode("overwrite")
+            .partitionBy("group")
+            .parquet(M.table_path(index_dir, "fine"))
+        )
+        # driver build contract: the fine quantizer is collectible
+        # (<= n_cells rows — the same feasibility clamp as the prefix
+        # path's pool collect)
+        fine_rows = fine_df.collect()
+        fine_rows.sort(key=lambda r: r.cell)
+        # corpus assignment ranks over the CELL-OWNING groups only — a
+        # memberless group never wins a corpus argmax by definition, so
+        # dropping it changes no winner and keeps the UDF's shard map
+        # total
+        owning = sorted({int(r.group) for r in fine_rows})
+        fine_by_group: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for g in owning:
+            rows = [r for r in fine_rows if int(r.group) == g]
+            fine_by_group[g] = (
+                np.array([int(r.cell) for r in rows], dtype="int64"),
+                np.array([r.c_emb for r in rows], dtype=np.float64),
+            )
+        nearest = nearest_cell_2level_udf(
+            np.array(owning, dtype="int64"),
+            g_mat[np.array([trained.index(g) for g in owning])],
+            fine_by_group,
+        )
+        gmap_df = spark.createDataFrame(
+            [(int(r.cell), int(r.group)) for r in fine_rows],
+            "cell long, group long",
+        )
+        assigned = (
+            emb.select(
+                "vec_id",
+                "embedding",
+                nearest(F.col("embedding")).alias("cell"),
+            )
+            .join(F.broadcast(gmap_df), "cell")
+            .select("vec_id", "embedding", "group", "cell")
+        )
+        _land_2level_corpus(spark, index_dir, emb, assigned)
+        return
 
     cent_rows = (
         emb.filter(F.col("vec_id") < max(n_groups, n_cells))
@@ -1360,20 +1561,22 @@ def _nearest_group_udf(g_ids: np.ndarray, g_mat: np.ndarray):
     return nearest
 
 
-_ASSIGNED_SCHEMA = (
-    "vec_id long, embedding array<float>, group long, cell long"
-)
+_ASSIGNED_SCHEMA = "vec_id long, group long, cell long"
 
 
 def _assign_cells_in_group(key, left: pd.DataFrame, right: pd.DataFrame):
     """Cogroup kernel: one group's corpus rows x that group's fine
     shard — ONE rounded-cosine matmul, first-maximum over cells sorted
-    ascending (the nearest_cell_2level_udf tie-break)."""
+    ascending (the nearest_cell_2level_udf tie-break). Returns IDS ONLY
+    (vec_id, group, cell): carrying the embedding back out of the
+    cogroup doubled the Arrow payload (full float arrays serialized
+    both ways), measured as the dominant cost of the distributed build
+    at 8M — the caller re-attaches embeddings from the corpus with one
+    JVM-side join keyed by vec_id instead."""
     if left.empty or right.empty:
         return pd.DataFrame(
             {
                 "vec_id": pd.Series(dtype="int64"),
-                "embedding": pd.Series(dtype=object),
                 "group": pd.Series(dtype="int64"),
                 "cell": pd.Series(dtype="int64"),
             }
@@ -1389,7 +1592,6 @@ def _assign_cells_in_group(key, left: pd.DataFrame, right: pd.DataFrame):
     return pd.DataFrame(
         {
             "vec_id": left["vec_id"].to_numpy(),
-            "embedding": left["embedding"],
             "group": np.full(len(left), int(key[0]), dtype="int64"),
             "cell": cells[sel],
         }
@@ -1402,13 +1604,19 @@ def build_ann_index_2level_distributed(
     index_dir: str,
     n_groups: int | None = N_GROUPS_2L,
     n_cells: int | None = N_CELLS_2L,
+    refine_iters: int = 0,
 ) -> None:
     """:func:`build_ann_index_2level` with the fine quantizer kept
     distributed (module comment above) — artifacts are search-identical
     to the driver-side build; use this past ~1M fine cells, where the
     driver-side pool collect and full-quantizer UDF closure stop being
     feasible. The pool-position window runs over quantizer-scale rows
-    only (<= n_cells), never the corpus."""
+    only (<= n_cells), never the corpus. ``refine_iters > 0`` trains
+    both quantizer levels with Lloyd's k-means
+    (:func:`_refined_quantizers_2level` — the fine level's training is
+    itself distributed: group-equi-join assignment rounds, never a
+    driver-side quantizer), then lands the corpus through the same
+    cogrouped assignment tail as the prefix path."""
     from pyspark.sql import Window
 
     if n_groups is None or n_cells is None:
@@ -1418,6 +1626,34 @@ def build_ann_index_2level_distributed(
     _COARSE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
     _stamp_layout(index_dir)
+
+    if refine_iters > 0:
+        trained, g_mat, fine_df = _refined_quantizers_2level(
+            spark, emb, n_groups, n_cells, refine_iters
+        )
+        # coarse stores ALL trained groups (probe parity with the twin);
+        # assignment ranks over the cell-owning subset — a memberless
+        # group never wins a corpus argmax, so winners are unchanged
+        # (same reasoning as the driver build's refined branch)
+        _write_coarse_refined(spark, index_dir, trained, g_mat)
+        (
+            fine_df.repartition("group")
+            .write.mode("overwrite")
+            .partitionBy("group")
+            .parquet(M.table_path(index_dir, "fine"))
+        )
+        owning = sorted(
+            int(r.group)
+            for r in fine_df.select("group").distinct().collect()
+        )
+        _assign_and_land_2level_distributed(
+            spark,
+            emb,
+            index_dir,
+            owning,
+            g_mat[np.array([trained.index(g) for g in owning])],
+        )
+        return
 
     pool = (
         emb.filter(F.col("vec_id") < max(n_groups, n_cells))
@@ -1474,32 +1710,53 @@ def build_ann_index_2level_distributed(
             .parquet(M.table_path(index_dir, "fine"))
         )
         fine.unpersist()
-
-        # corpus assignment, two distributed stages
-        g_live_mat = g_mat_all[np.array(live)]
-        nearest_live = _nearest_group_udf(
-            np.array(live, dtype="int64"), g_live_mat
+        _assign_and_land_2level_distributed(
+            spark, emb, index_dir, live, g_mat_all[np.array(live)]
         )
-        with_group = emb.select(
-            "vec_id",
-            "embedding",
-            nearest_live(F.col("embedding")).alias("group"),
-        )
-        # the partition column reads back as int — cast to long so the
-        # cogroup keys match with_group's UDF-typed long (mismatched key
-        # types silently cogroup as disjoint keys and drop rows)
-        fine_shards = spark.read.parquet(
-            M.table_path(index_dir, "fine")
-        ).select(
-            F.col("group").cast("long").alias("group"),
-            F.col("cell").cast("long").alias("cell"),
-            "c_emb",
-        )
-        assigned = (
-            with_group.groupBy("group")
-            .cogroup(fine_shards.groupBy("group"))
-            .applyInPandas(_assign_cells_in_group, _ASSIGNED_SCHEMA)
-        )
-        _land_2level_corpus(spark, index_dir, emb, assigned)
     finally:
         pool.unpersist()
+
+
+def _assign_and_land_2level_distributed(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    live: list[int],
+    g_live_mat: np.ndarray,
+) -> None:
+    """The distributed builds' shared corpus-assignment tail: nearest
+    LIVE group map-side (tiny broadcast), nearest cell WITHIN the group
+    via the cogrouped per-group matmul against the just-written fine
+    shards, then land raw/ + vectors/. The cogroup emits IDS ONLY
+    (vec_id, group, cell) — embeddings re-attach from the corpus with
+    one JVM-side shuffle join keyed by vec_id, which is cheaper than
+    Arrow-serializing every float array back OUT of the Python worker
+    (the r10 rehearsal measured the two-way Arrow payload as the
+    distributed build's dominant term)."""
+    nearest_live = _nearest_group_udf(
+        np.array(live, dtype="int64"), g_live_mat
+    )
+    with_group = emb.select(
+        "vec_id",
+        "embedding",
+        nearest_live(F.col("embedding")).alias("group"),
+    )
+    # the partition column reads back as int — cast to long so the
+    # cogroup keys match with_group's UDF-typed long (mismatched key
+    # types silently cogroup as disjoint keys and drop rows)
+    fine_shards = spark.read.parquet(
+        M.table_path(index_dir, "fine")
+    ).select(
+        F.col("group").cast("long").alias("group"),
+        F.col("cell").cast("long").alias("cell"),
+        "c_emb",
+    )
+    assigned_ids = (
+        with_group.groupBy("group")
+        .cogroup(fine_shards.groupBy("group"))
+        .applyInPandas(_assign_cells_in_group, _ASSIGNED_SCHEMA)
+    )
+    assigned = assigned_ids.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select("vec_id", "embedding", "group", "cell")
+    _land_2level_corpus(spark, index_dir, emb, assigned)

@@ -96,10 +96,44 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).distinct()
 
 
+# Auto hot-band cap: a corpus user should not have to KNOW the
+# quadratic-boilerplate failure mode to be protected from it, so the
+# banded pair generators default to an auto threshold computed from the
+# band-frequency table itself: cap = max(FLOOR, FACTOR x MEDIAN band
+# frequency). The median — not the mean — because the hot keys being
+# guarded against are exactly the outliers that would drag a mean up
+# (one band carried by half the corpus doubles the mean but leaves the
+# median at 1, so the guard still fires). On healthy corpora (bands
+# near-unique, median 1) the cap sits at the FLOOR, far above any
+# legitimate near-dup family at fixture scale — the registered oracles
+# are unchanged — while a degenerate key (boilerplate template, black
+# frame, silence) carried by a corpus-scale fraction blows past it and
+# is excluded before the self-join. FLOOR=64 bounds any surviving
+# band's contribution to <= 64^2/2 candidate rows; FACTOR=8 keeps the
+# cap proportional on corpora whose bands are legitimately denser.
+AUTO_BAND_FREQ_FLOOR = 64
+AUTO_BAND_FREQ_FACTOR = 8
+
+
+def resolve_band_freq_cap(band_counts: DataFrame, max_band_freq) -> int | None:
+    """``"auto"`` → max(FLOOR, FACTOR × median band frequency), one
+    aggregate over ``band_counts`` (one row per band value with its
+    frequency as ``_n`` — the same table the hot-set filter consumes);
+    an int passes through; None disables the cap."""
+    if max_band_freq is None or isinstance(max_band_freq, int):
+        return max_band_freq
+    med = band_counts.agg(
+        F.percentile_approx("_n", 0.5).alias("m")
+    ).first().m
+    if med is None:
+        return AUTO_BAND_FREQ_FLOOR
+    return max(AUTO_BAND_FREQ_FLOOR, AUTO_BAND_FREQ_FACTOR * int(med))
+
+
 def candidate_pairs(
     bands: DataFrame,
     id_col: str = "doc_id",
-    max_band_freq: int | None = None,
+    max_band_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Self-join on band → unordered candidate pairs (a < b).
 
@@ -112,16 +146,20 @@ def candidate_pairs(
     lost only when EVERY band it shares is hot — i.e. pairs that are
     themselves members of the giant template family, which exact dedup
     upstream (or one canonical representative per hot bucket) should
-    own. Default off — the fixture-scale oracle twins model the
-    uncapped join; same knob and rationale as
-    multimodal.hamming_band_pairs."""
+    own. Default ``"auto"`` (see resolve_band_freq_cap): on healthy
+    corpora the threshold sits far above real families and the output
+    is identical to the uncapped join the fixture-scale oracle twins
+    model; pass an int to pin it or None to disable. Same knob and
+    rationale as multimodal.hamming_band_pairs. When a cap is active
+    ``bands`` is persisted first — the cap aggregate, the hot-set
+    groupBy, and both sides of the self-join re-read it, and without
+    materialization each consumer would re-derive the upstream band
+    shuffle."""
     if max_band_freq is not None:
-        hot = (
-            bands.groupBy("band")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_band_freq)
-            .select("band")
-        )
+        bands = bands.persist()
+        counts = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_n"))
+        cap = resolve_band_freq_cap(counts, max_band_freq)
+        hot = counts.filter(F.col("_n") > cap).select("band")
         bands = bands.join(F.broadcast(hot), "band", "left_anti")
     left = bands.select(F.col(id_col).alias("a"), "band")
     right = bands.select(F.col(id_col).alias("b"), "band")
@@ -267,7 +305,7 @@ def near_dup_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     verify_strategy: str = "auto",
-    max_band_freq: int | None = None,
+    max_band_freq: int | str | None = "auto",
 ) -> DataFrame:
     """X2 end-to-end: shingle → MinHash → LSH bands → candidates →
     Jaccard verify → pairs above threshold. ``verify_strategy="auto"``

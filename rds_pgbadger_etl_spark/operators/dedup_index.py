@@ -11,9 +11,11 @@ and `dedup_index_lookup` answers "which stored docs does each new doc
 near-duplicate?" touching only the store and the new batch:
 
 - ``bands/``    (doc_id, band) **partitioned by pfx** (the band's first
-  two hex chars, 256 partitions): a lookup probes only the partitions
-  its new bands hash into — for an hourly batch that is a
-  partition-pruned scan, and the equi-join on ``band`` does the rest.
+  1-2 hex chars — fanout auto-sized at store creation and carried in
+  the manifest, see PFX_SMALL_DOCS; 256 partitions at scale): a lookup
+  probes only the partitions its new bands hash into — for an hourly
+  batch that is a partition-pruned scan, and the equi-join on ``band``
+  does the rest.
 - ``profiles/`` (doc_id, shingle_set) **partitioned by bucket**
   (``pmod(hash(doc_id), 64)``): the verify step reads only the buckets
   holding candidate old ids.
@@ -46,8 +48,30 @@ from rds_pgbadger_etl_spark.operators.dedup import (
     shingle_profile,
 )
 
-PFX_LEN = 2  # band partition prefix: 2 hex chars -> 256 partitions
+PFX_LEN = 2  # band partition prefix at scale: 2 hex chars -> 256 parts
 N_BUCKETS = 64  # profile partitions
+
+# Auto-sized prefix fanout: a batch append writes ONE FILE PER TOUCHED
+# PARTITION VALUE, so for small stores the mutation cost is committer
+# work ∝ fanout, not data (measured: the dominant term of the streaming
+# funnel's cold build). Below this many docs the store is created with
+# a 1-hex prefix (16 partitions — cheap appends); at or above it, the
+# 2-hex 256-way layout a 100 TB deployment wants (the volume rule
+# size_shuffle_partitions applies to exchanges, applied here to the
+# layout). The store CARRIES its fanout in the generation manifest
+# (``__pfx_len__``), so every later append/lookup/compaction resolves
+# the same layout regardless of its own batch size; stores from before
+# the marker default to 2 (their on-disk layout).
+PFX_SMALL_DOCS = 200_000
+_PFX_KEY = "__pfx_len__"
+
+
+def _pfx_len(index_dir: str) -> int:
+    return int(M.read_meta(index_dir, _PFX_KEY, PFX_LEN))
+
+
+def _choose_pfx_len(n_docs: int) -> int:
+    return 1 if n_docs < PFX_SMALL_DOCS else PFX_LEN
 
 # Profile rows are WIDE (a shingle_set array is tens of KBs in memory),
 # so every stage that holds them — the collect_set hash-aggregate in
@@ -68,6 +92,29 @@ _PARTITIONED_TABLES = {"bands": "pfx", "profiles": "bucket"}
 
 def _bucket(id_col: str) -> F.Column:
     return F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(N_BUCKETS))
+
+
+def _read_bands_typed(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Read ``bands/`` with the partition column DECLARED as a string:
+    partition-type inference looks at the directory values present, and
+    a small store whose batches so far touched only digit-valued hex
+    prefixes (likely at the 1-hex fanout: 10 of 16 values are digits)
+    infers ``pfx`` as an integer — the probe's letter-valued hex
+    strings then fail the ANSI cast at plan time. The data schema is
+    taken from one footer (cheap local read) so string-id corpora keep
+    their id type; partition pruning on an explicitly-typed column is
+    unaffected."""
+    import os
+
+    from pyspark.sql import types as T
+
+    root = M.table_path(index_dir, "bands")
+    first = M.data_files(root)[0]
+    data_schema = spark.read.parquet(os.path.join(root, first)).schema
+    schema = T.StructType(
+        list(data_schema.fields) + [T.StructField("pfx", T.StringType())]
+    )
+    return spark.read.schema(schema).parquet(root)
 
 
 def _encode(docs: DataFrame, id_col: str, text_col: str):
@@ -111,9 +158,21 @@ def _write(
     mutation (persisted/checkpointed), as with the sequential path."""
     import math
 
+    # store creation fixes the prefix fanout from the creating corpus's
+    # size (committer cost vs pruning trade — see PFX_SMALL_DOCS); every
+    # later writer/reader resolves the stamped value. prof arrives
+    # persisted from _encode, so the sizing count is (re)used by the
+    # profile write below.
+    if (
+        M.read_meta(index_dir, _PFX_KEY, None) is None
+        and not dedup_index_exists(index_dir)
+    ):
+        M.write_meta(index_dir, _PFX_KEY, _choose_pfx_len(prof.count()))
+    pfx_len = _pfx_len(index_dir)
+
     def _write_bands() -> None:
         (
-            bands.withColumn("pfx", F.substring("band", 1, PFX_LEN))
+            bands.withColumn("pfx", F.substring("band", 1, pfx_len))
             .repartition(F.col("pfx"))
             .write.mode(mode)
             .partitionBy("pfx")
@@ -237,25 +296,63 @@ def _lookup_encoded(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     verify_strategy: str = "auto",
+    max_band_freq: int | str | None = "auto",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The lookup body over a PRE-ENCODED batch — incremental ingestion
     encodes each micro-batch exactly once and shares (prof, bands)
     between this flagging step and the subsequent store append. Returns
     (result, pinned): ``pinned`` are the DataFrames persisted while
     building the plan; callers that consume the result eagerly (the
-    streaming foreachBatch) unpersist them afterwards."""
+    streaming foreachBatch) unpersist them afterwards.
+
+    ``max_band_freq`` is the hot-band cap applied to the STORE side of
+    the probe join: a boilerplate band accumulated across the ingested
+    history is the quadratic exposure here — every new batch matching
+    it joins against the whole family. Default ``"auto"`` uses the
+    fixed AUTO_BAND_FREQ_FLOOR, NOT the median rule the batch operators
+    use: the pfx-pruned scan is selection-biased toward the batch's own
+    bands (a tiny batch probing a template-dominated prefix sees mostly
+    the hot counts), so a threshold derived from it would be dragged up
+    by exactly the keys it should cap. Healthy minhash bands are
+    md5-near-unique, so the floor — the scale-independent 64²/2-rows
+    bound — is the right constant, and it costs no extra aggregate.
+    The pruned scan is persisted: the hot-set groupBy and the probe
+    join share one read."""
+    pinned: list[DataFrame] = []
     bands_new = bands_new.withColumn(
-        "pfx", F.substring("band", 1, PFX_LEN)
+        "pfx", F.substring("band", 1, _pfx_len(index_dir))
     ).persist()
+    pinned.append(bands_new)
     pfxs = sorted(
         r.pfx for r in bands_new.select("pfx").distinct().collect()
     )
     stored_bands = M.live(
         spark,
         index_dir,
-        spark.read.parquet(M.table_path(index_dir, "bands")).where(F.col("pfx").isin(pfxs)),
+        _read_bands_typed(spark, index_dir).where(F.col("pfx").isin(pfxs)),
         id_col,
     ).select(F.col(id_col).alias("old_id"), "band")
+    if max_band_freq is not None:
+        from rds_pgbadger_etl_spark.operators.dedup import (
+            AUTO_BAND_FREQ_FLOOR,
+        )
+
+        cap = (
+            AUTO_BAND_FREQ_FLOOR
+            if max_band_freq == "auto"
+            else max_band_freq
+        )
+        stored_bands = stored_bands.persist()
+        pinned.append(stored_bands)
+        hot = (
+            stored_bands.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > cap)
+            .select("band")
+        )
+        stored_bands = stored_bands.join(
+            F.broadcast(hot), "band", "left_anti"
+        )
     cands = (
         stored_bands.join(
             bands_new.select(F.col(id_col).alias("new_id"), "band"),
@@ -296,7 +393,8 @@ def _lookup_encoded(
     result = verified.select("old_id", "new_id", jaccard).filter(
         F.col("jaccard") >= threshold
     )
-    return result, [bands_new, cands]
+    pinned.append(cands)
+    return result, pinned
 
 
 def delete_from_dedup_index(

@@ -371,22 +371,187 @@ def image_ahash(df: DataFrame) -> DataFrame:
 _AHASH_BANDS = 4
 _AHASH_MAX_HAMMING = 3  # pigeonhole: <= 3 wrong bits -> one clean band
 
+# Auto hot-band threshold for PERCEPTUAL-hash bands: hot = carried by
+# more than this FRACTION of the corpus (floored at dedup's 64). Text
+# minhash bands are md5-uniform, so dedup.py can judge absolute
+# frequency (anything far above the median is duplication); perceptual
+# 16-bit words are LOW-entropy on structured content — at sf0.1 the
+# video fixture's densest natural band value is carried by ~2% of
+# videos with nothing degenerate about it — so here "degenerate
+# boilerplate" means a MACROSCOPIC corpus fraction (a black frame, a
+# constant intro card), not a fixed count. The cap therefore scales
+# with the corpus: natural perceptual clustering stays under it, while
+# a corpus-wide constant key blows past it at any scale. Mid-frequency
+# boilerplate (say 0.1% of a billion frames) is below this guard's
+# radar by design — that's what the manual int override and upstream
+# exact frame dedup are for.
+AUTO_BAND_DOC_FRAC = 0.05
 
-def image_near_dup_pairs(hashes: DataFrame) -> DataFrame:
+
+def _auto_band_cap(bands: DataFrame, max_band_freq) -> int | None:
+    """Resolve the multimodal hot-band cap: ``"auto"`` → max(64,
+    AUTO_BAND_DOC_FRAC × distinct docs in the bands table); int/None
+    pass through (same contract as dedup.resolve_band_freq_cap)."""
+    if max_band_freq is None or isinstance(max_band_freq, int):
+        return max_band_freq
+    import math
+
+    from rds_pgbadger_etl_spark.operators.dedup import (
+        AUTO_BAND_FREQ_FLOOR,
+    )
+
+    n_docs = bands.select("doc_id").distinct().count()
+    return max(
+        AUTO_BAND_FREQ_FLOOR, math.ceil(AUTO_BAND_DOC_FRAC * n_docs)
+    )
+
+
+DHASH_SCHEMA = "doc_id bigint, dhash string, hi bigint, lo bigint"
+
+
+def _dhash_words_from_bmp(b: bytes) -> tuple[int, int]:
+    """(hi, lo) dHash (horizontal-gradient) words of one BMP payload:
+    9x8 nearest-neighbor resample (one extra column so every hash cell
+    has a right neighbor), per-cell channel-sum luminance, bit y*8+x
+    set when lum(x+1, y) > lum(x, y), packed row-major MSB-first like
+    the aHash words. The gradient is MEAN-INVARIANT: a global or
+    regional brightness shift moves every aHash cell against the image
+    mean (the documented mean-shift recall flips) but moves both sides
+    of each gradient comparison together — the second hash family whose
+    failure modes are disjoint from aHash's."""
+    small = _bmp_resize(b, 9, 8)
+    px = small[54:]
+    stride = 28  # 9 px x 3 B = 27, BMP-padded to the 4-byte boundary
+    lums = [
+        [
+            px[y * stride + x * 3]
+            + px[y * stride + x * 3 + 1]
+            + px[y * stride + x * 3 + 2]
+            for x in range(9)
+        ]
+        for y in range(8)
+    ]
+    hi = lo = 0
+    for y in range(8):
+        for x in range(8):
+            i = y * 8 + x
+            if lums[y][x + 1] > lums[y][x]:
+                if i < 32:
+                    hi |= 1 << (31 - i)
+                else:
+                    lo |= 1 << (63 - i)
+    return hi, lo
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Per-image dHash words over the REAL BMP payloads — the gradient
+    sibling of :func:`image_ahash`, same Arrow-batched mapInPandas
+    shape and (doc_id, hash string, hi, lo) contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            hashes: list[str] = []
+            his: list[int] = []
+            los: list[int] = []
+            for did, kind, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if kind != "image/bmp":
+                    continue
+                hi, lo = _dhash_words_from_bmp(bytes(payload))
+                ids.append(int(did))
+                hashes.append(f"{hi:08x}{lo:08x}")
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype=object),
+                    "hi": pd.Series(his, dtype="int64"),
+                    "lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def _attach_hamming(
+    cand: DataFrame, words: DataFrame, out_col: str
+) -> DataFrame:
+    """Join a (a, b) pair table to one hash family's words on both
+    sides and add the popcount Hamming distance as ``out_col``."""
+    wa = words.select(
+        F.col("doc_id").alias("a"),
+        F.col("hi").alias(f"_hi_a_{out_col}"),
+        F.col("lo").alias(f"_lo_a_{out_col}"),
+    )
+    wb = words.select(
+        F.col("doc_id").alias("b"),
+        F.col("hi").alias(f"_hi_b_{out_col}"),
+        F.col("lo").alias(f"_lo_b_{out_col}"),
+    )
+    ham = (
+        F.bit_count(
+            F.col(f"_hi_a_{out_col}").bitwiseXOR(F.col(f"_hi_b_{out_col}"))
+        )
+        + F.bit_count(
+            F.col(f"_lo_a_{out_col}").bitwiseXOR(F.col(f"_lo_b_{out_col}"))
+        )
+    ).cast("int")
+    return (
+        cand.join(wa, "a")
+        .join(wb, "b")
+        .withColumn(out_col, ham)
+        .drop(
+            f"_hi_a_{out_col}",
+            f"_lo_a_{out_col}",
+            f"_hi_b_{out_col}",
+            f"_lo_b_{out_col}",
+        )
+    )
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, dhashes: DataFrame | None = None
+) -> DataFrame:
     """Hamming near-dup pairs over aHash words: band each 64-bit hash
     into four 16-bit words, equi-join on (band, value) — candidates ∝
     near-duplicate volume, never images² — and verify
     popcount(hi⊕hi') + popcount(lo⊕lo') <= 3. With 4 bands the
     pigeonhole gives GUARANTEED recall at the <= 3 threshold: three
     wrong bits can dirty at most three bands. The SimHash banding trick
-    (operators/dedup.py) applied to the image modality."""
-    return hamming_band_pairs(hashes)
+    (operators/dedup.py) applied to the image modality.
+
+    ``dhashes`` adds the SECOND hash family (:func:`image_dhash`,
+    mean-invariant gradients): each family bands independently and a
+    pair qualifies when EITHER family verifies within <= 3 — a
+    brightness shift that flips >3 aHash threshold bits (the measured
+    0.94-recall failure, tools/multimodal_rehearsal.py) leaves the
+    gradients nearly untouched, and a gradient-heavy edit leaves the
+    means alone, so flips that break one family rarely break both.
+    Output gains the ``dhamming`` column (both distances are reported
+    for every qualifying pair)."""
+    pa = hamming_band_pairs(hashes)
+    if dhashes is None:
+        return pa
+    pd_ = hamming_band_pairs(dhashes)
+    cand = (
+        pa.select("a", "b").unionByName(pd_.select("a", "b")).distinct()
+    )
+    both = _attach_hamming(
+        _attach_hamming(cand, hashes, "hamming"), dhashes, "dhamming"
+    )
+    return both.filter(
+        (F.col("hamming") <= _AHASH_MAX_HAMMING)
+        | (F.col("dhamming") <= _AHASH_MAX_HAMMING)
+    ).select("a", "b", "hamming", "dhamming")
 
 
 def hamming_band_pairs(
     words: DataFrame,
     max_hamming: int = _AHASH_MAX_HAMMING,
-    max_band_freq: int | None = None,
+    max_band_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Banded Hamming pair join over any 64-bit signature split into
     (doc_id, hi, lo) 32-bit words — the shared engine behind image aHash
@@ -407,8 +572,15 @@ def hamming_band_pairs(
     pair is lost only if EVERY clean band it shares is globally hot —
     for near-identical variants of non-degenerate content the clean
     bands carry the content's own bits, so planted-variant recall is
-    unharmed (rehearsed in tools/multimodal_rehearsal.py). Default off:
-    the fixture-scale oracle twins model the uncapped join."""
+    unharmed (rehearsed in tools/multimodal_rehearsal.py). Default
+    ``"auto"`` (:func:`_auto_band_cap` — hot = carried by more than
+    AUTO_BAND_DOC_FRAC of the corpus, floored at 64): perceptual words
+    cluster naturally on structured content, so the degeneracy test is
+    a corpus FRACTION, under which the fixture-scale outputs equal the
+    uncapped join the oracle twins model; an int pins it, None
+    disables. With a cap active the bands are persisted — the doc
+    count, the hot-set groupBy, the anti-join, and both self-join sides
+    re-read them."""
     w = words.select("doc_id", "hi", "lo")
     bands = w.select(
         "doc_id",
@@ -430,10 +602,12 @@ def hamming_band_pairs(
         ).alias("bv"),
     ).select("doc_id", "bv.band", "bv.val")
     if max_band_freq is not None:
+        bands = bands.persist()
+        cap = _auto_band_cap(bands, max_band_freq)
         hot = (
             bands.groupBy("band", "val")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_band_freq)
+            .filter(F.col("_n") > cap)
             .select("band", "val")
         )
         bands = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")
@@ -556,8 +730,19 @@ def audio_near_dup_pairs(contours: DataFrame) -> DataFrame:
     banded join :func:`image_near_dup_pairs` runs on image hashes,
     applied to the audio modality via the shared
     :func:`hamming_band_pairs` (4x16-bit bands, pigeonhole recall
-    guarantee at hamming <= 3, popcount verify on candidates only)."""
-    return hamming_band_pairs(contours)
+    guarantee at hamming <= 3, popcount verify on candidates only).
+
+    The auto hot-band cap is DISABLED here, deliberately: frequency
+    capping assumes band values are high-entropy (md5 bands, aHash
+    words), so a globally-frequent value marks degenerate boilerplate.
+    Energy-contour words are LOW-entropy by construction — clips with
+    similar loudness shapes saturate whole 16-bit regions identically —
+    so on real audio corpora the most frequent band values ARE the
+    signal, and a frequency cap would cap legitimate near-dups (the
+    sf0.01 fixture: all four band values are corpus-wide, yet ~all
+    pairs genuinely verify at hamming <= 3). Hot-key pressure for this
+    modality belongs upstream in exact dedup over the contour itself."""
+    return hamming_band_pairs(contours, max_band_freq=None)
 
 
 def audio_fingerprint(df: DataFrame) -> DataFrame:
@@ -777,7 +962,7 @@ def video_dedup_pairs(frame_hashes: DataFrame) -> DataFrame:
 def video_near_dup_pairs(
     frame_hashes: DataFrame,
     max_hamming: int = _AHASH_MAX_HAMMING,
-    max_band_freq: int | None = None,
+    max_band_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Video near-dup pairs where frames need only be PERCEPTUALLY
     close, not hash-identical — the near-match refinement of
@@ -799,9 +984,14 @@ def video_near_dup_pairs(
     a video pair is lost only if every matching frame pair's every
     clean band is globally hot — i.e. pairs held together ONLY by
     boilerplate frames, which the containment decision should not count
-    anyway. Default off (oracle twins model the uncapped join);
-    production corpora should set it (rehearsed with a planted hot band
-    in tools/multimodal_rehearsal.py)."""
+    anyway. Default ``"auto"`` (:func:`_auto_band_cap` over the
+    frame-band table — hot = a band value carried by more than
+    AUTO_BAND_DOC_FRAC of the corpus's videos): a corpus-wide
+    degenerate frame blows past the threshold with no knob passed while
+    natural perceptual clustering stays below it, so the oracle twins'
+    uncapped model is unchanged at fixture scale; an int pins the cap,
+    None disables (rehearsed with a planted hot band in
+    tools/multimodal_rehearsal.py)."""
     hset = frame_hashes.select("doc_id", "ahash", "hi", "lo").distinct()
     bands = hset.select(
         "doc_id",
@@ -826,10 +1016,12 @@ def video_near_dup_pairs(
         ).alias("bv"),
     ).select("doc_id", "ahash", "hi", "lo", "bv.band", "bv.val")
     if max_band_freq is not None:
+        bands = bands.persist()
+        cap = _auto_band_cap(bands, max_band_freq)
         hot = (
             bands.groupBy("band", "val")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_band_freq)
+            .filter(F.col("_n") > cap)
             .select("band", "val")
         )
         bands = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")

@@ -991,15 +991,38 @@ def _image_hashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_dhashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-image dHash (gradient) table, staged once per session —
+    the second hash family image_near_dup_pairs bands over."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "image_dhash",
+        sf_dir,
+        lambda: M.image_dhash(
+            M.attach_real_media(
+                rebalance(load_table(spark, sf_dir, "documents"))
+            )
+        ),
+    )
+
+
 def multimodal_image_near_dups(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Hamming near-dup pairs over the staged image hashes
-    (operators/multimodal.image_near_dup_pairs: 4x16-bit banding with
-    pigeonhole-guaranteed recall at hamming <= 3, popcount verify on
-    candidates only). Oracle = the closed-form hash words + brute-force
-    Hamming over band-colliding pairs."""
-    return M.image_near_dup_pairs(_image_hashes_shared(spark, sf_dir))
+    """Hamming near-dup pairs over TWO staged hash families — aHash
+    (luminance threshold) and dHash (horizontal gradient,
+    mean-invariant) — each banded 4x16-bit with pigeonhole-guaranteed
+    recall at hamming <= 3; a pair qualifies when EITHER family
+    verifies (operators/multimodal.image_near_dup_pairs: brightness
+    shifts that flip aHash bits leave gradients alone, and vice versa).
+    Oracle = both families' closed-form hash words + the union of both
+    bandings + both popcount distances."""
+    return M.image_near_dup_pairs(
+        _image_hashes_shared(spark, sf_dir),
+        _image_dhashes_shared(spark, sf_dir),
+    )
 
 
 # The closed-form hash words (hi, lo per image), shared by the exact
@@ -1034,27 +1057,68 @@ SELECT lower(lpad(to_hex(hi), 8, '0') || lpad(to_hex(lo), 8, '0')) AS ahash,
 FROM words GROUP BY 1
 """
 
+# The closed-form dHash words: the 9x8 resample's cell value replays
+# the synthetic pixel arithmetic at sx = tx*w//9 (one extra column so
+# every cell has a right neighbor); bit y*8+x set when lum(x+1) >
+# lum(x) — the gradient comparison has no image-mean term, which is the
+# point of the second family.
+_DHASH_WORDS_CTES = """dcells AS (
+  SELECT doc_id, tx, ty,
+         ((tx * w // 9) * 7 + (ty * h // 8) * 13 + seed) % 256 AS v
+  FROM bmp, range(9) t1(tx), range(8) t2(ty)
+),
+dlums AS (SELECT doc_id, tx, ty, v + (v * 3) % 256 + (v * 5) % 256 AS lum
+          FROM dcells),
+dwords AS (
+  SELECT l.doc_id,
+         sum(CASE WHEN l.ty * 8 + l.tx < 32 AND r.lum > l.lum
+                  THEN 1::bigint << (31 - (l.ty * 8 + l.tx)) ELSE 0 END) AS hi,
+         sum(CASE WHEN l.ty * 8 + l.tx >= 32 AND r.lum > l.lum
+                  THEN 1::bigint << (63 - (l.ty * 8 + l.tx)) ELSE 0 END) AS lo
+  FROM dlums l JOIN dlums r
+    ON r.doc_id = l.doc_id AND r.ty = l.ty AND r.tx = l.tx + 1
+  WHERE l.tx < 8
+  GROUP BY l.doc_id
+)"""
+
 _MULTIMODAL_NEAR_SQL = f"""
 WITH {_AHASH_WORDS_CTES},
+{_DHASH_WORDS_CTES},
 wbands AS (
   SELECT doc_id, b.i AS band,
          CASE b.i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
                   WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS val
   FROM words, range(4) b(i)
 ),
+dwbands AS (
+  SELECT doc_id, b.i AS band,
+         CASE b.i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                  WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS val
+  FROM dwords, range(4) b(i)
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM wbands l
   JOIN wbands r ON l.band = r.band AND l.val = r.val
                AND l.doc_id < r.doc_id
+  UNION
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM dwbands l
+  JOIN dwbands r ON l.band = r.band AND l.val = r.val
+               AND l.doc_id < r.doc_id
 )
 SELECT c.a, c.b,
        cast(bit_count(xor(wa.hi, wb.hi)) + bit_count(xor(wa.lo, wb.lo))
-            AS int) AS hamming
+            AS int) AS hamming,
+       cast(bit_count(xor(da.hi, db.hi)) + bit_count(xor(da.lo, db.lo))
+            AS int) AS dhamming
 FROM cand c
 JOIN words wa ON wa.doc_id = c.a
 JOIN words wb ON wb.doc_id = c.b
+JOIN dwords da ON da.doc_id = c.a
+JOIN dwords db ON db.doc_id = c.b
 WHERE bit_count(xor(wa.hi, wb.hi)) + bit_count(xor(wa.lo, wb.lo)) <= 3
+   OR bit_count(xor(da.hi, db.hi)) + bit_count(xor(da.lo, db.lo)) <= 3
 """
 
 
@@ -4321,6 +4385,210 @@ def ann_index_2level_dist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_2level_refined_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Two-level index whose BOTH quantizer levels are kmeans-REFINED
+    (refine_iters=1): coarse = global Lloyd's with k=N_GROUPS_2L, fine
+    = per-group Lloyd's over each group's members (cells/group =
+    N_CELLS_2L / N_GROUPS_2L) — the production refinement for the
+    layout that exists precisely where prefix quantizers unbalance
+    (operators/ann_index._refined_quantizers_2level)."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        build_ann_index_2level,
+    )
+
+    key = sf_dir + "#2level-refined"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_2l_refined_")
+        build_ann_index_2level(
+            spark,
+            rebalance(load_table(spark, sf_dir, "embeddings")),
+            d,
+            refine_iters=1,
+        )
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_index_2level_refined_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X3: the kmeans-refined two-level index searched with the
+    standard reader — quantizer TRAINING is the only difference from
+    ann_index_2level_topk, and the oracle re-derives that training
+    relationally: one unrolled Lloyd's round for the coarse level
+    (exactly _KMEANS_SQL's CTE shape with k=N_GROUPS_2L), cosine group
+    membership, a per-group fine init (first cells/group member ids)
+    plus one unrolled per-group Lloyd's round, then the composed
+    assignment / probe / scoring pipeline of _ANN_2LEVEL_SQL over the
+    refined centroids. Hash equality proves the distributed two-level
+    k-means (coarse aggregate + group-equi-join fine rounds) lands the
+    exact artifact the relational math describes."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_topk(
+        spark,
+        _ann_index_2level_refined_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+def _ann_2level_refined_sql() -> str:
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    k_g = AI.N_CELLS_2L // AI.N_GROUPS_2L
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+g0 AS (SELECT vec_id AS grp, emb AS g_emb FROM e
+       WHERE vec_id < {AI.N_GROUPS_2L}),
+gs AS (
+  SELECT e.vec_id, g0.grp,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_KMEANS_DIST.format(a="e.emb", b="g0.g_emb")}, g0.grp)
+           AS rn
+  FROM e CROSS JOIN g0
+),
+ga AS (SELECT vec_id, grp FROM gs WHERE rn = 1),
+g1dim AS (
+  SELECT ga.grp, t.i AS dim, round(avg(e.emb[t.i + 1]), 6) AS c
+  FROM ga JOIN e USING (vec_id), generate_series(0, {S.DIM - 1}) t(i)
+  WHERE t.i < len(e.emb)
+  GROUP BY ga.grp, t.i
+),
+g1 AS (SELECT grp, list(c ORDER BY dim) AS g_emb FROM g1dim GROUP BY grp),
+mem AS (
+  SELECT vec_id, emb, grp FROM (
+    SELECT e.vec_id, e.emb, g1.grp,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.emb', 'g1.g_emb')} DESC, g1.grp) AS rn
+    FROM e CROSS JOIN g1) WHERE rn = 1
+),
+f0 AS (
+  SELECT grp, vec_id AS cell, emb AS c_emb FROM (
+    SELECT mem.*,
+           row_number() OVER (PARTITION BY grp ORDER BY vec_id) AS rn
+    FROM mem) WHERE rn <= {k_g}
+),
+fs AS (
+  SELECT m.vec_id, m.grp, f0.cell,
+         row_number() OVER (PARTITION BY m.vec_id
+           ORDER BY {_KMEANS_DIST.format(a="m.emb", b="f0.c_emb")}, f0.cell)
+           AS rn
+  FROM mem m JOIN f0 ON f0.grp = m.grp
+),
+fa AS (SELECT vec_id, grp, cell FROM fs WHERE rn = 1),
+f1dim AS (
+  SELECT fa.grp, fa.cell, t.i AS dim, round(avg(e.emb[t.i + 1]), 6) AS c
+  FROM fa JOIN e USING (vec_id), generate_series(0, {S.DIM - 1}) t(i)
+  WHERE t.i < len(e.emb)
+  GROUP BY fa.grp, fa.cell, t.i
+),
+f1 AS (SELECT grp, cell, list(c ORDER BY dim) AS c_emb
+       FROM f1dim GROUP BY grp, cell),
+asgn AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT m.vec_id, m.emb, f1.cell,
+           row_number() OVER (PARTITION BY m.vec_id
+             ORDER BY {_cos_sql('m.emb', 'f1.c_emb')} DESC, f1.cell) AS rn
+    FROM mem m JOIN f1 ON f1.grp = m.grp) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+qg AS (
+  SELECT q_id, grp FROM (
+    SELECT q.q_id, g1.grp,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {_cos_sql('q.q_emb', 'g1.g_emb')} DESC, g1.grp) AS rn
+    FROM q CROSS JOIN g1) WHERE rn <= {AI.N_PROBE_GROUPS}
+),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, f1.cell,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {_cos_sql('q.q_emb', 'f1.c_emb')} DESC, f1.cell) AS rn
+    FROM q JOIN qg ON qg.q_id = q.q_id
+           JOIN f1 ON f1.grp = qg.grp) WHERE rn <= {S.N_PROBE}
+),
+sims AS (
+  SELECT p.q_id, a.vec_id, {_cos_sql('q.q_emb', 'a.emb')} AS sim
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_TOPK}
+"""
+
+
+_ANN_2LEVEL_REFINED_SQL = _ann_2level_refined_sql()
+
+
+_2L_RECALL_K = 10
+
+
+def ann_index_2level_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 vs exact brute-force truth for the TWO-LEVEL artifact
+    under both quantizer trainings (prefix first-N and kmeans-refined),
+    with the kmeans-refined SINGLE-level index as the same-probe-budget
+    anchor (both probe S.N_PROBE cells; the 2-level variants reach them
+    through N_PROBE_GROUPS coarse shards). Rows-only by design — the
+    metric grades approximation quality, same contract as
+    ann_index_refined_recall; the fixed |queries| x k denominator
+    penalizes short lists. This is the registry-auditable answer to
+    'does the sharded quantizer (and refining it) hold recall at the
+    same probe budget?' — tracked per-round instead of only in
+    rehearsals."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    truth = (
+        S.brute_force_topk(emb, _QUERY_IDS, _2L_RECALL_K)
+        .select("q_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    qvecs = _query_vectors(spark, sf_dir)
+    cands = None
+    for name, d, reader in [
+        (
+            "2level_first_n",
+            _ann_index_2level_shared(spark, sf_dir),
+            AI.ann_index_2level_topk,
+        ),
+        (
+            "2level_kmeans_refined",
+            _ann_index_2level_refined_shared(spark, sf_dir),
+            AI.ann_index_2level_topk,
+        ),
+        (
+            "single_kmeans_refined",
+            _ann_index_refined_shared(spark, sf_dir),
+            AI.ann_index_ivf_topk,
+        ),
+    ]:
+        got = reader(spark, d, qvecs, _2L_RECALL_K).select(
+            F.lit(name).alias("variant"), "q_id", "vec_id"
+        )
+        cands = got if cands is None else cands.unionByName(got)
+    denom = len(_QUERY_IDS) * _2L_RECALL_K
+    return (
+        cands.join(F.broadcast(truth), ["q_id", "vec_id"], "left")
+        .groupBy("variant")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+        .withColumn(
+            "recall_at_k", F.round(F.col("n_hits") / F.lit(denom), 4)
+        )
+    )
+
+
 def ann_index_2level_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-level index's PQ arm — the billion-vector path: probe
     selection is the sharded-quantizer term (groups, then cells within
@@ -4688,6 +4956,11 @@ QUERIES = {
     ),
     "ann_index_delete_topk": (ann_index_delete_topk, _ANN_DELETE_SQL),
     "ann_index_refined_recall": (ann_index_refined_recall, None),
+    "ann_index_2level_refined_topk": (
+        ann_index_2level_refined_topk,
+        _ANN_2LEVEL_REFINED_SQL,
+    ),
+    "ann_index_2level_recall": (ann_index_2level_recall, None),
     "ann_index_stats": (ann_index_stats, None),
     "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_SQL),
     "embedding_pagerank": (embedding_pagerank, _PAGERANK_SQL),

@@ -9,8 +9,10 @@ each against the right kind of state:
 - **lang+quality** (stage 1): stateless — per-row expressions.
 - **exact dedup** (stage 2): an in-batch keeper window (min doc_id per
   md5 among stage-1 survivors) plus a PERSISTED HASH STORE lookup —
-  (pfx, h) parquet partitioned by the 2-hex md5 prefix, so a batch
-  probe prunes to the batch's own prefixes, exactly the dedup signature
+  (pfx, h) parquet partitioned by an md5 prefix whose width is
+  auto-sized at store creation (1 hex for small corpora, the 2-hex
+  256-way layout at scale — see _EXACT_PFX_KEY), so a batch probe
+  prunes to the batch's own prefixes, exactly the dedup signature
   store's layout discipline. Accepted hashes append after the lookup.
 - **near dedup** (stage 3): the persisted dedup signature store
   (operators/dedup_index.py) — the batch is encoded ONCE (shingle
@@ -45,7 +47,23 @@ from rds_pgbadger_etl_spark.operators.dedup_index import (
     dedup_index_exists,
 )
 
-_EXACT_PFX_LEN = 2
+_EXACT_PFX_LEN = 2  # the at-scale default; small stores auto-size to 1
+
+# The exact-hash store sizes its prefix fanout like the dedup signature
+# store (operators/dedup_index.PFX_SMALL_DOCS rationale): per batch the
+# append cost is one file per touched partition value, so a
+# small-corpus store at 256-way fanout pays pure committer overhead —
+# the measured dominant term of the streaming funnel's cold build. The
+# fanout is fixed at store creation from the creating batch and carried
+# in the generation manifest (``__pfx_len__``); pre-marker stores
+# default to the legacy 2."""
+_EXACT_PFX_KEY = "__pfx_len__"
+
+
+def _exact_pfx_len(exact_dir: str) -> int:
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+
+    return int(M.read_meta(exact_dir, _EXACT_PFX_KEY, _EXACT_PFX_LEN))
 
 # table name -> partition column: the exact-hash store is one
 # pfx-partitioned table under the SHARED maintenance surface
@@ -100,12 +118,17 @@ def _exact_store_lookup(batch_h: DataFrame, exact_dir: str) -> DataFrame:
     if not os.path.isdir(M.table_path(exact_dir, "hashes")):
         return spark.createDataFrame([], "doc_id long")
     probe = batch_h.withColumn(
-        "pfx", F.substring("h", 1, _EXACT_PFX_LEN)
+        "pfx", F.substring("h", 1, _exact_pfx_len(exact_dir))
     )
     pfxs = sorted(r.pfx for r in probe.select("pfx").distinct().collect())
-    store = spark.read.parquet(M.table_path(exact_dir, "hashes")).where(
-        F.col("pfx").isin(pfxs)
-    )
+    # explicit schema: a store whose visible partitions are all
+    # digit-valued hex prefixes would get pfx INFERRED as an integer
+    # and the letter-valued probe strings fail the ANSI cast (the
+    # 1-hex fanout makes this likely — same fix as
+    # dedup_index._read_bands_typed)
+    store = spark.read.schema("h string, pfx string").parquet(
+        M.table_path(exact_dir, "hashes")
+    ).where(F.col("pfx").isin(pfxs))
     return (
         store.join(F.broadcast(probe), "h", "inner")
         .select("doc_id")
@@ -117,9 +140,22 @@ def _exact_store_append(accepted_h: DataFrame, exact_dir: str) -> None:
     from rds_pgbadger_etl_spark.operators import index_maintenance as M
 
     _ensure_exact_layout(exact_dir)
+    # creation fixes the fanout from the creating batch; later appends
+    # resolve the stamped value (see _EXACT_PFX_KEY)
+    if M.read_meta(exact_dir, _EXACT_PFX_KEY, None) is None and not (
+        os.path.isdir(M.table_path(exact_dir, "hashes"))
+    ):
+        from rds_pgbadger_etl_spark.operators.dedup_index import (
+            _choose_pfx_len,
+        )
+
+        M.write_meta(
+            exact_dir, _EXACT_PFX_KEY, _choose_pfx_len(accepted_h.count())
+        )
     (
         accepted_h.select(
-            "h", F.substring("h", 1, _EXACT_PFX_LEN).alias("pfx")
+            "h",
+            F.substring("h", 1, _exact_pfx_len(exact_dir)).alias("pfx"),
         )
         .repartition(F.col("pfx"))
         .write.mode("append")

@@ -49,6 +49,12 @@ def test_every_query_has_oracle_or_documented_exception(spark):
         # ann_recall_report (a SQL twin would re-implement the index);
         # invariants tested in test_ann_index.py
         "ann_index_refined_recall",
+        # the same recall-audit contract for the TWO-LEVEL artifact
+        # (prefix vs kmeans-refined quantizers, single-level refined as
+        # the same-probe-budget anchor) — rows-only for the same reason;
+        # the refined 2-level SEARCH itself is fully oracle-checked
+        # (ann_index_2level_refined_topk)
+        "ann_index_2level_recall",
         # physical file-layout audit (rows/partition, files/partition)
         # of the persisted index — Spark-side state with no SQL twin;
         # compaction semantics pinned in test_ann_index.py

@@ -185,3 +185,46 @@ def test_store_compaction_after_append(spark, tmp_path):
         _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
         == before
     )
+
+
+def test_pfx_fanout_auto_sized_and_sticky(spark, docs, tmp_path):
+    """A small-corpus store is created with the 1-hex (16-way) prefix
+    fanout — appends then cost ~16 committer files, not 256 — the
+    fanout is stamped in the manifest and STICKY (later appends and the
+    pruned lookup resolve the same layout), and lookup answers equal
+    the always-256 layout's. The at-scale rule is pinned separately:
+    corpora >= PFX_SMALL_DOCS keep the 2-hex layout."""
+    import os
+
+    assert DI._choose_pfx_len(DI.PFX_SMALL_DOCS - 1) == 1
+    assert DI._choose_pfx_len(DI.PFX_SMALL_DOCS) == 2
+
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    d_small = str(tmp_path / "store_small")
+    DI.build_dedup_index(spark, old.filter(F.col("doc_id") < 20), d_small)
+    assert DI._pfx_len(d_small) == 1
+    parts = [
+        p
+        for p in os.listdir(M.table_path(d_small, "bands"))
+        if p.startswith("pfx=")
+    ]
+    assert parts and all(len(p) == len("pfx=") + 1 for p in parts)
+    # sticky across appends: the second batch resolves the stamped 1
+    DI.append_to_dedup_index(
+        spark, old.filter(F.col("doc_id") >= 20), d_small
+    )
+    parts2 = {
+        p
+        for p in os.listdir(M.table_path(d_small, "bands"))
+        if p.startswith("pfx=")
+    }
+    assert all(len(p) == len("pfx=") + 1 for p in parts2)
+    got = _rows(DI.dedup_index_lookup(spark, new, d_small, threshold=THRESHOLD))
+    # a store pinned to the legacy 2-hex layout answers identically
+    d_big = str(tmp_path / "store_256")
+    M.write_meta(d_big, DI._PFX_KEY, 2)
+    DI.build_dedup_index(spark, old, d_big)
+    assert DI._pfx_len(d_big) == 2
+    want = _rows(DI.dedup_index_lookup(spark, new, d_big, threshold=THRESHOLD))
+    assert got == want and got

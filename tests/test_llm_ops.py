@@ -992,3 +992,145 @@ def test_dedup_band_cap_bounds_template_family(spark):
     pairs = D.near_dup_pairs(docs, max_band_freq=10)
     got = {(r.a, r.b) for r in pairs.collect()}
     assert (100, 101) in got and not any(a < 30 for a, b in got)
+
+
+def test_dhash_second_family_recovers_mean_shift_flips(spark):
+    """The documented aHash failure: painting one region bright shifts
+    the IMAGE MEAN, flipping every near-mean cell's threshold bit —
+    aHash hamming blows far past 3 for a pair that renders near-alike.
+    The dHash gradient family is mean-invariant (both sides of each
+    comparison move together), so the dual-family join recovers the
+    pair; aHash alone must (and does) miss it — that asymmetry is the
+    reason the second family exists."""
+    import struct
+
+    def bmp8(paint_cell=None):
+        # 8x8 24-bpp BMP, one pixel per hash cell, channels equal:
+        # lum alternates 102/99 around the 100.5 mean, so a painted
+        # white cell drags the mean past every 102-cell
+        rows = []
+        for y in range(8):
+            row = bytearray()
+            for x in range(8):
+                v = 34 if (x + y) % 2 == 0 else 33
+                if paint_cell == (x, y):
+                    v = 255
+                row += bytes([v, v, v])
+            rows.append(bytes(row))  # stride 24 — no pad needed
+        img = b"".join(rows)
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, len(img), 2835, 2835, 0, 0
+        )
+        return hdr + info + img
+
+    media = spark.createDataFrame(
+        [
+            (0, "image/bmp", bmp8()),
+            (1, "image/bmp", bmp8(paint_cell=(6, 7))),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    ah = M.image_ahash(media).persist()
+    dh = M.image_dhash(media).persist()
+    # aHash alone misses the pair (mean shift flipped ~half the bits)
+    assert M.image_near_dup_pairs(ah).count() == 0
+    got = M.image_near_dup_pairs(ah, dh).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.a, r.b) == (0, 1)
+    assert r.hamming > 3 and r.dhamming <= 3
+    ah.unpersist()
+    dh.unpersist()
+
+
+def test_auto_band_cap_fires_with_no_knob(spark):
+    """The DEFAULT ("auto") hot-band threshold must stop a corpus-scale
+    template family (freq > max(64, 8 x median)) with NO knob passed,
+    while an ordinary near-dup pair keeps its answer — the cap a 100 TB
+    user gets without knowing the failure mode exists. Small corpora
+    (the registered fixtures) sit below the 64 floor, so their outputs
+    equal the uncapped join the oracle twins model (checked here via an
+    explicit huge cap as the uncapped reference)."""
+    from rds_pgbadger_etl_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, base) for i in range(80)]  # 80-doc family: band freq 80
+    rows += [(100, "completely different interesting content " * 8)]
+    rows += [(101, "completely different interesting content " * 8 + "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = D.lsh_bands(D.minhash_signatures(D.char_shingles(docs)))
+    # median band freq is 1 (the family is 2 VALUES among many), so the
+    # auto cap sits at the 64 floor and the 80-doc family blows past it
+    counts = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_n"))
+    assert D.resolve_band_freq_cap(counts, "auto") == D.AUTO_BAND_FREQ_FLOOR
+    auto = {(r.a, r.b) for r in D.candidate_pairs(bands).collect()}
+    assert not any(a < 80 and b < 80 for a, b in auto)  # family gone
+    assert (100, 101) in auto  # the true small pair survives
+    uncapped = {
+        (r.a, r.b)
+        for r in D.candidate_pairs(bands, max_band_freq=10**9).collect()
+    }
+    assert sum(1 for a, b in uncapped if a < 80 and b < 80) == 80 * 79 // 2
+
+
+def test_auto_band_cap_fires_multimodal_no_knob(spark):
+    """hamming_band_pairs' default auto cap: a constant signature region
+    carried by 70+ docs (black frames / silence) stops generating
+    candidates with NO knob passed; a pair sharing a private clean band
+    still pairs."""
+    # 70 fillers share bands 0/1 (constant hi) but are pairwise-far in lo
+    rows = [
+        (i, 0xDEAD0000, ((0x9E3779B9 * i) & 0xFFFFFFFF) | 1)
+        for i in range(1, 71)
+    ]
+    # C/D: within hamming 2 but their clean bands are the two hot ones
+    rows += [(221, 0xDEAD0000, 0xABCD1234), (222, 0xDEAD0000, 0xABCC1235)]
+    # A/B: within hamming 1 via private bands 2/3 (freq 2) -> survive
+    rows += [(223, 0x1357AAAA, 0x55AA55AA), (224, 0x1357AAAB, 0x55AA55AA)]
+    words = spark.createDataFrame(rows, "doc_id long, hi long, lo long")
+    auto = {(r.a, r.b) for r in M.hamming_band_pairs(words).collect()}
+    assert (223, 224) in auto
+    assert (221, 222) not in auto  # hot-band-only pair is the recall cost
+    unc = {
+        (r.a, r.b)
+        for r in M.hamming_band_pairs(words, max_band_freq=None).collect()
+    }
+    assert (221, 222) in unc and (223, 224) in unc
+
+
+def test_auto_band_cap_fires_in_store_lookup(spark, tmp_path):
+    """The streaming dedup store lookup's default auto cap: a template
+    band accumulated across the ingested HISTORY (80 stored docs) stops
+    joining against new batches with no knob, while a genuine stored
+    near-dup of a batch doc is still flagged."""
+    from rds_pgbadger_etl_spark.operators import dedup_index as DI
+
+    d = str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    hist = [(i, base) for i in range(80)]
+    hist += [(300, "completely different interesting content " * 8)]
+    DI.build_dedup_index(
+        spark, spark.createDataFrame(hist, "doc_id long, text string"), d
+    )
+    batch = spark.createDataFrame(
+        [
+            (900, base),  # matches ONLY the hot template family
+            (901, "completely different interesting content " * 8 + "x"),
+        ],
+        "doc_id long, text string",
+    )
+    auto = {
+        (r.old_id, r.new_id)
+        for r in DI.dedup_index_lookup(spark, batch, d).collect()
+    }
+    assert (300, 901) in auto  # the real near-dup still flags
+    assert not any(n == 900 for _o, n in auto)  # template probe capped
+    prof, bands = DI._encode(batch, "doc_id", "text")
+    unc, pinned = DI._lookup_encoded(
+        spark, prof, bands, d, max_band_freq=None
+    )
+    unc_pairs = {(r.old_id, r.new_id) for r in unc.collect()}
+    assert any(n == 900 for _o, n in unc_pairs)  # uncapped DOES join it
+    for df in pinned + [prof]:
+        df.unpersist()

@@ -199,6 +199,48 @@ def main() -> None:
     fam_members = dup_pct + 1  # head + its near-dups
     expected_pairs = n_families * (fam_members * (fam_members - 1) // 2)
 
+    # --- stage 6 (round 11): the DEFAULT auto hot-band cap, no knob ---
+    # Plant a 5000-doc boilerplate family next to a slice of the real
+    # corpus: its two band values each carry 5000 docs. Uncapped, the
+    # self-join produces C(5000,2) = 12.5M family candidates; with NO
+    # knob the auto threshold (max(64, 8 x median)) excludes them while
+    # every genuine planted family pair survives (recall 1.0 on the
+    # slice) — the protection a user gets without knowing the knob.
+    HOT_N = 5_000
+    slice_docs = docs.filter(F.col("doc_id") < 20_000)
+    hot = spark.range(HOT_N).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("identical boilerplate template text " * 16).alias("text"),
+    )
+    adv = slice_docs.select("doc_id", "text").unionByName(hot)
+    adv_bands = lsh_bands(
+        minhash_signatures(char_shingles(adv), "doc_id"), "doc_id"
+    ).persist()
+    adv_bands.count()
+    slice_pairs_plain = candidate_pairs(
+        lsh_bands(
+            minhash_signatures(char_shingles(slice_docs), "doc_id"),
+            "doc_id",
+        ),
+        "doc_id",
+    )
+    n_slice_expected = slice_pairs_plain.filter(
+        F.col("b") < 10_000_000
+    ).count()
+    t0 = time.perf_counter()
+    auto_cands = candidate_pairs(adv_bands, "doc_id").persist()
+    n_auto = auto_cands.count()
+    n_auto_family = auto_cands.filter(F.col("a") >= 10_000_000).count()
+    n_auto_slice = auto_cands.filter(F.col("b") < 10_000_000).count()
+    t_auto = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_uncapped_adv = candidate_pairs(
+        adv_bands, "doc_id", max_band_freq=None
+    ).count()
+    t_uncapped_adv = time.perf_counter() - t0
+    auto_cands.unpersist()
+    adv_bands.unpersist()
+
     app_id = spark.sparkContext.applicationId
     spark.stop()
     time.sleep(2)  # event log flush
@@ -238,6 +280,16 @@ def main() -> None:
             sum(s["shuffle_write_mb"] for s in stages), 1
         ),
         "total_spill_mb": round(sum(s["spill_mb"] for s in stages), 1),
+        "auto_hot_band": {
+            "hot_family": HOT_N,
+            "uncapped_pairs": n_uncapped_adv,
+            "uncapped_s": round(t_uncapped_adv, 1),
+            "auto_pairs": n_auto,
+            "auto_s": round(t_auto, 1),
+            "auto_family_pairs": n_auto_family,  # expect 0
+            "auto_slice_pairs": n_auto_slice,
+            "slice_expected_pairs": n_slice_expected,  # recall 1.0 check
+        },
         "top_shuffle_stages": top,
     }
     print(json.dumps(summary, indent=1))
