@@ -845,6 +845,7 @@ def _refined_quantizers_2level(
     n_groups: int,
     n_cells: int,
     refine_iters: int,
+    train_fraction: float | None = None,
 ):
     """Train BOTH two-level quantizer levels with Lloyd's k-means — the
     production refinement the prefix convention defers to, composable
@@ -874,22 +875,44 @@ def _refined_quantizers_2level(
     prefix path keeps float (its values are exact in either type).
     Group membership for training uses the SAME rounded-cosine /
     lower-id convention as the final composed assignment, so training
-    shards and search shards agree. At 100 TB run the recompute on a
-    fixed-rate hash sample (mini-batch k-means) exactly as
-    kmeans_refine's docstring prescribes — same plan, sampled input.
+    shards and search shards agree.
+
+    ``train_fraction`` is the mini-batch k-means path kmeans_refine's
+    docstring prescribes for corpus scale: BOTH levels' Lloyd's
+    statistics (init, assignment rounds, centroid recomputes) run over
+    a deterministic hash sample of that fraction (plus the vec_id <
+    n_groups prefix the coarse init needs), while the FINAL corpus
+    assignment — the standard build machinery downstream — still
+    touches every row. The full-corpus assignment round materializes
+    ~corpus x cells_per_group rows through a per-vector window, which
+    at 8M spilled ~35 GB; the sampled rounds keep the identical plan at
+    sample volume, and quantizers trained on a fixed-rate sample are
+    statistically the same centroids (the 8M skew rehearsal's balance
+    and recall numbers are measured THROUGH this path). None (the
+    registered-fixture default) trains on everything, which is what the
+    relational twin unrolls.
 
     Returns (live_groups, g_live_mat, fine_df) where fine_df is
     (cell, group, c_emb array<double>) — quantizer-sized, eagerly
     checkpointed so callers can consume it after members unpersist."""
     from pyspark.sql import Window
 
-    g_rows = S.kmeans_centroids(emb, n_groups, refine_iters + 1).collect()
+    train = emb
+    if train_fraction is not None:
+        train = emb.filter(
+            (
+                F.pmod(F.abs(F.hash("vec_id")), F.lit(10_000))
+                < F.lit(int(train_fraction * 10_000))
+            )
+            | (F.col("vec_id") < n_groups)  # the coarse init prefix
+        )
+    g_rows = S.kmeans_centroids(train, n_groups, refine_iters + 1).collect()
     g_rows.sort(key=lambda r: r.cell)
     live = [int(r.cell) for r in g_rows]
     g_mat = np.array([r.c_emb for r in g_rows], dtype=np.float64)
 
     nearest = _nearest_group_udf(np.array(live, dtype="int64"), g_mat)
-    members = emb.select(
+    members = train.select(
         "vec_id", "embedding", nearest(F.col("embedding")).alias("group")
     ).persist()
     try:
@@ -964,6 +987,7 @@ def build_ann_index_2level(
     n_groups: int | None = N_GROUPS_2L,
     n_cells: int | None = N_CELLS_2L,
     refine_iters: int = 0,
+    train_fraction: float | None = None,
 ) -> None:
     """Build the sharded-quantizer index: coarse groups over fine cells.
 
@@ -994,7 +1018,7 @@ def build_ann_index_2level(
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(
-            spark, emb, n_groups, n_cells, refine_iters
+            spark, emb, n_groups, n_cells, refine_iters, train_fraction
         )
         # coarse stores ALL trained groups: query probes rank over the
         # full trained set (the twin's g1), including a group that won
@@ -1605,6 +1629,7 @@ def build_ann_index_2level_distributed(
     n_groups: int | None = N_GROUPS_2L,
     n_cells: int | None = N_CELLS_2L,
     refine_iters: int = 0,
+    train_fraction: float | None = None,
 ) -> None:
     """:func:`build_ann_index_2level` with the fine quantizer kept
     distributed (module comment above) — artifacts are search-identical
@@ -1629,7 +1654,7 @@ def build_ann_index_2level_distributed(
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(
-            spark, emb, n_groups, n_cells, refine_iters
+            spark, emb, n_groups, n_cells, refine_iters, train_fraction
         )
         # coarse stores ALL trained groups (probe parity with the twin);
         # assignment ranks over the cell-owning subset — a memberless

@@ -94,7 +94,9 @@ def _bucket(id_col: str) -> F.Column:
     return F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(N_BUCKETS))
 
 
-def _read_bands_typed(spark: SparkSession, index_dir: str) -> DataFrame:
+def _read_bands_typed(
+    spark: SparkSession, index_dir: str, snapshot: dict | None = None
+) -> DataFrame:
     """Read ``bands/`` with the partition column DECLARED as a string:
     partition-type inference looks at the directory values present, and
     a small store whose batches so far touched only digit-valued hex
@@ -103,12 +105,21 @@ def _read_bands_typed(spark: SparkSession, index_dir: str) -> DataFrame:
     strings then fail the ANSI cast at plan time. The data schema is
     taken from one footer (cheap local read) so string-id corpora keep
     their id type; partition pruning on an explicitly-typed column is
-    unaffected."""
+    unaffected. ``snapshot`` resolves the generation from an
+    already-taken manifest snapshot (readers that also consult the
+    fanout key MUST pass one — see index_maintenance.manifest_snapshot
+    on the upgrade-flip straddle)."""
     import os
 
     from pyspark.sql import types as T
 
-    root = M.table_path(index_dir, "bands")
+    root = M.table_path_in(
+        snapshot
+        if snapshot is not None
+        else M.manifest_snapshot(index_dir),
+        index_dir,
+        "bands",
+    )
     first = M.data_files(root)[0]
     data_schema = spark.read.parquet(os.path.join(root, first)).schema
     schema = T.StructType(
@@ -319,8 +330,13 @@ def _lookup_encoded(
     The pruned scan is persisted: the hot-set groupBy and the probe
     join share one read."""
     pinned: list[DataFrame] = []
+    # ONE manifest snapshot supplies both the fanout width and the
+    # bands generation — two separate reads could straddle a fanout
+    # upgrade and probe the new layout at the old width (silently-empty
+    # lookups)
+    snap = M.manifest_snapshot(index_dir)
     bands_new = bands_new.withColumn(
-        "pfx", F.substring("band", 1, _pfx_len(index_dir))
+        "pfx", F.substring("band", 1, int(snap.get(_PFX_KEY, PFX_LEN)))
     ).persist()
     pinned.append(bands_new)
     pfxs = sorted(
@@ -329,7 +345,9 @@ def _lookup_encoded(
     stored_bands = M.live(
         spark,
         index_dir,
-        _read_bands_typed(spark, index_dir).where(F.col("pfx").isin(pfxs)),
+        _read_bands_typed(spark, index_dir, snap).where(
+            F.col("pfx").isin(pfxs)
+        ),
         id_col,
     ).select(F.col(id_col).alias("old_id"), "band")
     if max_band_freq is not None:
@@ -422,7 +440,30 @@ def compact_dedup_index(
     (atomic manifest flip; see operators/index_maintenance.py). The
     wide-row profiles rewrite is volume-sized (PROFILE_ROWS_PER_TASK)
     so a corpus-scale compaction never spills; past ~64 tasks it leaves
-    a bounded handful of file-sets per bucket instead of exactly one."""
+    a bounded handful of file-sets per bucket instead of exactly one.
+
+    FANOUT UPGRADE: a store created small (1-hex prefix) that has since
+    grown past PFX_SMALL_DOCS gets its bands table rewritten at the
+    at-scale 2-hex fanout during the compaction it needs anyway — the
+    prefix column is recomputed from ``band`` in the same rewrite, and
+    the new ``__pfx_len__`` is published in the SAME atomic manifest
+    write as the bands generation flip, so a reader taking one manifest
+    snapshot can never pair the new width with the old layout (or vice
+    versa). The 100 TB-shaped layout is thus reached by growth, not
+    only by big creation."""
+    transforms = None
+    updates = None
+    if "bands" in tables and _pfx_len(index_dir) < PFX_LEN:
+        n_docs = (
+            spark.read.parquet(M.table_path(index_dir, "profiles")).count()
+        )  # one profile row per doc
+        if n_docs >= PFX_SMALL_DOCS:
+            transforms = {
+                "bands": lambda df: df.drop("pfx").withColumn(
+                    "pfx", F.substring("band", 1, PFX_LEN)
+                )
+            }
+            updates = {_PFX_KEY: PFX_LEN}
     return M.compact_index(
         spark,
         index_dir,
@@ -430,6 +471,9 @@ def compact_dedup_index(
         tables,
         "doc_id",
         rows_per_task={"profiles": PROFILE_ROWS_PER_TASK},
+        transforms=transforms,
+        manifest_updates=updates,
+        manifest_updates_after="bands",
     )
 
 

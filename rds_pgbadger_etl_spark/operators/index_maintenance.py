@@ -95,6 +95,21 @@ def table_path(index_dir: str, table: str) -> str:
     return f"{index_dir}/{_read_manifest(index_dir).get(table, table)}"
 
 
+def manifest_snapshot(index_dir: str) -> dict:
+    """One coherent read of the generation manifest. A reader that
+    needs BOTH a metadata key and a table path (e.g. the dedup store's
+    prefix width plus its bands directory) must derive them from ONE
+    snapshot: two separate reads can straddle a compaction that flips
+    the table generation and a layout key together (the fanout
+    upgrade), and the mismatched pair reads as a silently-empty scan."""
+    return _read_manifest(index_dir)
+
+
+def table_path_in(snapshot: dict, index_dir: str, table: str) -> str:
+    """``table_path`` resolved against an already-taken snapshot."""
+    return f"{index_dir}/{snapshot.get(table, table)}"
+
+
 def _gen_of(dirname: str, table: str) -> int:
     m = re.fullmatch(re.escape(table) + r"__g(\d+)", dirname)
     return int(m.group(1)) if m else 0
@@ -222,6 +237,9 @@ def compact_index(
     compact_tables: tuple[str, ...] | None = None,
     tombstone_key: str | None = None,
     rows_per_task: dict[str, int] | None = None,
+    transforms: dict | None = None,
+    manifest_updates: dict | None = None,
+    manifest_updates_after: str | None = None,
 ) -> dict:
     """Rewrite each partitioned table so every partition holds one
     file-set again; apply pending tombstones physically during the
@@ -244,7 +262,18 @@ def compact_index(
     ``tombstone_key`` within each partition — the compacted table then
     holds up to ceil(tasks/partitions) file-sets per partition instead
     of exactly one: the spill-safe bound, still O(1) per partition per
-    compaction cycle."""
+    compaction cycle.
+
+    ``transforms`` (table → DataFrame fn) rewrites a table's ROWS
+    during its compaction — layout migrations piggyback on the rewrite
+    the compaction does anyway (e.g. widening the dedup store's prefix
+    column). ``manifest_updates`` are extra manifest keys published IN
+    THE SAME atomic manifest write as ``manifest_updates_after``'s
+    generation flip, so a layout key and the table it describes can
+    never be observed mismatched by a reader taking one
+    :func:`manifest_snapshot`. (Appends racing a compaction were and
+    remain out of contract — the maintenance pass assumes the writer
+    quiesced, exactly like the module docstring's committer story.)"""
     import math
 
     todo = compact_tables or tuple(tables)
@@ -259,6 +288,8 @@ def compact_index(
         new_dir = f"{index_dir}/{t}__g{_gen_of(os.path.basename(src), t) + 1}"
         before = len(data_files(src))
         table_df = spark.read.parquet(src)
+        if transforms and t in transforms:
+            table_df = transforms[t](table_df)
         # quantizer-metadata tables (e.g. the 2-level `fine/` shard map)
         # carry no corpus key — tombstones don't apply to them
         if tomb is not None and tombstone_key in table_df.columns:
@@ -293,6 +324,8 @@ def compact_index(
         )
         manifest = _read_manifest(index_dir)
         manifest[t] = os.path.basename(new_dir)
+        if manifest_updates and t == (manifest_updates_after or t):
+            manifest.update(manifest_updates)
         _write_manifest(index_dir, manifest)  # the atomic publish
         # retention = 1: keep the just-superseded generation for
         # readers that resolved before the flip; drop anything older.

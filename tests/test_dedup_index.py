@@ -228,3 +228,39 @@ def test_pfx_fanout_auto_sized_and_sticky(spark, docs, tmp_path):
     assert DI._pfx_len(d_big) == 2
     want = _rows(DI.dedup_index_lookup(spark, new, d_big, threshold=THRESHOLD))
     assert got == want and got
+
+
+def test_pfx_fanout_upgrades_at_compaction(spark, docs, tmp_path, monkeypatch):
+    """A store created small (1-hex) that outgrows PFX_SMALL_DOCS must
+    come out of its next compaction at the at-scale 2-hex fanout: the
+    bands rewrite recomputes the prefix column and the new __pfx_len__
+    publishes in the SAME atomic manifest write as the generation flip.
+    Lookup answers are bit-identical across the upgrade."""
+    import os
+
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    d = str(tmp_path / "store_grow")
+    DI.build_dedup_index(spark, old, d)
+    assert DI._pfx_len(d) == 1  # created small
+    before = _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
+
+    # the store "grows past" the threshold (lowered for the test)
+    monkeypatch.setattr(DI, "PFX_SMALL_DOCS", 10)
+    DI.compact_dedup_index(spark, d)
+    assert DI._pfx_len(d) == 2
+    parts = [
+        p
+        for p in os.listdir(M.table_path(d, "bands"))
+        if p.startswith("pfx=")
+    ]
+    assert parts and all(len(p) == len("pfx=") + 2 for p in parts)
+    after = _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
+    assert after == before and before
+    # appends after the upgrade land at the new width and stay visible
+    DI.append_to_dedup_index(
+        spark, new.filter(F.col("doc_id") == 18), d
+    )
+    assert DI._pfx_len(d) == 2
+    again = _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
+    assert set(before) <= set(again)
