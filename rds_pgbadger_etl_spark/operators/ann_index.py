@@ -169,6 +169,51 @@ def auto_quantizer_shape(n_vecs: int) -> tuple[int, int]:
     return int(n_groups), n_cells
 
 
+# Residual PQ (the FAISS IndexIVFPQ composition): encode r(x) = x - c(x)
+# — the vector MINUS its IVF centroid — instead of x itself. Residuals
+# concentrate around the origin with far less variance than raw
+# vectors, so the SAME codebook size quantizes them finer and ADC
+# distances sharpen; the cost is that the query-side LUT becomes
+# per-(query, PROBED CELL): the query's residual depends on which cell
+# is being scanned. Everything stays in the exact integer domain —
+# residual components are DIFFERENCES of the standard half-up
+# quantizations (ir = iv(x) - iv(c)), so codes and ADC sums remain
+# bit-reproducible across engines and the DuckDB twin is plain integer
+# arithmetic over the existing lf CTE.
+_RESIDUAL_KEY = "__pq_residual__"
+
+
+def _int_centroids(mat: np.ndarray) -> np.ndarray:
+    """half-up integer components of the centroid matrix — the same
+    PQ_INT_SCALE quantization pq_long_form applies to corpus vectors,
+    so residual components are differences of like-quantized values."""
+    return S._half_up(np.asarray(mat, dtype=np.float64) * S.PQ_INT_SCALE)
+
+
+def _pq_encode_residual_udf(rcb: np.ndarray, icent: np.ndarray):
+    """Vectorized residual-PQ encoder: per row, quantize the embedding
+    (HALF_UP), subtract the row's OWN cell centroid's integer
+    components, then argmin exact integer squared distances per
+    subspace against the residual codebook (first-minimum = lower cell,
+    the pq_codes tie-break). Takes (embedding, cell) columns."""
+    m, _k, sub = rcb.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(emb: pd.Series, cell: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        ir = S._half_up(x * S.PQ_INT_SCALE) - icent[cell.to_numpy()]
+        out = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            qs = ir[:, s * sub : (s + 1) * sub]
+            d = ((qs[:, None, :] - rcb[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return encode
+
+
 def build_ann_index(
     spark: SparkSession,
     emb: DataFrame,
@@ -177,6 +222,7 @@ def build_ann_index(
     n_tables: int = S.N_TABLES,
     n_planes: int = S.N_PLANES,
     refine_iters: int = 0,
+    residual: bool = False,
 ) -> None:
     """Encode the corpus once and land every staging table on disk.
 
@@ -196,10 +242,18 @@ def build_ann_index(
     ivf_cells docstring describes) before assignment; the artifact
     layout and every reader are unchanged, because readers derive
     probes from the STORED centroid table, whatever produced it.
+
+    ``residual=True`` PQ-encodes each vector's RESIDUAL against its own
+    IVF centroid instead of the raw vector (module comment above) —
+    codebook = the first PQ_K vectors' residuals, the same
+    deterministic-sample convention; the codebook table keeps its
+    schema so `_load_codebook` is unchanged, and the manifest carries
+    the flag so readers and appends dispatch the matching encode/LUT.
     """
     _CENTROIDS.pop(index_dir, None)  # rebuilt index invalidates the
     _CODEBOOKS.pop(index_dir, None)  # in-process quantizer cache
     _stamp_layout(index_dir)
+    M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
     if n_centroids is None:  # auto: sqrt-of-corpus rule (one count job)
         n_centroids = auto_n_centroids(emb.count())
     if refine_iters > 0:
@@ -213,18 +267,6 @@ def build_ann_index(
             F.col("embedding").alias("c_emb"),
         )
     cents.coalesce(1).write.mode("overwrite").parquet(M.table_path(index_dir, "centroids"))
-
-    codebook = (
-        S.pq_long_form(emb)
-        .filter(F.col("vec_id") < S.PQ_K)
-        .select(
-            "subspace",
-            "dim",
-            F.col("vec_id").cast("int").alias("cell"),
-            F.col("iv").alias("ic"),
-        )
-    )
-    codebook.coalesce(1).write.mode("overwrite").parquet(M.table_path(index_dir, "codebook"))
 
     # map-only assignment against the JUST-WRITTEN centroid table (the
     # same kernel and semantics as similarity.ivf_cells; for
@@ -240,6 +282,52 @@ def build_ann_index(
     # one assignment pass feeds both partitioned layouts
     cells = cells.persist()
     try:
+        if residual:
+            # residual codebook: the first PQ_K vectors' residuals
+            # against THEIR OWN centroids (metadata-sized collect —
+            # PQ_K rows), written in the standard codebook schema
+            icent = _int_centroids(cent_matrix)
+            head = cells.filter(F.col("vec_id") < S.PQ_K).collect()
+            head.sort(key=lambda r: r.vec_id)
+            rows = []
+            for k, r in enumerate(head):
+                ir = (
+                    S._half_up(
+                        np.asarray(r.embedding, dtype=np.float64)
+                        * S.PQ_INT_SCALE
+                    )
+                    - icent[int(r.cell)]
+                )
+                rows.extend(
+                    (s, d, k, int(ir[s * S.PQ_SUB + d]))
+                    for s in range(S.PQ_M)
+                    for d in range(S.PQ_SUB)
+                )
+            spark.createDataFrame(
+                rows, "subspace int, dim int, cell int, ic long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                M.table_path(index_dir, "codebook")
+            )
+            encode = _pq_encode_residual_udf(
+                _load_codebook(spark, index_dir), icent
+            )(F.col("embedding"), F.col("cell"))
+        else:
+            codebook = (
+                S.pq_long_form(emb)
+                .filter(F.col("vec_id") < S.PQ_K)
+                .select(
+                    "subspace",
+                    "dim",
+                    F.col("vec_id").cast("int").alias("cell"),
+                    F.col("iv").alias("ic"),
+                )
+            )
+            codebook.coalesce(1).write.mode("overwrite").parquet(
+                M.table_path(index_dir, "codebook")
+            )
+            encode = S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                F.col("embedding")
+            )
         # vectorized encoder (map-only) FUSED onto the assigned rows —
         # bit-identical codes to the long-form reference S.pq_codes
         # (pinned by test); at 100 TB the encode pass must not fan out
@@ -247,13 +335,7 @@ def build_ann_index(
         # join back to the assignment would shuffle corpus-sized tables
         # (measured ~200 MB spill per 8M-row build before the fuse)
         (
-            cells.select(
-                "vec_id",
-                "cell",
-                S.pq_encode_udf(_load_codebook(spark, index_dir))(
-                    F.col("embedding")
-                ).alias("codes"),
-            )
+            cells.select("vec_id", "cell", encode.alias("codes"))
             .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
@@ -311,15 +393,21 @@ def append_to_ann_index(
     try:
         # PQ-encode against the STORED codebook with the vectorized
         # kernel, fused onto the assigned rows (map-only; same integer
-        # argmin + tie-break as the long-form reference path)
-        (
-            cells.select(
-                "vec_id",
-                "cell",
-                S.pq_encode_udf(_load_codebook(spark, index_dir))(
-                    F.col("embedding")
-                ).alias("codes"),
+        # argmin + tie-break as the long-form reference path). Residual
+        # indexes dispatch the residual encoder — same immutable
+        # codebook, same comparability invariant, subtracting the
+        # stored centroid first.
+        if M.read_meta(index_dir, _RESIDUAL_KEY, False):
+            enc = _pq_encode_residual_udf(
+                _load_codebook(spark, index_dir),
+                _int_centroids(cent_matrix),
+            )(F.col("embedding"), F.col("cell"))
+        else:
+            enc = S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                F.col("embedding")
             )
+        (
+            cells.select("vec_id", "cell", enc.alias("codes"))
             .repartition("cell")
             .write.mode("append")
             .partitionBy("cell")
@@ -455,6 +543,42 @@ def _adc_lut_flat(
     return spark.createDataFrame(rows, "q_id long, d_flat array<long>")
 
 
+def _adc_lut_flat_residual(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    probes: list[tuple[int, int]],
+) -> DataFrame:
+    """(q_id, cell, d_flat) rows — the residual-PQ LUT: the query's
+    residual DEPENDS ON THE PROBED CELL (r = q - c), so each (query,
+    probed cell) pair gets its own flattened distance array against the
+    residual codebook. Rows = |queries| x n_probe — still broadcast
+    metadata; the scoring join gains the cell key and nothing else
+    changes (same map-side higher-order aggregate)."""
+    ic = _load_codebook(spark, index_dir)
+    n_sub, n_cells, sub_dim = ic.shape
+    _, cent_mat = _read_centroids(spark, index_dir)
+    icent = _int_centroids(cent_mat)
+    qvec = {q_id: vec for q_id, vec in queries}
+    rows = []
+    for q_id, cell in probes:
+        iq = (
+            S._half_up(
+                np.asarray(qvec[q_id], dtype=np.float64) * S.PQ_INT_SCALE
+            )
+            - icent[cell]
+        )
+        flat: list[int] = []
+        for s in range(n_sub):
+            qs = iq[s * sub_dim : (s + 1) * sub_dim]
+            d = ((ic[s] - qs) ** 2).sum(axis=1)
+            flat.extend(int(d[c]) for c in range(n_cells))
+        rows.append((int(q_id), int(cell), flat))
+    return spark.createDataFrame(
+        rows, "q_id long, cell int, d_flat array<long>"
+    )
+
+
 def _adc_dist_col(n_cells: int = S.PQ_K):
     """Sum of the per-subspace LUT entries selected by the packed codes
     array — exact int64 arithmetic, whole-stage-codegen higher-order
@@ -500,11 +624,18 @@ def ann_index_ivfpq_topk(
     """IVF-PQ search from the artifact: partition-pruned scan of the
     probed cells' PQ codes, broadcast ADC LUT, integer ranking — the
     same output contract as similarity.ivfpq_topk (q_id, vec_id,
-    adc_dist, rank), with zero corpus access."""
+    adc_dist, rank), with zero corpus access. Residual indexes (the
+    manifest flag) swap in the per-(query, probed cell) residual LUT —
+    the scoring join gains the cell key, nothing else changes."""
     cells, mat = _read_centroids(spark, index_dir)
     probes = _probe_cells(queries, cells, mat, n_probe)
     probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
-    lut_df = _adc_lut_flat(spark, index_dir, queries)
+    residual = M.read_meta(index_dir, _RESIDUAL_KEY, False)
+    lut_df = (
+        _adc_lut_flat_residual(spark, index_dir, queries, probes)
+        if residual
+        else _adc_lut_flat(spark, index_dir, queries)
+    )
 
     vectors = _live(
         spark,
@@ -516,7 +647,10 @@ def ann_index_ivfpq_topk(
     scored = (
         vectors.join(F.broadcast(probes_df), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(lut_df), "q_id")
+        .join(
+            F.broadcast(lut_df),
+            ["q_id", "cell"] if residual else ["q_id"],
+        )
         .select("q_id", "vec_id", _adc_dist_col(
             _load_codebook(spark, index_dir).shape[1]
         ).alias("adc_dist"))
@@ -1442,7 +1576,12 @@ def ann_index_ivfpq_rerank_topk(
     cells, mat = _read_centroids(spark, index_dir)
     probes = _probe_cells(queries, cells, mat, n_probe)
     probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
-    lut_df = _adc_lut_flat(spark, index_dir, queries)
+    residual = M.read_meta(index_dir, _RESIDUAL_KEY, False)
+    lut_df = (
+        _adc_lut_flat_residual(spark, index_dir, queries, probes)
+        if residual
+        else _adc_lut_flat(spark, index_dir, queries)
+    )
 
     vectors = _live(
         spark,
@@ -1454,7 +1593,10 @@ def ann_index_ivfpq_rerank_topk(
     scored = (
         vectors.join(F.broadcast(probes_df), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(lut_df), "q_id")
+        .join(
+            F.broadcast(lut_df),
+            ["q_id", "cell"] if residual else ["q_id"],
+        )
         .select("q_id", "vec_id", _adc_dist_col(
             _load_codebook(spark, index_dir).shape[1]
         ).alias("adc_dist"))

@@ -3296,6 +3296,139 @@ WHERE rank <= {_TOPK}
 """
 
 
+def _ann_index_residual_shared(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted index whose PQ codes encode RESIDUALS (vector minus its
+    own IVF centroid — the FAISS IndexIVFPQ composition): residuals
+    concentrate near the origin, so the same codebook size quantizes
+    finer and ADC sharpens; the trade is a per-(query, probed cell)
+    LUT. Built once per (process, sf_dir)."""
+    from rds_pgbadger_etl_spark.operators.ann_index import build_ann_index
+
+    key = sf_dir + "#residual"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_res_")
+        build_ann_index(
+            spark,
+            rebalance(load_table(spark, sf_dir, "embeddings")),
+            d,
+            residual=True,
+        )
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_index_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X3: IVF-PQ search over the RESIDUAL-encoded artifact — codes are
+    argmin over the residual codebook of exact integer squared
+    distances on ir = iv(x) - iv(centroid(x)) (differences of the
+    standard half-up quantizations, so everything stays bit-exact);
+    the query-side LUT is per (query, probed cell) because the query's
+    residual depends on which cell is scanned. The oracle re-derives
+    the residual long form, codebook, codes, and per-cell LUT
+    relationally on top of the shared lf/asgn CTEs."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_ivfpq_topk(
+        spark,
+        _ann_index_residual_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+# Residual-PQ twin: ci = the centroid vectors' integer components (the
+# centroids ARE corpus vectors, so lf already has them); rlf = each
+# vector's components minus its own cell centroid's; rcb = the first
+# PQ_K vectors' residuals (the deterministic-sample convention — cell
+# ids coincide with the positional ids the builder stores because the
+# fixture prefix is dense); qlut = the query's residual WRT EACH PROBED
+# CELL against the residual codebook.
+_ANN_IVFPQ_RES_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+lf AS ({_PQ_LF_SQL}),
+ci AS (SELECT vec_id AS cell, subspace, dim, iv FROM lf
+       WHERE vec_id < {S.N_CENTROIDS}),
+rlf AS (
+  SELECT v.vec_id, v.subspace, v.dim, v.iv - ci.iv AS iv
+  FROM lf v
+  JOIN asgn a ON a.vec_id = v.vec_id
+  JOIN ci ON ci.cell = a.cell AND ci.subspace = v.subspace
+         AND ci.dim = v.dim
+),
+rcb AS (SELECT vec_id AS rcell, subspace, dim, iv AS ic FROM rlf
+        WHERE vec_id < {S.PQ_K}),
+rdist AS (
+  SELECT v.vec_id, v.subspace, b.rcell,
+         sum((v.iv - b.ic) * (v.iv - b.ic)) AS sq
+  FROM rlf v
+  JOIN rcb b ON b.subspace = v.subspace AND b.dim = v.dim
+  GROUP BY v.vec_id, v.subspace, b.rcell
+),
+rcodes AS (
+  SELECT vec_id, subspace, rcell AS code FROM (
+    SELECT vec_id, subspace, rcell, sq,
+           row_number() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY sq, rcell) AS rn
+    FROM rdist) WHERE rn = 1
+),
+qlut AS (
+  SELECT p.q_id, p.cell AS pcell, r.subspace, r.rcell AS code,
+         sum((qv.iv - ci.iv - r.ic) * (qv.iv - ci.iv - r.ic)) AS d
+  FROM probes p
+  JOIN lf qv ON qv.vec_id = p.q_id
+  JOIN ci ON ci.cell = p.cell AND ci.subspace = qv.subspace
+         AND ci.dim = qv.dim
+  JOIN rcb r ON r.subspace = qv.subspace AND r.dim = qv.dim
+  GROUP BY p.q_id, p.cell, r.subspace, r.rcell
+),
+scored AS (
+  SELECT p.q_id, a.vec_id, sum(ql.d) AS adc_dist
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell
+  JOIN rcodes cd ON cd.vec_id = a.vec_id
+  JOIN qlut ql ON ql.q_id = p.q_id AND ql.pcell = p.cell
+             AND ql.subspace = cd.subspace AND ql.code = cd.code
+  WHERE a.vec_id <> p.q_id
+  GROUP BY p.q_id, a.vec_id
+)
+SELECT q_id, vec_id, cast(adc_dist AS bigint) AS adc_dist,
+       cast(rank AS int) AS rank
+FROM (
+  SELECT q_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact heavy-hitter vocabulary head via per-partition threshold-sketch
 # pruning (operators/text.heavy_hitter_words): candidates ≤ T per
@@ -3982,6 +4115,9 @@ def ann_index_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = [
         ("first_n", _ann_index_shared(spark, sf_dir)),
         ("kmeans_refined", _ann_index_refined_shared(spark, sf_dir)),
+        # round 11: the residual-encoded artifact — same reader, the
+        # per-(query, cell) LUT dispatches off the manifest flag
+        ("residual_pq", _ann_index_residual_shared(spark, sf_dir)),
     ]
     cands = None
     for name, d in variants:
@@ -4961,6 +5097,10 @@ QUERIES = {
         _ANN_2LEVEL_REFINED_SQL,
     ),
     "ann_index_2level_recall": (ann_index_2level_recall, None),
+    "ann_index_ivfpq_residual_topk": (
+        ann_index_ivfpq_residual_topk,
+        _ANN_IVFPQ_RES_SQL,
+    ),
     "ann_index_stats": (ann_index_stats, None),
     "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_SQL),
     "embedding_pagerank": (embedding_pagerank, _PAGERANK_SQL),

@@ -776,6 +776,40 @@ def test_2level_distributed_build_matches_driver_build(spark, index2_dir, tmp_pa
     assert ra == rb and ra
 
 
+def test_residual_index_semantics_and_lifecycle(spark, tmp_path):
+    """The residual-PQ artifact (FAISS IndexIVFPQ composition): codes
+    are argmin over the residual codebook; the per-(query, probed cell)
+    LUT scores them. Contract pins: (a) the rerank semantics anchor
+    holds — shortlist >= population equals IVF-Flat exactly (the ADC
+    stage only ever trims); (b) append == one-shot build over the union
+    corpus (immutable quantizers, comparable codes); (c) the residual
+    ADC ranking is NOT the raw-PQ ranking (the encoding genuinely
+    changes the approximation, not just the labels)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    d = str(tmp_path / "res_idx")
+    AI.build_ann_index(spark, emb, d, residual=True)
+    assert M.read_meta(d, AI._RESIDUAL_KEY) is True
+    qs = _queries(spark)
+
+    full = _rows(AI.ann_index_ivfpq_rerank_topk(spark, d, qs, K, 10**9))
+    flat = _rows(AI.ann_index_ivf_topk(spark, d, qs, K))
+    assert full == flat and len(full) == len(QUERY_IDS) * K
+
+    d2 = str(tmp_path / "res_idx_upsert")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < n // 2), d2,
+                       residual=True)
+    AI.append_to_ann_index(spark, emb.filter(F.col("vec_id") >= n // 2), d2)
+    got = _rows(AI.ann_index_ivfpq_topk(spark, d2, qs, K))
+    want = _rows(AI.ann_index_ivfpq_topk(spark, d, qs, K))
+    assert got == want and got
+
+    d3 = str(tmp_path / "raw_idx")
+    AI.build_ann_index(spark, emb, d3)
+    raw = _rows(AI.ann_index_ivfpq_topk(spark, d3, qs, K))
+    assert raw != want  # residual ADC is a different approximation
+
+
 def test_2level_refined_builds_match_and_hold_invariants(spark, tmp_path):
     """refine_iters=1 trains BOTH quantizer levels with Lloyd's k-means
     (coarse globally, fine per group — _refined_quantizers_2level). The
