@@ -223,6 +223,7 @@ def build_ann_index(
     n_planes: int = S.N_PLANES,
     refine_iters: int = 0,
     residual: bool = False,
+    train_fraction: float | None = None,
 ) -> None:
     """Encode the corpus once and land every staging table on disk.
 
@@ -257,9 +258,38 @@ def build_ann_index(
     if n_centroids is None:  # auto: sqrt-of-corpus rule (one count job)
         n_centroids = auto_n_centroids(emb.count())
     if refine_iters > 0:
-        cents = S.kmeans_centroids(emb, n_centroids, refine_iters + 1).select(
-            F.col("cell").cast("int").alias("cell"),
-            F.col("c_emb").cast("array<float>").alias("c_emb"),
+        # mini-batch k-means past fixture scale: train the quantizer on
+        # a deterministic hash sample (plus the init prefix) — the
+        # full-corpus assignment round is corpus x k rows through a
+        # per-vector window, the same wall the 2-level refinement's
+        # train_fraction documents
+        train = emb
+        if train_fraction is not None:
+            train = emb.filter(
+                (
+                    F.pmod(F.abs(F.hash("vec_id")), F.lit(10_000))
+                    < F.lit(int(train_fraction * 10_000))
+                )
+                | (F.col("vec_id") < n_centroids)
+            )
+        from pyspark.sql import Window
+
+        # kmeans drops cells that lose every member (clustered corpora
+        # with a biased init), leaving non-contiguous init-id labels —
+        # relabel 0..n-1 (stable by original id). Readers never care:
+        # they derive probes from the STORED table, and cell ids are
+        # opaque to every downstream consumer.
+        cents = (
+            S.kmeans_centroids(train, n_centroids, refine_iters + 1)
+            .withColumn(
+                "cell",
+                (
+                    F.row_number().over(Window.orderBy("cell")) - 1
+                ).cast("int"),
+            )
+            .select(
+                "cell", F.col("c_emb").cast("array<float>").alias("c_emb")
+            )
         )
     else:
         cents = emb.filter(F.col("vec_id") < n_centroids).select(
