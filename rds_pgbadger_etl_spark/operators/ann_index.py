@@ -1125,6 +1125,75 @@ def _refined_quantizers_2level(
     return live, g_mat, fine_df
 
 
+def _pq_encode_residual_cells_udf(
+    rcb: np.ndarray, cell_ids: np.ndarray, icents: np.ndarray
+):
+    """Residual-PQ encoder for the TWO-LEVEL layout: the residual is
+    taken against the row's FINE centroid, looked up by cell id
+    (``cell_ids`` sorted ascending, ``icents`` the matching integer
+    component rows). Same HALF_UP / first-minimum conventions as every
+    other encoder."""
+    m, _k, sub = rcb.shape
+    ids = np.asarray(cell_ids, dtype="int64")
+    assert list(ids) == sorted(ids)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(emb: pd.Series, cell: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        pos = np.searchsorted(ids, cell.to_numpy().astype("int64"))
+        ir = S._half_up(x * S.PQ_INT_SCALE) - icents[pos]
+        out = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            qs = ir[:, s * sub : (s + 1) * sub]
+            d = ((qs[:, None, :] - rcb[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return encode
+
+
+def _write_residual_codebook(
+    spark: SparkSession, index_dir: str, rcb: np.ndarray
+) -> None:
+    """Land a residual codebook in the standard codebook schema
+    (positional cells 0..k-1 — coincides with the init vec_ids on a
+    dense prefix, which is what the SQL twins assume)."""
+    m, k, sub = rcb.shape
+    rows = [
+        (s, d, c, int(rcb[s, c, d]))
+        for s in range(m)
+        for c in range(k)
+        for d in range(sub)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, dim int, cell int, ic long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        M.table_path(index_dir, "codebook")
+    )
+
+
+def _residual_codebook_from_rows(
+    head_rows, icent_by_cell: dict[int, np.ndarray]
+) -> np.ndarray:
+    """rcb[m][k][sub] from the first-PQ_K assigned rows (vec_id,
+    embedding, cell) and a cell -> integer-centroid map — the
+    deterministic-sample convention on RESIDUALS."""
+    head = sorted(head_rows, key=lambda r: r.vec_id)
+    rcb = np.zeros((S.PQ_M, len(head), S.PQ_SUB), dtype=np.int64)
+    for k, r in enumerate(head):
+        ir = (
+            S._half_up(
+                np.asarray(r.embedding, dtype=np.float64) * S.PQ_INT_SCALE
+            )
+            - icent_by_cell[int(r.cell)]
+        )
+        for s in range(S.PQ_M):
+            rcb[s, k] = ir[s * S.PQ_SUB : (s + 1) * S.PQ_SUB]
+    return rcb
+
+
 def _write_coarse_refined(
     spark: SparkSession, index_dir: str, live: list[int], g_mat: np.ndarray
 ) -> None:
@@ -1152,6 +1221,7 @@ def build_ann_index_2level(
     n_cells: int | None = N_CELLS_2L,
     refine_iters: int = 0,
     train_fraction: float | None = None,
+    residual: bool = False,
 ) -> None:
     """Build the sharded-quantizer index: coarse groups over fine cells.
 
@@ -1179,6 +1249,7 @@ def build_ann_index_2level(
     _COARSE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
     _stamp_layout(index_dir)
+    M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(
@@ -1229,7 +1300,15 @@ def build_ann_index_2level(
             .join(F.broadcast(gmap_df), "cell")
             .select("vec_id", "embedding", "group", "cell")
         )
-        _land_2level_corpus(spark, index_dir, emb, assigned)
+        res_cells = None
+        if residual:
+            res_cells = (
+                np.array([int(r.cell) for r in fine_rows], dtype="int64"),
+                _int_centroids(
+                    np.array([r.c_emb for r in fine_rows], dtype=np.float64)
+                ),
+            )
+        _land_2level_corpus(spark, index_dir, emb, assigned, res_cells)
         return
 
     cent_rows = (
@@ -1299,11 +1378,20 @@ def build_ann_index_2level(
         .join(F.broadcast(gmap_df), "cell")
         .select("vec_id", "embedding", "group", "cell")
     )
-    _land_2level_corpus(spark, index_dir, emb, assigned)
+    res_cells = (
+        (np.arange(n_cells, dtype="int64"), _int_centroids(c_mat))
+        if residual
+        else None
+    )
+    _land_2level_corpus(spark, index_dir, emb, assigned, res_cells)
 
 
 def _land_2level_corpus(
-    spark: SparkSession, index_dir: str, emb: DataFrame, assigned: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    assigned: DataFrame,
+    residual_cells: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> None:
     """Land the corpus-scale tables shared by the driver-side and
     distributed 2-level builds: the PQ ``codebook/`` (single-level
@@ -1311,23 +1399,45 @@ def _land_2level_corpus(
     domain, so ``_load_codebook`` and the flattened ADC LUT work on a
     2-level dir with zero changes), then ``raw/`` and packed
     ``vectors/`` from ONE persisted pass over ``assigned``
-    (vec_id, embedding, group, cell)."""
-    codebook = (
-        S.pq_long_form(emb)
-        .filter(F.col("vec_id") < S.PQ_K)
-        .select(
-            "subspace",
-            "dim",
-            F.col("vec_id").cast("int").alias("cell"),
-            F.col("iv").alias("ic"),
-        )
-    )
-    codebook.coalesce(1).write.mode("overwrite").parquet(
-        M.table_path(index_dir, "codebook")
-    )
+    (vec_id, embedding, group, cell).
 
+    ``residual_cells`` = (sorted fine cell ids, their integer centroid
+    rows) switches the PQ arm to RESIDUAL encoding against each row's
+    fine centroid (the 2-level FAISS IndexIVFPQ composition): the
+    codebook becomes the first PQ_K vectors' residuals and the encoder
+    looks its centroid up by cell. Requires the fine quantizer
+    collectible — the driver builds' contract; the distributed build
+    encodes inside its cogroup instead."""
     assigned = assigned.persist()
     try:
+        if residual_cells is not None:
+            cell_ids, icents = residual_cells
+            icent_by_cell = {
+                int(c): icents[i] for i, c in enumerate(cell_ids)
+            }
+            head = assigned.filter(F.col("vec_id") < S.PQ_K).collect()
+            rcb = _residual_codebook_from_rows(head, icent_by_cell)
+            _write_residual_codebook(spark, index_dir, rcb)
+            encode = _pq_encode_residual_cells_udf(
+                _load_codebook(spark, index_dir), cell_ids, icents
+            )(F.col("embedding"), F.col("cell"))
+        else:
+            codebook = (
+                S.pq_long_form(emb)
+                .filter(F.col("vec_id") < S.PQ_K)
+                .select(
+                    "subspace",
+                    "dim",
+                    F.col("vec_id").cast("int").alias("cell"),
+                    F.col("iv").alias("ic"),
+                )
+            )
+            codebook.coalesce(1).write.mode("overwrite").parquet(
+                M.table_path(index_dir, "codebook")
+            )
+            encode = S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                F.col("embedding")
+            )
         (
             assigned.repartition("group", "cell")
             .write.mode("overwrite")
@@ -1340,14 +1450,7 @@ def _land_2level_corpus(
         # against the assignment; fused, the only exchange is the
         # partitionBy write itself
         (
-            assigned.select(
-                "vec_id",
-                "group",
-                "cell",
-                S.pq_encode_udf(_load_codebook(spark, index_dir))(
-                    F.col("embedding")
-                ).alias("codes"),
-            )
+            assigned.select("vec_id", "group", "cell", encode.alias("codes"))
             .repartition("group", "cell")
             .write.mode("overwrite")
             .partitionBy("group", "cell")
@@ -1404,16 +1507,23 @@ def append_to_ann_index_2level(
         )
         # PQ-encode against the STORED codebook (immutable-quantizer
         # invariant: old and new codes stay comparable under one LUT),
-        # fused onto the assigned rows — map-only, packed, no join
-        (
-            assigned.select(
-                "vec_id",
-                "group",
-                "cell",
-                S.pq_encode_udf(_load_codebook(spark, index_dir))(
-                    F.col("embedding")
-                ).alias("codes"),
+        # fused onto the assigned rows — map-only, packed, no join.
+        # Residual indexes dispatch the fine-centroid residual encoder
+        # from the same collected fine table the assignment used.
+        if M.read_meta(index_dir, _RESIDUAL_KEY, False):
+            enc = _pq_encode_residual_cells_udf(
+                _load_codebook(spark, index_dir),
+                np.array([int(r.cell) for r in fine], dtype="int64"),
+                _int_centroids(
+                    np.array([r.c_emb for r in fine], dtype=np.float64)
+                ),
+            )(F.col("embedding"), F.col("cell"))
+        else:
+            enc = S.pq_encode_udf(_load_codebook(spark, index_dir))(
+                F.col("embedding")
             )
+        (
+            assigned.select("vec_id", "group", "cell", enc.alias("codes"))
             .repartition("group", "cell")
             .write.mode("append")
             .partitionBy("group", "cell")
@@ -1530,6 +1640,53 @@ def ann_index_2level_topk(
     )
 
 
+def _adc_lut_flat_residual_2level(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    probes: list[tuple[int, int, int]],
+) -> DataFrame:
+    """(q_id, group, cell, d_flat) — the residual LUT for the 2-level
+    PQ arm: each probed (query, group, cell) triple scores the query's
+    residual AGAINST THAT FINE CENTROID over the residual codebook.
+    The fine components come from a partition-pruned ``fine/`` read of
+    just the probed groups (the probe pass reads the same shards)."""
+    ic = _load_codebook(spark, index_dir)
+    n_sub, n_cells, sub_dim = ic.shape
+    probed_groups = sorted({g for _, g, _ in probes})
+    probed_cells = {c for _, _, c in probes}
+    fine = (
+        spark.read.parquet(M.table_path(index_dir, "fine"))
+        .where(F.col("group").isin(probed_groups))
+        .collect()
+    )
+    icent_by_cell = {
+        int(r.cell): _int_centroids(
+            np.asarray(r.c_emb, dtype=np.float64)[None, :]
+        )[0]
+        for r in fine
+        if int(r.cell) in probed_cells
+    }
+    qvec = {q_id: vec for q_id, vec in queries}
+    rows = []
+    for q_id, g, cell in probes:
+        iq = (
+            S._half_up(
+                np.asarray(qvec[q_id], dtype=np.float64) * S.PQ_INT_SCALE
+            )
+            - icent_by_cell[cell]
+        )
+        flat: list[int] = []
+        for s in range(n_sub):
+            qs = iq[s * sub_dim : (s + 1) * sub_dim]
+            d = ((ic[s] - qs) ** 2).sum(axis=1)
+            flat.extend(int(d[c]) for c in range(n_cells))
+        rows.append((int(q_id), int(g), int(cell), flat))
+    return spark.createDataFrame(
+        rows, "q_id long, group long, cell long, d_flat array<long>"
+    )
+
+
 def ann_index_2level_ivfpq_topk(
     spark: SparkSession,
     index_dir: str,
@@ -1553,7 +1710,12 @@ def ann_index_2level_ivfpq_topk(
         spark, index_dir, queries, n_probe_groups, n_probe
     )
     probes_df = spark.createDataFrame(probes, "q_id long, group long, cell long")
-    lut_df = _adc_lut_flat(spark, index_dir, queries)
+    residual = M.read_meta(index_dir, _RESIDUAL_KEY, False)
+    lut_df = (
+        _adc_lut_flat_residual_2level(spark, index_dir, queries, probes)
+        if residual
+        else _adc_lut_flat(spark, index_dir, queries)
+    )
 
     vectors = _live(
         spark,
@@ -1566,7 +1728,10 @@ def ann_index_2level_ivfpq_topk(
     scored = (
         vectors.join(F.broadcast(probes_df), ["group", "cell"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(lut_df), "q_id")
+        .join(
+            F.broadcast(lut_df),
+            ["q_id", "group", "cell"] if residual else ["q_id"],
+        )
         .select("q_id", "vec_id", _adc_dist_col(
             _load_codebook(spark, index_dir).shape[1]
         ).alias("adc_dist"))
@@ -1671,7 +1836,12 @@ def ann_index_2level_ivfpq_rerank_topk(
         spark, index_dir, queries, n_probe_groups, n_probe
     )
     probes_df = spark.createDataFrame(probes, "q_id long, group long, cell long")
-    lut_df = _adc_lut_flat(spark, index_dir, queries)
+    residual = M.read_meta(index_dir, _RESIDUAL_KEY, False)
+    lut_df = (
+        _adc_lut_flat_residual_2level(spark, index_dir, queries, probes)
+        if residual
+        else _adc_lut_flat(spark, index_dir, queries)
+    )
     g_pred = F.col("group").isin(sorted({g for _, g, _ in probes}))
     c_pred = F.col("cell").isin(sorted({c for _, _, c in probes}))
 
@@ -1685,7 +1855,10 @@ def ann_index_2level_ivfpq_rerank_topk(
     scored = (
         vectors.join(F.broadcast(probes_df), ["group", "cell"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(lut_df), "q_id")
+        .join(
+            F.broadcast(lut_df),
+            ["q_id", "group", "cell"] if residual else ["q_id"],
+        )
         .select("q_id", "vec_id", _adc_dist_col(
             _load_codebook(spark, index_dir).shape[1]
         ).alias("adc_dist"))
@@ -1758,6 +1931,55 @@ def _nearest_group_udf(g_ids: np.ndarray, g_mat: np.ndarray):
 
 
 _ASSIGNED_SCHEMA = "vec_id long, group long, cell long"
+_ASSIGNED_CODES_SCHEMA = (
+    "vec_id long, group long, cell long, codes array<int>"
+)
+
+
+def _assign_encode_in_group(rcb: np.ndarray):
+    """Cogroup kernel factory for the distributed RESIDUAL build: one
+    group's corpus rows x its fine shard — the same rounded-cosine
+    argmax as _assign_cells_in_group, PLUS the residual-PQ encode
+    against the selected cell's centroid (whose components the shard
+    carries — the fine quantizer never leaves the executors). Returns
+    (vec_id, group, cell, codes)."""
+    m, _k, sub = rcb.shape
+
+    def kern(key, left: pd.DataFrame, right: pd.DataFrame):
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "group": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int64"),
+                    "codes": pd.Series(dtype=object),
+                }
+            )
+        order = np.argsort(right["cell"].to_numpy(), kind="stable")
+        cells = right["cell"].to_numpy()[order]
+        c = np.vstack(right["c_emb"].to_numpy()[order]).astype(np.float64)
+        x = np.vstack(left["embedding"].to_numpy()).astype(np.float64)
+        xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+        cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+        sims = np.round((x @ c.T) / (xn[:, None] * cn[None, :]), 6)
+        sel = np.argmax(sims, axis=1)
+        icent = S._half_up(c * S.PQ_INT_SCALE)
+        ir = S._half_up(x * S.PQ_INT_SCALE) - icent[sel]
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            qs = ir[:, s * sub : (s + 1) * sub]
+            d = ((qs[:, None, :] - rcb[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": left["vec_id"].to_numpy(),
+                "group": np.full(len(left), int(key[0]), dtype="int64"),
+                "cell": cells[sel],
+                "codes": [row.tolist() for row in codes],
+            }
+        )
+
+    return kern
 
 
 def _assign_cells_in_group(key, left: pd.DataFrame, right: pd.DataFrame):
@@ -1802,6 +2024,7 @@ def build_ann_index_2level_distributed(
     n_cells: int | None = N_CELLS_2L,
     refine_iters: int = 0,
     train_fraction: float | None = None,
+    residual: bool = False,
 ) -> None:
     """:func:`build_ann_index_2level` with the fine quantizer kept
     distributed (module comment above) — artifacts are search-identical
@@ -1823,6 +2046,7 @@ def build_ann_index_2level_distributed(
     _COARSE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
     _stamp_layout(index_dir)
+    M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(
@@ -1849,6 +2073,7 @@ def build_ann_index_2level_distributed(
             index_dir,
             owning,
             g_mat[np.array([trained.index(g) for g in owning])],
+            residual,
         )
         return
 
@@ -1908,7 +2133,7 @@ def build_ann_index_2level_distributed(
         )
         fine.unpersist()
         _assign_and_land_2level_distributed(
-            spark, emb, index_dir, live, g_mat_all[np.array(live)]
+            spark, emb, index_dir, live, g_mat_all[np.array(live)], residual
         )
     finally:
         pool.unpersist()
@@ -1920,6 +2145,7 @@ def _assign_and_land_2level_distributed(
     index_dir: str,
     live: list[int],
     g_live_mat: np.ndarray,
+    residual: bool = False,
 ) -> None:
     """The distributed builds' shared corpus-assignment tail: nearest
     LIVE group map-side (tiny broadcast), nearest cell WITHIN the group
@@ -1948,6 +2174,73 @@ def _assign_and_land_2level_distributed(
         F.col("cell").cast("long").alias("cell"),
         "c_emb",
     )
+    if residual:
+        # the residual arm, fully distributed: the codebook derives
+        # from the PQ_K prefix pushed through the SAME two-stage
+        # assignment (metadata-sized collects only), then ONE cogroup
+        # assigns AND residual-encodes every row — each group's fine
+        # shard supplies the centroid components in-kernel, so the
+        # quantizer still never leaves the executors.
+        from collections import namedtuple
+
+        prefix = emb.filter(F.col("vec_id") < S.PQ_K)
+        pref_group = prefix.select(
+            "vec_id",
+            "embedding",
+            nearest_live(F.col("embedding")).alias("group"),
+        )
+        pref_ids = (
+            pref_group.groupBy("group")
+            .cogroup(fine_shards.groupBy("group"))
+            .applyInPandas(_assign_cells_in_group, _ASSIGNED_SCHEMA)
+            .collect()
+        )
+        pref_emb = {
+            int(r.vec_id): list(r.embedding) for r in prefix.collect()
+        }
+        probed = sorted({int(r.group) for r in pref_ids})
+        frows = fine_shards.where(F.col("group").isin(probed)).collect()
+        icent_by_cell = {
+            int(r.cell): _int_centroids(
+                np.asarray(r.c_emb, dtype=np.float64)[None, :]
+            )[0]
+            for r in frows
+        }
+        Head = namedtuple("Head", "vec_id embedding cell")
+        head = [
+            Head(int(r.vec_id), pref_emb[int(r.vec_id)], int(r.cell))
+            for r in pref_ids
+        ]
+        rcb = _residual_codebook_from_rows(head, icent_by_cell)
+        _write_residual_codebook(spark, index_dir, rcb)
+        assigned_codes = (
+            with_group.groupBy("group")
+            .cogroup(fine_shards.groupBy("group"))
+            .applyInPandas(
+                _assign_encode_in_group(rcb), _ASSIGNED_CODES_SCHEMA
+            )
+            .persist()
+        )
+        try:
+            (
+                assigned_codes.repartition("group", "cell")
+                .write.mode("overwrite")
+                .partitionBy("group", "cell")
+                .parquet(M.table_path(index_dir, "vectors"))
+            )
+            (
+                assigned_codes.select("vec_id", "group", "cell")
+                .join(emb.select("vec_id", "embedding"), "vec_id")
+                .select("vec_id", "embedding", "group", "cell")
+                .repartition("group", "cell")
+                .write.mode("overwrite")
+                .partitionBy("group", "cell")
+                .parquet(M.table_path(index_dir, "raw"))
+            )
+        finally:
+            assigned_codes.unpersist()
+        return
+
     assigned_ids = (
         with_group.groupBy("group")
         .cogroup(fine_shards.groupBy("group"))

@@ -4668,6 +4668,166 @@ SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
 _ANN_2LEVEL_REFINED_SQL = _ann_2level_refined_sql()
 
 
+def _ann_index_2level_residual_shared(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Two-level index whose PQ arm is RESIDUAL-encoded against each
+    vector's FINE centroid — the billion-vector arm with the FAISS
+    IndexIVFPQ encoding (operators/ann_index._land_2level_corpus
+    residual_cells)."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        build_ann_index_2level,
+    )
+
+    key = sf_dir + "#2level-residual"
+    d = _ANN_INDEX_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_index_2l_res_")
+        build_ann_index_2level(
+            spark,
+            rebalance(load_table(spark, sf_dir, "embeddings")),
+            d,
+            residual=True,
+        )
+        _ANN_INDEX_DIRS[key] = d
+    return d
+
+
+def ann_index_2level_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X3: the two-level PQ arm with RESIDUAL encoding — codes are
+    argmin over the residual codebook of ir = iv(x) - iv(fine_centroid
+    (x)), and the query-side LUT is per (query, probed group, cell).
+    Oracle = the composed two-level assignment CTEs + the residual
+    integer math, end to end."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_ivfpq_topk(
+        spark,
+        _ann_index_2level_residual_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+def _ann_2level_residual_sql() -> str:
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {AI.N_CELLS_2L}),
+g AS (SELECT vec_id AS grp, emb AS g_emb FROM e WHERE vec_id < {AI.N_GROUPS_2L}),
+gmap AS (
+  SELECT cell, grp, c_emb FROM (
+    SELECT c.cell, g.grp, c.c_emb,
+           row_number() OVER (PARTITION BY c.cell
+                              ORDER BY {_cos_sql('c.c_emb', 'g.g_emb')} DESC, g.grp)
+             AS rn
+    FROM c, g) WHERE rn = 1
+),
+gl AS (SELECT g.grp, g.g_emb FROM g
+       WHERE g.grp IN (SELECT DISTINCT grp FROM gmap)),
+asgng AS (
+  SELECT vec_id, emb, grp FROM (
+    SELECT e.vec_id, e.emb, gl.grp,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'gl.g_emb')} DESC, gl.grp)
+             AS rn
+    FROM e, gl) WHERE rn = 1
+),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, m.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_cos_sql('a.emb', 'm.c_emb')} DESC, m.cell)
+             AS rn
+    FROM asgng a JOIN gmap m ON m.grp = a.grp) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+qg AS (
+  SELECT q_id, grp FROM (
+    SELECT q.q_id, gl.grp,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'gl.g_emb')} DESC, gl.grp)
+             AS rn
+    FROM q, gl) WHERE rn <= {AI.N_PROBE_GROUPS}
+),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, m.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'm.c_emb')} DESC, m.cell)
+             AS rn
+    FROM q JOIN qg ON qg.q_id = q.q_id
+           JOIN gmap m ON m.grp = qg.grp) WHERE rn <= {S.N_PROBE}
+),
+lf AS ({_PQ_LF_SQL}),
+fci AS (SELECT vec_id AS cell, subspace, dim, iv FROM lf
+        WHERE vec_id < {AI.N_CELLS_2L}),
+rlf AS (
+  SELECT v.vec_id, v.subspace, v.dim, v.iv - fci.iv AS iv
+  FROM lf v
+  JOIN asgn a ON a.vec_id = v.vec_id
+  JOIN fci ON fci.cell = a.cell AND fci.subspace = v.subspace
+          AND fci.dim = v.dim
+),
+rcb AS (SELECT vec_id AS rcell, subspace, dim, iv AS ic FROM rlf
+        WHERE vec_id < {S.PQ_K}),
+rdist AS (
+  SELECT v.vec_id, v.subspace, b.rcell,
+         sum((v.iv - b.ic) * (v.iv - b.ic)) AS sq
+  FROM rlf v
+  JOIN rcb b ON b.subspace = v.subspace AND b.dim = v.dim
+  GROUP BY v.vec_id, v.subspace, b.rcell
+),
+rcodes AS (
+  SELECT vec_id, subspace, rcell AS code FROM (
+    SELECT vec_id, subspace, rcell, sq,
+           row_number() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY sq, rcell) AS rn
+    FROM rdist) WHERE rn = 1
+),
+qlut AS (
+  SELECT p.q_id, p.cell AS pcell, r.subspace, r.rcell AS code,
+         sum((qv.iv - fci.iv - r.ic) * (qv.iv - fci.iv - r.ic)) AS d
+  FROM probes p
+  JOIN lf qv ON qv.vec_id = p.q_id
+  JOIN fci ON fci.cell = p.cell AND fci.subspace = qv.subspace
+          AND fci.dim = qv.dim
+  JOIN rcb r ON r.subspace = qv.subspace AND r.dim = qv.dim
+  GROUP BY p.q_id, p.cell, r.subspace, r.rcell
+),
+scored AS (
+  SELECT p.q_id, a.vec_id, sum(ql.d) AS adc_dist
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell
+  JOIN rcodes cd ON cd.vec_id = a.vec_id
+  JOIN qlut ql ON ql.q_id = p.q_id AND ql.pcell = p.cell
+             AND ql.subspace = cd.subspace AND ql.code = cd.code
+  WHERE a.vec_id <> p.q_id
+  GROUP BY p.q_id, a.vec_id
+)
+SELECT q_id, vec_id, cast(adc_dist AS bigint) AS adc_dist,
+       cast(rank AS int) AS rank
+FROM (
+  SELECT q_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {_TOPK}
+"""
+
+
+_ANN_2LEVEL_RESIDUAL_SQL = _ann_2level_residual_sql()
+
+
 _2L_RECALL_K = 10
 
 
@@ -5100,6 +5260,10 @@ QUERIES = {
     "ann_index_ivfpq_residual_topk": (
         ann_index_ivfpq_residual_topk,
         _ANN_IVFPQ_RES_SQL,
+    ),
+    "ann_index_2level_residual_topk": (
+        ann_index_2level_residual_topk,
+        _ANN_2LEVEL_RESIDUAL_SQL,
     ),
     "ann_index_stats": (ann_index_stats, None),
     "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_SQL),

@@ -810,6 +810,59 @@ def test_residual_index_semantics_and_lifecycle(spark, tmp_path):
     assert raw != want  # residual ADC is a different approximation
 
 
+def test_2level_residual_builds_match_and_hold_semantics(spark, tmp_path):
+    """Residual PQ on the TWO-LEVEL layout: the driver build (fine
+    collectible → cell-keyed residual encoder) and the distributed
+    build (codebook from the PQ_K prefix through the same two-stage
+    assignment, then ONE cogroup that assigns AND encodes with the
+    group's own shard — the fine quantizer never leaves the executors)
+    must land search-identical artifacts; the rerank anchor holds
+    (shortlist >= population == IVF-Flat exactly); append joins the
+    residual store with comparable codes (== one-shot build)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    d1 = str(tmp_path / "res2l_drv")
+    d2 = str(tmp_path / "res2l_dist")
+    AI.build_ann_index_2level(spark, emb, d1, residual=True)
+    AI.build_ann_index_2level_distributed(spark, emb, d2, residual=True)
+    assert M.read_meta(d1, AI._RESIDUAL_KEY) is True
+    qs = _queries(spark)
+    for reader in (
+        AI.ann_index_2level_ivfpq_topk,
+        AI.ann_index_2level_ivfpq_rerank_topk,
+    ):
+        r1 = _rows(reader(spark, d1, qs, K))
+        r2 = _rows(reader(spark, d2, qs, K))
+        assert r1 == r2 and r1, reader.__name__
+    # codes identical between the two builds (not just search results)
+    va = {
+        (r.vec_id, tuple(r.codes))
+        for r in spark.read.parquet(M.table_path(d1, "vectors")).collect()
+    }
+    vb = {
+        (r.vec_id, tuple(r.codes))
+        for r in spark.read.parquet(M.table_path(d2, "vectors")).collect()
+    }
+    assert va == vb and len(va) == n
+    # rerank semantics anchor on the residual artifact
+    full = _rows(
+        AI.ann_index_2level_ivfpq_rerank_topk(spark, d1, qs, K, 10**9)
+    )
+    flat = _rows(AI.ann_index_2level_topk(spark, d1, qs, K))
+    assert full == flat and len(full) == len(QUERY_IDS) * K
+    # append == one-shot build over the union corpus
+    d3 = str(tmp_path / "res2l_upsert")
+    AI.build_ann_index_2level(
+        spark, emb.filter(F.col("vec_id") < n // 2), d3, residual=True
+    )
+    AI.append_to_ann_index_2level(
+        spark, emb.filter(F.col("vec_id") >= n // 2), d3
+    )
+    got = _rows(AI.ann_index_2level_ivfpq_topk(spark, d3, qs, K))
+    want = _rows(AI.ann_index_2level_ivfpq_topk(spark, d1, qs, K))
+    assert got == want and got
+
+
 def test_2level_refined_builds_match_and_hold_invariants(spark, tmp_path):
     """refine_iters=1 trains BOTH quantizer levels with Lloyd's k-means
     (coarse globally, fine per group — _refined_quantizers_2level). The
