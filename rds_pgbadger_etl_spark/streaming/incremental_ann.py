@@ -305,6 +305,7 @@ def run_incremental_ann_2level(
     threshold: float | None = None,
     n_groups: int | None = AI.N_GROUPS_2L,
     n_cells: int | None = AI.N_CELLS_2L,
+    residual: bool = False,
 ) -> None:
     """:func:`run_incremental_ann` for the two-level (sharded-quantizer)
     layout — the exactly-once ingestion path past the 4096-cell cap:
@@ -315,7 +316,11 @@ def run_incremental_ann_2level(
     admit the batch (``append_to_ann_index_2level`` — composed
     assignment + PQ encode against the STORED quantizers, appended into
     the (group, cell) partitions, nothing rewritten). First batch
-    bootstraps with ``build_ann_index_2level`` and emits no flags.
+    bootstraps with ``build_ann_index_2level`` and emits no flags;
+    ``residual`` selects the residual-PQ arm for that bootstrap — a
+    store that already exists keeps whatever encoding it was built
+    with (appends dispatch off the stored manifest flag), so streaming
+    into a pre-built residual store needs no flag here at all.
 
     ``n_groups``/``n_cells`` size the bootstrap build only (quantizers
     are immutable afterwards); as with the single-level driver, a stream
@@ -338,7 +343,12 @@ def run_incremental_ann_2level(
                 "batch_id", F.lit(batch_id)
             ).write.mode("append").parquet(flags_out_dir)
             AI.build_ann_index_2level(
-                spark, batch, index_dir, n_groups=n_groups, n_cells=n_cells
+                spark,
+                batch,
+                index_dir,
+                n_groups=n_groups,
+                n_cells=n_cells,
+                residual=residual,
             )
 
     q = (

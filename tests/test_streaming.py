@@ -690,3 +690,62 @@ def test_exact_store_legacy_root_layout_migrates(spark, tmp_path):
     _exact_store_append(mk([(0, h(7777))]).select("h"), d)
     post = sorted(r.doc_id for r in _exact_store_lookup(probe, d).collect())
     assert post == sorted(found + [999])
+
+
+def test_incremental_ann_2level_residual_stream(spark, tmp_path):
+    """Streaming ingestion with the RESIDUAL two-level store: the first
+    batch bootstraps build_ann_index_2level(residual=True); later
+    batches append, dispatching the residual encoder off the STORED
+    manifest flag. The stream-built artifact's PQ/ADC arm (the arm the
+    encoding changes) must equal the one-shot residual build over the
+    union corpus, and codes must be genuinely residual (differ from a
+    raw-encoded twin)."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+    from rds_pgbadger_etl_spark.plans.llm_ops import _query_vectors
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        run_incremental_ann_2level,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    src, store, ckpt, flags = (
+        str(tmp_path / d) for d in ("src", "store", "ckpt", "flags")
+    )
+    for b in range(3):
+        (
+            emb.filter(
+                (F.col("vec_id") >= b * n // 3)
+                & (F.col("vec_id") < (b + 1) * n // 3)
+            )
+            .write.mode("append")
+            .parquet(src)
+        )
+        run_incremental_ann_2level(
+            spark.readStream.schema(emb.schema).parquet(src),
+            store, ckpt, flags, k=3, residual=True,
+        )
+    assert M.read_meta(store, AI._RESIDUAL_KEY) is True
+
+    twin = str(tmp_path / "twin_res")
+    AI.build_ann_index_2level(spark, emb, twin, residual=True)
+    q = _query_vectors(spark, sf)
+    got = sorted(
+        map(str, AI.ann_index_2level_ivfpq_topk(spark, store, q, 5).collect())
+    )
+    want = sorted(
+        map(str, AI.ann_index_2level_ivfpq_topk(spark, twin, q, 5).collect())
+    )
+    assert got == want and got
+
+    raw_twin = str(tmp_path / "twin_raw")
+    AI.build_ann_index_2level(spark, emb, raw_twin)
+    raw = sorted(
+        map(
+            str,
+            AI.ann_index_2level_ivfpq_topk(spark, raw_twin, q, 5).collect(),
+        )
+    )
+    assert raw != want  # the stream really stored residual codes
