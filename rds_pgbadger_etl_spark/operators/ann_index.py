@@ -253,8 +253,12 @@ def build_ann_index(
     """
     _CENTROIDS.pop(index_dir, None)  # rebuilt index invalidates the
     _CODEBOOKS.pop(index_dir, None)  # in-process quantizer cache
+    _SQ_STATS.pop(index_dir, None)
     _stamp_layout(index_dir)
     M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
+    # a rebuild orphans any derived SQ8 arm (its grid was trained on the
+    # old corpus); drop the flag so readers fail loudly until it's re-added
+    M.write_meta(index_dir, _SQ8_KEY, False)
     if n_centroids is None:  # auto: sqrt-of-corpus rule (one count job)
         n_centroids = auto_n_centroids(emb.count())
     if refine_iters > 0:
@@ -449,6 +453,22 @@ def append_to_ann_index(
             .partitionBy("cell")
             .parquet(M.table_path(index_dir, "raw"))
         )
+        if M.read_meta(index_dir, _SQ8_KEY, False):
+            # SQ8 arm present: encode against the STORED grid (immutable
+            # quantizer, same invariant as the PQ codebook — unclipped
+            # codes keep out-of-range components exact) and append
+            vmin, scale = _read_sq_stats(spark, index_dir)
+            (
+                cells.select(
+                    "vec_id",
+                    "cell",
+                    _sq8_encode_expr(vmin, scale).alias("codes"),
+                )
+                .repartition("cell")
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(M.table_path(index_dir, "sq8"))
+            )
     finally:
         cells.unpersist()
     (
@@ -793,6 +813,193 @@ def ann_index_lsh_topk(
 
 
 # --------------------------------------------------------------------------
+# Scalar-quantized (SQ8) arm — the middle rung of the compression ladder.
+#
+# PQ at PQ_M=4 subspaces is a 2-byte/vector shortlist signal: extreme
+# compression, coarse ranking. The raw/ arm is exact but 256 B/vector at
+# DIM=64 float32. Production ANN services (FAISS's ScalarQuantizer tier)
+# keep a per-DIMENSION uniform int8 quantization between the two:
+# ~1 byte/dim (64 B/vector here — 4x smaller probed IO than raw), with
+# far finer resolution than PQ because every dimension keeps its own
+# 8-bit grid instead of sharing a 4-bit codebook across a 16-dim
+# subspace. The SQ8 arm is DERIVED state: built from the stored raw/
+# partitions by ``add_sq8_to_ann_index`` (so existing indexes upgrade in
+# place), maintained by append/compact like the other partitioned
+# tables, and searched two-stage (integer code-space shortlist + exact
+# cosine rerank) by ``ann_index_sq8_topk``.
+#
+# Quantizer: per-dim (vmin, vmax) over the live corpus, stored in
+# ``sq_stats/`` (64 rows — metadata) and IMMUTABLE once built, the same
+# invariant as the PQ codebook: appended vectors encode against the
+# stored grid, and because codes are NOT clipped to [0, 255] an
+# out-of-range component still round-trips exactly (its code just falls
+# outside the byte range — the int32 parquet column bit-packs it all the
+# same), so append+search stays exact without retraining.
+#
+# Scoring: both query and corpus encode on the same grid, and the
+# shortlist ranks by the exact-integer code-space L2
+# ``sum((q_code_d - code_d)^2)`` — per-dim span-normalized squared
+# distance. Like the ADC LUT distances this is a deterministic integer,
+# so the DuckDB twin (_ANN_SQ8_RERANK_SQL in plans/llm_ops.py)
+# reproduces it bit for bit; the exact rounded-cosine rerank then fixes
+# the final ordering. The encode formula (round((x - vmin) / span *
+# 255), HALF_UP) is the one embedding_quantize's oracle already proves
+# cross-engine-identical.
+
+_SQ8_KEY = "__sq8__"
+_SQ_STATS: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _read_sq_stats(spark: SparkSession, index_dir: str):
+    """(vmin, scale) per dim from the stored ``sq_stats/`` table —
+    metadata-sized, immutable once built, cached per index_dir like the
+    centroid/codebook quantizers."""
+    cached = _SQ_STATS.get(index_dir)
+    if cached is not None:
+        return cached
+    rows = spark.read.parquet(M.table_path(index_dir, "sq_stats")).collect()
+    rows.sort(key=lambda r: r.dim)
+    vmin = np.array([r.vmin for r in rows], dtype=np.float64)
+    vmax = np.array([r.vmax for r in rows], dtype=np.float64)
+    scale = (vmax - vmin) / 255.0
+    _SQ_STATS[index_dir] = (vmin, scale)
+    return vmin, scale
+
+
+def _sq8_encode_expr(vmin: np.ndarray, scale: np.ndarray):
+    """JVM-side SQ8 encoder over the ``embedding`` column — a
+    whole-stage-codegen ``transform`` against constant-folded stat
+    arrays (no Python in the corpus path). Stats ride through a
+    string→double cast so the repr round-trip is bit-exact; a
+    degenerate dimension (vmax == vmin) encodes to 0 by convention."""
+    vm = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vmin)
+    sc = ", ".join(f"CAST('{float(s)!r}' AS DOUBLE)" for s in scale)
+    return F.expr(
+        "transform(embedding, (x, i) -> "
+        f"IF(element_at(array({sc}), i + 1) = 0.0D, 0, "
+        f"CAST(round((CAST(x AS DOUBLE) - element_at(array({vm}), i + 1))"
+        f" / element_at(array({sc}), i + 1)) AS INT)))"
+    )
+
+
+def _sq8_encode_np(vec, vmin: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """Driver-side twin of :func:`_sq8_encode_expr` for query vectors —
+    same grid, same HALF_UP rounding (S._half_up ≡ Spark round)."""
+    x = np.asarray(vec, dtype=np.float64)
+    safe = np.where(scale == 0.0, 1.0, scale)
+    return np.where(
+        scale == 0.0, 0, S._half_up((x - vmin) / safe)
+    ).astype(np.int64)
+
+
+def add_sq8_to_ann_index(spark: SparkSession, index_dir: str) -> None:
+    """Derive the SQ8 arm from the stored ``raw/`` partitions: one
+    64-row min/max aggregate (map-side combined) trains the grid, one
+    map-only encode pass lands ``sq8/`` (vec_id, codes array<int>)
+    partitioned by cell — the same pruning axis as the other corpus
+    tables, so probed reads stay partition-pruned. Idempotent
+    (overwrite); re-run after a rebuild to retrain the grid."""
+    _check_layout(index_dir)
+    _SQ_STATS.pop(index_dir, None)
+    raw = _live(
+        spark, index_dir, spark.read.parquet(M.table_path(index_dir, "raw"))
+    )
+    (
+        raw.select(F.posexplode("embedding").alias("dim", "xf"))
+        .select("dim", F.col("xf").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(M.table_path(index_dir, "sq_stats"))
+    )
+    vmin, scale = _read_sq_stats(spark, index_dir)
+    (
+        raw.select(
+            "vec_id", "cell", _sq8_encode_expr(vmin, scale).alias("codes")
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(M.table_path(index_dir, "sq8"))
+    )
+    M.write_meta(index_dir, _SQ8_KEY, True)
+
+
+def ann_index_sq8_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    shortlist: int | None = None,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """Two-stage SQ8 search: partition-pruned scan of the probed cells'
+    int8 codes (~64 B/vector — 4x less IO than raw), exact-integer
+    code-space L2 against the broadcast query codes, ``shortlist``
+    candidates per query (ties to lower vec_id), then exact cosine ONLY
+    on those rows. Output contract matches ann_index_ivf_topk:
+    (q_id, vec_id, sim, rank)."""
+    if not M.read_meta(index_dir, _SQ8_KEY, False):
+        raise ValueError(
+            f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
+        )
+    shortlist = 4 * k if shortlist is None else shortlist
+    cells, mat = _read_centroids(spark, index_dir)
+    probes = _probe_cells(queries, cells, mat, n_probe)
+    probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
+    vmin, scale = _read_sq_stats(spark, index_dir)
+    qcodes_df = spark.createDataFrame(
+        [
+            (int(q), [int(c) for c in _sq8_encode_np(vec, vmin, scale)])
+            for q, vec in queries
+        ],
+        "q_id long, q_codes array<int>",
+    )
+
+    sq8 = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(M.table_path(index_dir, "sq8")).where(
+            _cell_predicate(probes)
+        ),
+    )
+    scored = (
+        sq8.join(F.broadcast(probes_df), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(qcodes_df), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(q_codes, codes, (a, b) ->"
+                " CAST(a - b AS BIGINT) * CAST(a - b AS BIGINT)),"
+                " 0L, (acc, d) -> acc + d)"
+            ).alias("sq_dist"),
+        )
+    )
+    short = S.topk_per_key(
+        scored, "q_id", [F.col("sq_dist"), F.col("vec_id")], shortlist
+    ).select("q_id", "vec_id")
+
+    raw = spark.read.parquet(M.table_path(index_dir, "raw")).where(
+        _cell_predicate(probes)
+    )
+    reranked = (
+        raw.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(_queries_df(spark, queries)), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    return S.topk_per_key(
+        reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )
+
+
+# --------------------------------------------------------------------------
 # Index maintenance: compaction + layout audit.
 
 # The three partitioned artifact tables and their partition columns.
@@ -810,6 +1017,19 @@ _PARTITIONED_TABLES_2L = {
     "raw": ("group", "cell"),
     "fine": ("group",),
 }
+
+
+def _table_map(index_dir: str) -> dict:
+    """The partitioned-table map for whichever layout (and optional
+    derived arms) live at ``index_dir`` — what compaction and the
+    layout audit iterate. The SQ8 arm joins the single-level map when
+    its manifest flag is set."""
+    if _is_2level(index_dir):
+        return dict(_PARTITIONED_TABLES_2L)
+    tables = dict(_PARTITIONED_TABLES)
+    if M.read_meta(index_dir, _SQ8_KEY, False):
+        tables["sq8"] = "cell"
+    return tables
 
 
 def _is_2level(index_dir: str) -> bool:
@@ -864,7 +1084,7 @@ def compact_ann_index(
     partitioned table of whichever layout is present.
     """
     _check_layout(index_dir)
-    table_map = _PARTITIONED_TABLES_2L if _is_2level(index_dir) else _PARTITIONED_TABLES
+    table_map = _table_map(index_dir)
     return M.compact_index(
         spark, index_dir, table_map, tables or tuple(table_map), "vec_id"
     )
@@ -879,8 +1099,7 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     physical file layout is Spark-side state with no SQL-expressible
     DuckDB twin. Layout-dispatched like :func:`compact_ann_index`."""
     _check_layout(index_dir)
-    table_map = _PARTITIONED_TABLES_2L if _is_2level(index_dir) else _PARTITIONED_TABLES
-    return M.index_stats(spark, index_dir, table_map)
+    return M.index_stats(spark, index_dir, _table_map(index_dir))
 
 
 # --------------------------------------------------------------------------

@@ -3678,6 +3678,24 @@ def _ann_index_shared(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_SQ8_READY: set[str] = set()
+
+
+def _ann_index_sq8_shared(spark: SparkSession, sf_dir: str) -> str:
+    """The shared single-level artifact with its derived SQ8 arm added
+    (once per staged dir — the arm is derived state over raw/, so
+    adding it disturbs no other reader of the shared index)."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        add_sq8_to_ann_index,
+    )
+
+    d = _ann_index_shared(spark, sf_dir)
+    if d not in _SQ8_READY:
+        add_sq8_to_ann_index(spark, d)
+        _SQ8_READY.add(d)
+    return d
+
+
 def _query_vectors(spark: SparkSession, sf_dir: str) -> list:
     """The benchmark query vectors (a bounded ≤|_QUERY_IDS|-row fetch —
     query vectors are an INPUT to index search, not index state)."""
@@ -5084,6 +5102,95 @@ SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
 """
 
 
+def ann_index_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the scalar-quantized (SQ8) two-stage search — the middle
+    rung of the compression ladder (raw 256 B → SQ8 64 B → PQ 2 B per
+    vector): shortlist by exact-integer code-space L2 over the probed
+    cells' int8 codes, exact cosine rerank on the shortlist only.
+    Oracle = the same probe/membership CTEs with the
+    embedding_quantize grid (per-dim min/max over the corpus,
+    round((x - vmin)/span·255)) encoding both sides."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_sq8_topk(
+        spark,
+        _ann_index_sq8_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+    )
+
+
+_ANN_SQ8_RERANK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+member AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN asgn a ON a.cell = p.cell
+  WHERE a.vec_id <> p.q_id
+),
+ex AS (
+  SELECT vec_id, i - 1 AS dim, emb[i] AS x
+  FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
+),
+stats AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM ex GROUP BY dim),
+codes AS (
+  SELECT vec_id, dim,
+         CASE WHEN s.vmax = s.vmin THEN 0
+              ELSE CAST(round((x - s.vmin)
+                              / ((s.vmax - s.vmin) / 255.0)) AS bigint)
+         END AS code
+  FROM ex JOIN stats s USING (dim)
+),
+sqd AS (
+  SELECT m.q_id, m.vec_id,
+         sum((qc.code - cc.code) * (qc.code - cc.code)) AS sq_dist
+  FROM member m
+  JOIN codes cc ON cc.vec_id = m.vec_id
+  JOIN codes qc ON qc.vec_id = m.q_id AND qc.dim = cc.dim
+  GROUP BY m.q_id, m.vec_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sq_dist, vec_id) AS rn
+    FROM sqd) WHERE rn <= {_RERANK_SHORTLIST}
+),
+rerank AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'v.emb')} AS sim
+  FROM short s
+  JOIN e v ON v.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM rerank
+) WHERE rnk <= {_TOPK}
+"""
+
+
 def ann_index_2level_ivfpq_rerank_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5242,6 +5349,7 @@ QUERIES = {
         ann_index_ivfpq_rerank_topk,
         _ANN_IVFPQ_RERANK_SQL,
     ),
+    "ann_index_sq8_topk": (ann_index_sq8_topk, _ANN_SQ8_RERANK_SQL),
     "ann_index_2level_dist_topk": (
         ann_index_2level_dist_topk,
         _ANN_2LEVEL_SQL,

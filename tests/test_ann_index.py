@@ -906,3 +906,133 @@ def test_2level_refined_builds_match_and_hold_invariants(spark, tmp_path):
     # (prefix-vs-refined recall divergence is pinned by the registered
     # ann_index_2level_recall audit; the structural invariants above
     # are this test's contract)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 arm (derived scalar-quantized table: add / search / append /
+# compact / tombstones)
+
+
+@pytest.fixture(scope="module")
+def sq8_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ann_index_sq8"))
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    AI.build_ann_index(spark, emb, d)
+    AI.add_sq8_to_ann_index(spark, d)
+    return d
+
+
+def test_sq8_reader_requires_arm(spark, index_dir):
+    """An index without the derived arm fails loudly, not with a
+    missing-path scan error mid-plan."""
+    with pytest.raises(ValueError, match="SQ8"):
+        AI.ann_index_sq8_topk(spark, index_dir, _queries(spark), K)
+
+
+def test_sq8_rerank_with_full_shortlist_equals_ivf_flat(spark, sq8_dir):
+    """Semantics anchor, same contract as the PQ rerank twin: with the
+    shortlist covering the probed population, SQ8-shortlist +
+    exact-rerank equals the IVF-Flat reader EXACTLY — quantization can
+    trim the shortlist, never reorder the exact stage."""
+    qs = _queries(spark)
+    full = _rows(AI.ann_index_sq8_topk(spark, sq8_dir, qs, K, 10**9))
+    flat = _rows(AI.ann_index_ivf_topk(spark, sq8_dir, qs, K))
+    assert full == flat and len(full) == len(QUERY_IDS) * K
+    tight = AI.ann_index_sq8_topk(spark, sq8_dir, qs, K, K)
+    assert tight.count() == len(QUERY_IDS) * K
+
+
+def test_sq8_codes_match_driver_encoder_and_fit_byte_grid(spark, sq8_dir):
+    """The JVM transform encoder and the driver-side query encoder are
+    the same grid bit for bit (the convention pair every quantized arm
+    pins: F.round HALF_UP == S._half_up), and training-corpus codes all
+    land in [0, 255] — the 1-byte/dim storage claim."""
+    vmin, scale = AI._read_sq_stats(spark, sq8_dir)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    want = {
+        int(r.vec_id): [
+            int(c) for c in AI._sq8_encode_np(r.embedding, vmin, scale)
+        ]
+        for r in emb.filter(F.col("vec_id").isin(QUERY_IDS)).collect()
+    }
+    sq8 = spark.read.parquet(M.table_path(sq8_dir, "sq8"))
+    got = {
+        int(r.vec_id): list(r.codes)
+        for r in sq8.filter(F.col("vec_id").isin(QUERY_IDS)).collect()
+    }
+    assert got == want
+    lo, hi = sq8.select(
+        F.min(F.array_min("codes")), F.max(F.array_max("codes"))
+    ).first()
+    assert 0 <= lo and hi <= 255
+
+
+def test_sq8_append_uses_stored_grid_and_stays_exact(spark, tmp_path):
+    """Append encodes against the STORED per-dim grid (immutable
+    quantizer — sq_stats bit-identical across the append) and, because
+    codes are unclipped, the two-stage search with a covering shortlist
+    still equals IVF-Flat over the grown corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d = str(tmp_path / "sq8_upsert")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.add_sq8_to_ann_index(spark, d)
+    stats_before = _rows(spark.read.parquet(M.table_path(d, "sq_stats")))
+    AI.append_to_ann_index(spark, emb.filter(F.col("vec_id") >= half), d)
+    assert (
+        _rows(spark.read.parquet(M.table_path(d, "sq_stats")))
+        == stats_before
+    )
+    # appended rows carry stored-grid codes (driver re-encode agrees)
+    vmin, scale = AI._read_sq_stats(spark, d)
+    probe_ids = [int(half), int(half) + 1]
+    want = {
+        int(r.vec_id): [
+            int(c) for c in AI._sq8_encode_np(r.embedding, vmin, scale)
+        ]
+        for r in emb.filter(F.col("vec_id").isin(probe_ids)).collect()
+    }
+    got = {
+        int(r.vec_id): list(r.codes)
+        for r in spark.read.parquet(M.table_path(d, "sq8"))
+        .filter(F.col("vec_id").isin(probe_ids))
+        .collect()
+    }
+    assert got == want
+    qs = _queries(spark)
+    assert _rows(AI.ann_index_sq8_topk(spark, d, qs, K, 10**9)) == _rows(
+        AI.ann_index_ivf_topk(spark, d, qs, K)
+    )
+
+
+def test_sq8_tombstones_and_compaction(spark, tmp_path):
+    """Tombstoned ids vanish from SQ8 search logically; compaction
+    includes the sq8 table (one file-set per cell again, deletes
+    applied physically) and preserves results bit for bit."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d = str(tmp_path / "sq8_compact")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.add_sq8_to_ann_index(spark, d)
+    AI.append_to_ann_index(spark, emb.filter(F.col("vec_id") >= half), d)
+    qs = _queries(spark)
+    baseline = AI.ann_index_sq8_topk(spark, d, qs, K).collect()
+    victims = sorted({int(r.vec_id) for r in baseline})
+    assert victims
+    AI.delete_from_ann_index(spark, victims, d)
+    logical = _rows(AI.ann_index_sq8_topk(spark, d, qs, K))
+    assert logical
+    hit_ids = {
+        int(r.vec_id) for r in AI.ann_index_sq8_topk(spark, d, qs, K).collect()
+    }
+    assert not (hit_ids & set(victims))
+    res = AI.compact_ann_index(spark, d)
+    assert "sq8" in res  # the derived arm joins the maintenance map
+    n_cells = (
+        spark.read.parquet(M.table_path(d, "sq8"))
+        .select("cell")
+        .distinct()
+        .count()
+    )
+    assert res["sq8"]["files_after"] == n_cells
+    assert _rows(AI.ann_index_sq8_topk(spark, d, qs, K)) == logical
