@@ -25,6 +25,7 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         behavior,
         catalog_oracle,
         curation,
+        layout_oracle,
         llm_ops,
         log_oracle,
         relational,
@@ -40,6 +41,7 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         catalog_oracle,
         streaming_oracle,
         behavior,
+        layout_oracle,
     ):
         for name, entry_pair in mod.QUERIES.items():
             if name in merged:

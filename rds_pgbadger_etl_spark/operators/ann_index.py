@@ -462,7 +462,9 @@ def append_to_ann_index(
                 cells.select(
                     "vec_id",
                     "cell",
-                    _sq8_encode_expr(vmin, scale).alias("codes"),
+                    _sq8_encode_udf(vmin, scale)(F.col("embedding")).alias(
+                        "codes"
+                    ),
                 )
                 .repartition("cell")
                 .write.mode("append")
@@ -866,30 +868,67 @@ def _read_sq_stats(spark: SparkSession, index_dir: str):
     return vmin, scale
 
 
-def _sq8_encode_expr(vmin: np.ndarray, scale: np.ndarray):
-    """JVM-side SQ8 encoder over the ``embedding`` column — a
-    whole-stage-codegen ``transform`` against constant-folded stat
-    arrays (no Python in the corpus path). Stats ride through a
-    string→double cast so the repr round-trip is bit-exact; a
-    degenerate dimension (vmax == vmin) encodes to 0 by convention."""
-    vm = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vmin)
-    sc = ", ".join(f"CAST('{float(s)!r}' AS DOUBLE)" for s in scale)
-    return F.expr(
-        "transform(embedding, (x, i) -> "
-        f"IF(element_at(array({sc}), i + 1) = 0.0D, 0, "
-        f"CAST(round((CAST(x AS DOUBLE) - element_at(array({vm}), i + 1))"
-        f" / element_at(array({sc}), i + 1)) AS INT)))"
-    )
+def _sq8_encode_udf(vmin: np.ndarray, scale: np.ndarray):
+    """Vectorized SQ8 encoder over the ``embedding`` column — the same
+    Arrow-batched numpy-kernel convention as pq_encode_udf (a per-
+    element SQL ``transform`` lambda measured ~5x slower at 1M rows).
+    HALF_UP rounding (S._half_up ≡ Spark/DuckDB ``round``); a
+    degenerate dimension (vmax == vmin ⇒ scale 0) encodes to 0 by
+    convention."""
+    safe = np.where(scale == 0.0, 1.0, scale)
+    dead = scale == 0.0
+
+    @F.pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        x = np.array(emb.tolist(), dtype=np.float64)
+        codes = np.where(
+            dead[None, :], 0, S._half_up((x - vmin[None, :]) / safe[None, :])
+        ).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return encode
 
 
 def _sq8_encode_np(vec, vmin: np.ndarray, scale: np.ndarray) -> np.ndarray:
-    """Driver-side twin of :func:`_sq8_encode_expr` for query vectors —
+    """Driver-side twin of :func:`_sq8_encode_udf` for query vectors —
     same grid, same HALF_UP rounding (S._half_up ≡ Spark round)."""
     x = np.asarray(vec, dtype=np.float64)
     safe = np.where(scale == 0.0, 1.0, scale)
     return np.where(
         scale == 0.0, 0, S._half_up((x - vmin) / safe)
     ).astype(np.int64)
+
+
+def _sq8_dists_udf(q_mat: np.ndarray):
+    """Per-row exact-integer code-space squared L2 to ALL query codes
+    at once — one int64 matmul per Arrow batch against the closure-held
+    (n_queries x dim) query matrix, returning an array the probe join
+    indexes into. Each probed row's codes cross Arrow ONCE (the
+    score-after-join alternative shipped both arrays per (query, row)
+    pair and was measured 2x slower; the 64-element zip_with/aggregate
+    HOF before that, 5x). ||b||^2 + ||q||^2 - 2 b.q in int64 is exact —
+    no float in the shortlist ranking."""
+    qq = np.einsum("ij,ij->i", q_mat, q_mat)[None, :]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def dists(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        # single-pass concat + reshape (np.vstack's per-row atleast_2d
+        # loop measured ~2x the whole kernel at 1M rows/batch)
+        b = (
+            np.concatenate(codes.to_numpy())
+            .astype(np.int64)
+            .reshape(len(codes), -1)
+        )
+        d = (
+            np.einsum("ij,ij->i", b, b)[:, None]
+            + qq
+            - 2 * (b @ q_mat.T)
+        )
+        return pd.Series(list(d))
+
+    return dists
 
 
 def add_sq8_to_ann_index(spark: SparkSession, index_dir: str) -> None:
@@ -916,7 +955,9 @@ def add_sq8_to_ann_index(spark: SparkSession, index_dir: str) -> None:
     vmin, scale = _read_sq_stats(spark, index_dir)
     (
         raw.select(
-            "vec_id", "cell", _sq8_encode_expr(vmin, scale).alias("codes")
+            "vec_id",
+            "cell",
+            _sq8_encode_udf(vmin, scale)(F.col("embedding")).alias("codes"),
         )
         .repartition("cell")
         .write.mode("overwrite")
@@ -947,14 +988,16 @@ def ann_index_sq8_topk(
     shortlist = 4 * k if shortlist is None else shortlist
     cells, mat = _read_centroids(spark, index_dir)
     probes = _probe_cells(queries, cells, mat, n_probe)
-    probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
     vmin, scale = _read_sq_stats(spark, index_dir)
-    qcodes_df = spark.createDataFrame(
-        [
-            (int(q), [int(c) for c in _sq8_encode_np(vec, vmin, scale)])
-            for q, vec in queries
-        ],
-        "q_id long, q_codes array<int>",
+    q_mat = np.vstack(
+        [_sq8_encode_np(vec, vmin, scale) for _, vec in queries]
+    )
+    # probe rows carry the query's position in the closure matrix so the
+    # join can index the per-row distance array
+    q_pos = {int(q): i for i, (q, _) in enumerate(queries)}
+    probes_df = spark.createDataFrame(
+        [(q, q_pos[q], c) for q, c in probes],
+        "q_id long, q_idx int, cell int",
     )
 
     sq8 = _live(
@@ -965,17 +1008,13 @@ def ann_index_sq8_topk(
         ),
     )
     scored = (
-        sq8.join(F.broadcast(probes_df), "cell")
+        sq8.withColumn("dists", _sq8_dists_udf(q_mat)(F.col("codes")))
+        .join(F.broadcast(probes_df), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(qcodes_df), "q_id")
         .select(
             "q_id",
             "vec_id",
-            F.expr(
-                "aggregate(zip_with(q_codes, codes, (a, b) ->"
-                " CAST(a - b AS BIGINT) * CAST(a - b AS BIGINT)),"
-                " 0L, (acc, d) -> acc + d)"
-            ).alias("sq_dist"),
+            F.element_at("dists", F.col("q_idx") + 1).alias("sq_dist"),
         )
     )
     short = S.topk_per_key(

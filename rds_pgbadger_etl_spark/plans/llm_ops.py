@@ -4143,6 +4143,20 @@ def ann_index_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, d, qvecs, _REFINED_RECALL_K
         ).select(F.lit(name).alias("variant"), "q_id", "vec_id")
         cands = got if cands is None else cands.unionByName(got)
+    # the SQ8 arm's quantized ranking, apples-to-apples with the ADC
+    # variants: shortlist == k makes the returned SET the top-k by
+    # integer code-space distance (the rerank only reorders within it,
+    # and recall@k is set membership) — same centroids/probes as
+    # first_n, so the delta isolates 8-bit-per-dim vs 4-bit-subspace
+    # resolution
+    sq8 = AI.ann_index_sq8_topk(
+        spark,
+        _ann_index_sq8_shared(spark, sf_dir),
+        qvecs,
+        _REFINED_RECALL_K,
+        _REFINED_RECALL_K,
+    ).select(F.lit("sq8").alias("variant"), "q_id", "vec_id")
+    cands = cands.unionByName(sq8)
     denom = len(_QUERY_IDS) * _REFINED_RECALL_K
     return (
         cands.join(F.broadcast(truth), ["q_id", "vec_id"], "left")

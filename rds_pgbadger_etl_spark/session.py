@@ -123,6 +123,12 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable;
         # sources/tables.py converts the long ns value to TimestampType.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark still defaults timestamp OUTPUT to the deprecated INT96
+        # physical type, which carries NO min/max statistics — every
+        # time-filtered scan of engine-written parquet then reads every
+        # row group. MICROS restores footer/row-group pruning (and is
+        # what the testdata itself uses).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -200,3 +200,93 @@ def merge_upsert(
         .partitionBy(*partition_cols)
         .parquet(table_dir)
     )
+
+
+def write_clustered(df: DataFrame, key: Column, out_dir: str, n_files: int) -> None:
+    """Range-partition rows into ``n_files`` by ``key`` and sort within
+    each file — the generic clustered-write primitive. ``key`` is a raw
+    column for single-dimension clustering (what ``compact_partitioned``'s
+    sort_cols does inside hour partitions) or :func:`zorder_key` output
+    for multi-dimension clustering. Range partitioning makes the FILES
+    disjoint in key space (not just the row groups within a file), so
+    footer-level min/max pruning skips whole files."""
+    (
+        df.withColumn("_ck", key)
+        .repartitionByRange(n_files, "_ck")
+        .sortWithinPartitions("_ck")
+        .drop("_ck")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def write_zorder(
+    df: DataFrame,
+    cols: list[str],
+    out_dir: str,
+    n_files: int,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Z-order-clustered rewrite over ``cols``: one aggregate pass for
+    the per-column domain bounds (numeric or timestamp — everything
+    rides through a double cast, timestamps as epoch seconds), then the
+    interleaved-bit key drives :func:`write_clustered`. After this,
+    EVERY participating column's per-file min/max range is narrow, so a
+    scan filtering on any subset of them skips files — the multi-
+    dimension guarantee a single-column sort cannot give (its files
+    span the full domain of every non-leading column)."""
+    dcols = {c: F.col(c).cast("double") for c in cols}
+    bounds = df.select(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(dcols[c]).alias(f"lo_{c}"),
+                F.max(dcols[c]).alias(f"hi_{c}"),
+            )
+        ]
+    ).first()
+    key = zorder_key(
+        *[
+            scale_to_bits(
+                dcols[c], bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits
+            )
+            for c in cols
+        ],
+        bits=bits,
+    )
+    write_clustered(df, key, out_dir, n_files)
+
+
+def parquet_file_ranges(table_dir: str, cols: list[str]) -> list[dict]:
+    """Per-file (min, max) footer statistics for ``cols`` — the numbers
+    a stats-pruning scan consults before opening a file. One dict per
+    data file: {col: (min, max)}. Local-FS footer reads (metadata-
+    sized), the layout-audit twin of partition_file_stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(table_dir):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fname)).metadata
+            name_to_idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            ranges: dict = {}
+            for c in cols:
+                ci = name_to_idx[c]
+                lo = hi = None
+                for r in range(md.num_row_groups):
+                    st = md.row_group(r).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo, hi = None, None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                ranges[c] = (lo, hi)
+            out.append(ranges)
+    return out

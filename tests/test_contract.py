@@ -62,6 +62,12 @@ def test_every_query_has_oracle_or_documented_exception(spark):
         # same layout-audit contract for the dedup signature store;
         # compaction semantics pinned in test_dedup_index.py
         "dedup_index_stats",
+        # files a footer-pruning scan reads per (layout, predicate) for
+        # the z-ordered vs ts-sorted rewrites — physical footer state
+        # with no SQL twin; the z-ordered rewrite's RESULTS are fully
+        # oracle-checked (zorder_range_query), and the skipping
+        # inequality is pinned in test_layout.py
+        "zorder_layout_audit",
     }
 
 

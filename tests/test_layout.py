@@ -155,3 +155,35 @@ def test_merge_upsert_replaces_and_inserts_only_touched_partitions(spark, tmp_pa
         (r.id, r.part): r.v for r in spark.read.parquet(table).collect()
     }
     assert again == got
+
+
+def test_zorder_rewrite_preserves_results_and_skips_files(spark, sf_smoke):
+    """The staged z-ordered rewrite of events (plans/layout_oracle):
+    (a) the registered 2-D range aggregate over it hash-matches the
+    DuckDB oracle over the RAW table — the rewrite moved rows between
+    files, never changed them; (b) the footer audit shows the z-ordered
+    layout skips files for a user_id-only predicate while the ts-sorted
+    layout must read every file (its files all span the full user
+    domain) — the multi-dimension pruning claim, measured."""
+    from rds_pgbadger_etl_spark.plans.layout_oracle import (
+        _ZORDER_RANGE_SQL,
+        zorder_layout_audit,
+        zorder_range_query,
+    )
+    from tests.oracle import compare
+
+    compare(zorder_range_query(spark, sf_smoke), _ZORDER_RANGE_SQL, sf_smoke)
+
+    audit = {
+        (r.layout, r.predicate): r
+        for r in zorder_layout_audit(spark, sf_smoke).collect()
+    }
+    ts_user = audit[("ts_sorted", "user_only")]
+    z_user = audit[("zorder", "user_only")]
+    assert ts_user.files_read == ts_user.n_files  # time sort can't skip
+    assert z_user.files_read < z_user.n_files
+    assert z_user.files_read < ts_user.files_read
+    # the 2-D box prunes at least as well as the single-axis predicate
+    assert (
+        audit[("zorder", "box")].files_read <= z_user.files_read
+    )

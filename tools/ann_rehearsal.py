@@ -129,6 +129,19 @@ def main() -> None:
         lambda: S.brute_force_topk(emb, [q for q, _ in queries], 10)
     )
 
+    # --- SQ8 leg (round 11): derive the int8 arm from the stored raw/
+    # partitions, then the two-stage search (integer code-space
+    # shortlist + exact rerank). Expect sq8/ ≈ raw/4 on disk, probed IO
+    # likewise, and search between ivfpq (2 B/vec) and ivf_flat
+    # (256 B/vec) — the middle rung's cost/recall position, measured.
+    t0 = time.perf_counter()
+    AI.add_sq8_to_ann_index(spark, index_dir)
+    t_sq8_add = time.perf_counter() - t0
+    sizes["sq8"] = round(_dir_bytes(f"{index_dir}/sq8") / 1e6, 1)
+    t_sq8_search = best_of_3(
+        lambda: AI.ann_index_sq8_topk(spark, index_dir, queries, 10)
+    )
+
     # pruning delivered: partitions the ivfpq reader actually scans
     df = AI.ann_index_ivfpq_topk(spark, index_dir, queries, 10)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -209,6 +222,8 @@ def main() -> None:
                 "search_ivfpq_sec": t_index_search,
                 "search_ivf_flat_sec": t_ivf_flat,
                 "search_brute_sec": t_brute,
+                "sq8_add_sec": round(t_sq8_add, 1),
+                "search_sq8_sec": t_sq8_search,
                 "partition_pruned": pruned,
                 "flag_batch_size": 2_000,
                 "flag_sec": round(t_flag, 1),
