@@ -4217,6 +4217,21 @@ def _ann_index_2level_shared(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _ann_index_2level_sq8_shared(spark: SparkSession, sf_dir: str) -> str:
+    """The shared two-level artifact with its derived SQ8 arm added
+    (once per staged dir; purely additive, same contract as
+    _ann_index_sq8_shared)."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        add_sq8_to_ann_index,
+    )
+
+    d = _ann_index_2level_shared(spark, sf_dir)
+    if d not in _SQ8_READY:
+        add_sq8_to_ann_index(spark, d)
+        _SQ8_READY.add(d)
+    return d
+
+
 def ann_index_2level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path past the 4096-cell cap: IVF search where the coarse
     quantizer is sharded into groups (IMI/two-level IVF) — probe the
@@ -4917,6 +4932,17 @@ def ann_index_2level_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("variant"), "q_id", "vec_id"
         )
         cands = got if cands is None else cands.unionByName(got)
+    # the 2-level SQ8 arm's quantized ranking (shortlist == k: the
+    # returned SET is the code-space top-k — same apples-to-apples
+    # contract as the single-level audit's sq8 variant)
+    sq8 = AI.ann_index_2level_sq8_topk(
+        spark,
+        _ann_index_2level_sq8_shared(spark, sf_dir),
+        qvecs,
+        _2L_RECALL_K,
+        _2L_RECALL_K,
+    ).select(F.lit("2level_sq8").alias("variant"), "q_id", "vec_id")
+    cands = cands.unionByName(sq8)
     denom = len(_QUERY_IDS) * _2L_RECALL_K
     return (
         cands.join(F.broadcast(truth), ["q_id", "vec_id"], "left")
@@ -5270,6 +5296,79 @@ SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
 _ANN_2LEVEL_IVFPQ_RERANK_SQL = _ann_2level_ivfpq_rerank_sql()
 
 
+def ann_index_2level_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the SQ8 two-stage search on the sharded-quantizer layout —
+    the billion-vector middle rung (64 B/vector probed IO, ~3.5x the
+    PQ arm's shortlist recall on the fixture). Oracle = the 2-level
+    composed-assignment membership/probe CTEs with the SQ8 grid
+    (embedding_quantize formula) encoding both sides, shortlist cut +
+    exact-cosine rerank."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_sq8_topk(
+        spark,
+        _ann_index_2level_sq8_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+    )
+
+
+def _ann_2level_sq8_sql() -> str:
+    # the 2-level twin's quantizer/membership/probe CTEs (everything
+    # before the PQ scoring starts at `lf AS (`) with the SQ8 grid
+    # encoding + integer code-space shortlist + exact rerank grafted on
+    base = _ann_2level_ivfpq_sql()
+    marker = ",\nlf AS ("
+    head = base[: base.index(marker)]
+    return (
+        head
+        + f""",
+ex AS (
+  SELECT vec_id, i - 1 AS dim, emb[i] AS x
+  FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
+),
+stats AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM ex GROUP BY dim),
+codes AS (
+  SELECT vec_id, dim,
+         CASE WHEN s.vmax = s.vmin THEN 0
+              ELSE CAST(round((x - s.vmin)
+                              / ((s.vmax - s.vmin) / 255.0)) AS bigint)
+         END AS code
+  FROM ex JOIN stats s USING (dim)
+),
+sqd AS (
+  SELECT m.q_id, m.vec_id,
+         sum((qc.code - cc.code) * (qc.code - cc.code)) AS sq_dist
+  FROM member m
+  JOIN codes cc ON cc.vec_id = m.vec_id
+  JOIN codes qc ON qc.vec_id = m.q_id AND qc.dim = cc.dim
+  GROUP BY m.q_id, m.vec_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sq_dist, vec_id) AS rn
+    FROM sqd) WHERE rn <= {_RERANK_SHORTLIST}
+),
+rerank AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'v.emb')} AS sim
+  FROM short s
+  JOIN e v ON v.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM rerank
+) WHERE rnk <= {_TOPK}
+"""
+    )
+
+
+_ANN_2LEVEL_SQ8_SQL = _ann_2level_sq8_sql()
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -5375,6 +5474,10 @@ QUERIES = {
         _ANN_IVFPQ_RERANK_SQL,
     ),
     "ann_index_sq8_topk": (ann_index_sq8_topk, _ANN_SQ8_RERANK_SQL),
+    "ann_index_2level_sq8_topk": (
+        ann_index_2level_sq8_topk,
+        _ANN_2LEVEL_SQ8_SQL,
+    ),
     "ann_index_2level_dist_topk": (
         ann_index_2level_dist_topk,
         _ANN_2LEVEL_SQL,

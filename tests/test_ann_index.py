@@ -1036,3 +1036,48 @@ def test_sq8_tombstones_and_compaction(spark, tmp_path):
     )
     assert res["sq8"]["files_after"] == n_cells
     assert _rows(AI.ann_index_sq8_topk(spark, d, qs, K)) == logical
+
+
+def test_2level_sq8_arm_lifecycle(spark, tmp_path):
+    """The SQ8 arm on the sharded-quantizer layout: derived under the
+    (group, cell) key, covering-shortlist search equals the 2-level
+    IVF-Flat reader exactly, appends encode with the STORED grid
+    (sq_stats bit-identical), and compaction rewrites the arm to one
+    file-set per (group, cell) with results preserved."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d = str(tmp_path / "sq8_2l")
+    AI.build_ann_index_2level(spark, emb.filter(F.col("vec_id") < half), d)
+    qs = _queries(spark)
+    with pytest.raises(ValueError, match="SQ8"):
+        AI.ann_index_2level_sq8_topk(spark, d, qs, K)
+    AI.add_sq8_to_ann_index(spark, d)
+    # partitioned under the layout's composed key
+    part_cols = {
+        tuple(sorted(c for c in ("group", "cell") if f"{c}=" in p))
+        for p in AI._data_files(M.table_path(d, "sq8"))
+    }
+    assert part_cols == {("cell", "group")}
+    assert _rows(AI.ann_index_2level_sq8_topk(spark, d, qs, K, 10**9)) == (
+        _rows(AI.ann_index_2level_topk(spark, d, qs, K))
+    )
+    stats_before = _rows(spark.read.parquet(M.table_path(d, "sq_stats")))
+    AI.append_to_ann_index_2level(
+        spark, emb.filter(F.col("vec_id") >= half), d
+    )
+    assert (
+        _rows(spark.read.parquet(M.table_path(d, "sq_stats")))
+        == stats_before
+    )
+    grown = _rows(AI.ann_index_2level_sq8_topk(spark, d, qs, K, 10**9))
+    assert grown == _rows(AI.ann_index_2level_topk(spark, d, qs, K))
+    res = AI.compact_ann_index(spark, d)
+    assert "sq8" in res
+    n_parts = (
+        spark.read.parquet(M.table_path(d, "sq8"))
+        .select("group", "cell")
+        .distinct()
+        .count()
+    )
+    assert res["sq8"]["files_after"] == n_parts
+    assert _rows(AI.ann_index_2level_sq8_topk(spark, d, qs, K, 10**9)) == grown
