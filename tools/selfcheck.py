@@ -39,6 +39,7 @@ STATEFUL_PREFIXES = (
     "curation",
     "embedding_pagerank",
     "embedding_communities",
+    "zorder",  # answers from a staged clustered REWRITE of the corpus
 )
 
 
