@@ -248,6 +248,7 @@ def run_incremental_ann(
     n_probe: int = S.N_PROBE,
     threshold: float | None = None,
     n_centroids: int | None = S.N_CENTROIDS,
+    sq8: bool = False,
 ) -> None:
     """The ingestion pipeline: per micro-batch, flag each new embedding's
     nearest already-indexed neighbors, write the flags, then admit the
@@ -258,7 +259,14 @@ def run_incremental_ann(
     immutable afterwards). NOTE the bootstrap sees just the FIRST
     micro-batch, so ``None`` (auto) would size for the batch, not the
     eventual corpus — a stream expecting to grow should pass
-    ``ann_index.auto_n_centroids(expected_corpus_size)`` explicitly."""
+    ``ann_index.auto_n_centroids(expected_corpus_size)`` explicitly.
+
+    ``sq8=True`` derives the SQ8 arm right after the bootstrap build —
+    its per-dim grid trains on the first batch and is immutable like
+    the other quantizers (unclipped codes keep later out-of-range
+    components exact); subsequent appends maintain the arm off the
+    stored manifest flag, so streaming into a pre-built SQ8 store needs
+    no flag here at all."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -277,6 +285,8 @@ def run_incremental_ann(
             AI.build_ann_index(
                 spark, batch, index_dir, n_centroids=n_centroids
             )
+            if sq8:
+                AI.add_sq8_to_ann_index(spark, index_dir)
 
     q = (
         emb_stream.writeStream.foreachBatch(process)
@@ -306,6 +316,7 @@ def run_incremental_ann_2level(
     n_groups: int | None = AI.N_GROUPS_2L,
     n_cells: int | None = AI.N_CELLS_2L,
     residual: bool = False,
+    sq8: bool = False,
 ) -> None:
     """:func:`run_incremental_ann` for the two-level (sharded-quantizer)
     layout — the exactly-once ingestion path past the 4096-cell cap:
@@ -350,6 +361,8 @@ def run_incremental_ann_2level(
                 n_cells=n_cells,
                 residual=residual,
             )
+            if sq8:
+                AI.add_sq8_to_ann_index(spark, index_dir)
 
     q = (
         emb_stream.writeStream.foreachBatch(process)

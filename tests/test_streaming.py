@@ -749,3 +749,79 @@ def test_incremental_ann_2level_residual_stream(spark, tmp_path):
         )
     )
     assert raw != want  # the stream really stored residual codes
+
+
+def test_incremental_ann_sq8_bootstrap_stream(spark, tmp_path):
+    """Streaming ingestion with the SQ8 arm: the first batch bootstraps
+    build + add_sq8 (grid trained on batch 0, immutable afterwards);
+    later batches append, maintaining the arm off the stored manifest
+    flag. The stream-built SQ8 search with a covering shortlist must
+    equal the IVF-Flat reader over the grown store (exactness holds for
+    ANY grid because codes are unclipped), and the appended rows'
+    stored codes must match a driver re-encode against the STORED
+    (batch-0) grid — not a grid retrained on the union."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+    from rds_pgbadger_etl_spark.plans.llm_ops import _query_vectors
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        run_incremental_ann,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    src, store, ckpt, flags = (
+        str(tmp_path / d) for d in ("src", "store", "ckpt", "flags")
+    )
+    for b in range(3):
+        (
+            emb.filter(
+                (F.col("vec_id") >= b * n // 3)
+                & (F.col("vec_id") < (b + 1) * n // 3)
+            )
+            .write.mode("append")
+            .parquet(src)
+        )
+        run_incremental_ann(
+            spark.readStream.schema(emb.schema).parquet(src),
+            store, ckpt, flags, k=3, sq8=True,
+        )
+    assert M.read_meta(store, AI._SQ8_KEY) is True
+
+    q = _query_vectors(spark, sf)
+    got = sorted(
+        map(str, AI.ann_index_sq8_topk(spark, store, q, 5, 10**9).collect())
+    )
+    flat = sorted(map(str, AI.ann_index_ivf_topk(spark, store, q, 5).collect()))
+    assert got == flat and got
+
+    # appended (batch 2) rows carry BATCH-0-grid codes
+    vmin, scale = AI._read_sq_stats(spark, store)
+    probe_ids = [int(2 * n // 3), int(2 * n // 3) + 1]
+    want = {
+        int(r.vec_id): [
+            int(c) for c in AI._sq8_encode_np(r.embedding, vmin, scale)
+        ]
+        for r in emb.filter(F.col("vec_id").isin(probe_ids)).collect()
+    }
+    stored = {
+        int(r.vec_id): list(r.codes)
+        for r in spark.read.parquet(M.table_path(store, "sq8"))
+        .filter(F.col("vec_id").isin(probe_ids))
+        .collect()
+    }
+    assert stored == want
+    # and the stored grid is batch 0's, not the union corpus's
+    b0 = emb.filter(F.col("vec_id") < n // 3)
+    lo = [
+        r.vmin
+        for r in sorted(
+            spark.read.parquet(M.table_path(store, "sq_stats")).collect(),
+            key=lambda r: r.dim,
+        )
+    ]
+    import numpy as np
+
+    b0_lo = np.array(b0.select("embedding").toPandas()["embedding"].tolist())
+    assert lo == [float(x) for x in b0_lo.astype("float64").min(axis=0)]
