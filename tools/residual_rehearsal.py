@@ -155,6 +155,27 @@ def main() -> None:
         entry["rerank_recall_p2"] = round(hits / denom, 4)
         out["variants"][variant] = entry
 
+    # SQ8 leg (round 11): the int8 arm derived on the RAW index's dir —
+    # identical centroids again, so the recall column shows where the
+    # 8-bit-per-dim tier lands between raw-PQ and residual-PQ in the
+    # clustered regime. shortlist == K makes the returned set the pure
+    # code-space top-K (the audits' apples-to-apples convention); the
+    # rerank row is the production composition.
+    d = dirs["raw"]
+    t0 = time.perf_counter()
+    AI.add_sq8_to_ann_index(spark, d)
+    entry = {"add_sec": round(time.perf_counter() - t0, 1)}
+    for n_probe in (2, 4):
+        got = AI.ann_index_sq8_topk(
+            spark, d, queries, K, K, n_probe=n_probe
+        ).collect()
+        hits = sum(1 for r in got if (int(r.q_id), int(r.vec_id)) in truth)
+        entry[f"shortlist_recall_p{n_probe}"] = round(hits / denom, 4)
+    rr = AI.ann_index_sq8_topk(spark, d, queries, K, 4 * K).collect()
+    hits = sum(1 for r in rr if (int(r.q_id), int(r.vec_id)) in truth)
+    entry["rerank_recall_p2"] = round(hits / denom, 4)
+    out["variants"]["sq8"] = entry
+
     import numpy as np  # noqa: F811
 
     _, m1 = AI._read_centroids(spark, dirs["raw"])
