@@ -1081,3 +1081,16 @@ def test_2level_sq8_arm_lifecycle(spark, tmp_path):
     )
     assert res["sq8"]["files_after"] == n_parts
     assert _rows(AI.ann_index_2level_sq8_topk(spark, d, qs, K, 10**9)) == grown
+
+
+def test_sq8_plan_is_pruned_and_corpus_free(spark, sq8_dir):
+    """The SQ8 search plan honors the artifact contract like every
+    other reader: the codes scan partition-prunes to the probed cells
+    and the plan never touches the raw corpus parquet."""
+    import re
+
+    df = AI.ann_index_sq8_topk(spark, sq8_dir, _queries(spark), K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in df._jdf.queryExecution().toString()
+    pf = re.findall(r"PartitionFilters: \[[^\]]*", plan)
+    assert any("cell" in x and " IN " in x for x in pf), pf
