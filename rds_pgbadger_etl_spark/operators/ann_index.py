@@ -1511,8 +1511,12 @@ def build_ann_index_2level(
         n_cells = auto_c if n_cells is None else n_cells
     _COARSE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
+    _SQ_STATS.pop(index_dir, None)
     _stamp_layout(index_dir)
     M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
+    # a rebuild orphans any derived SQ8 arm (grid trained on the old
+    # corpus) — drop the flag so readers fail loudly until re-added
+    M.write_meta(index_dir, _SQ8_KEY, False)
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(
@@ -2400,8 +2404,12 @@ def build_ann_index_2level_distributed(
         n_cells = auto_c if n_cells is None else n_cells
     _COARSE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
+    _SQ_STATS.pop(index_dir, None)
     _stamp_layout(index_dir)
     M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
+    # a rebuild orphans any derived SQ8 arm (grid trained on the old
+    # corpus) — drop the flag so readers fail loudly until re-added
+    M.write_meta(index_dir, _SQ8_KEY, False)
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(

@@ -1094,3 +1094,22 @@ def test_sq8_plan_is_pruned_and_corpus_free(spark, sq8_dir):
     assert "embeddings.parquet" not in df._jdf.queryExecution().toString()
     pf = re.findall(r"PartitionFilters: \[[^\]]*", plan)
     assert any("cell" in x and " IN " in x for x in pf), pf
+
+
+def test_2level_rebuild_invalidates_sq8_arm(spark, tmp_path):
+    """Rebuilding a two-level index over a dir that carried an SQ8 arm
+    must drop the manifest flag (the grid was trained on the old
+    corpus): the reader fails loudly until add_sq8 re-derives it —
+    never serves stale codes."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "rebuild_2l")
+    AI.build_ann_index_2level(spark, emb.filter(F.col("vec_id") < 100), d)
+    AI.add_sq8_to_ann_index(spark, d)
+    assert M.read_meta(d, AI._SQ8_KEY) is True
+    AI.build_ann_index_2level(spark, emb, d)
+    assert M.read_meta(d, AI._SQ8_KEY) is False
+    with pytest.raises(ValueError, match="SQ8"):
+        AI.ann_index_2level_sq8_topk(spark, d, _queries(spark), K)
+    AI.add_sq8_to_ann_index(spark, d)
+    got = _rows(AI.ann_index_2level_sq8_topk(spark, d, _queries(spark), K, 10**9))
+    assert got == _rows(AI.ann_index_2level_topk(spark, d, _queries(spark), K))
