@@ -161,8 +161,56 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ORC file source (third source format: parquet, JSONL, ORC). ORC is
+# Spark-native (no extra package) and carries stripe-level min/max
+# statistics + predicate pushdown like parquet, so the engine's
+# layout/pruning story is format-portable. The query round-trips events
+# through a real on-disk ORC table and aggregates off a FILTERED
+# read-back (the filter rides to the ORC scan as a pushed predicate);
+# the oracle reproduces the aggregate from the source table, so a hash
+# match proves the ORC writer/reader round-trip is lossless — including
+# microsecond timestamps, the type most formats mangle first.
+
+
+def orc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = os.path.join(tempfile.gettempdir(), f"orc_src_{sf_tag}")
+    ev.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir).filter(F.col("value") > 50.0)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+_ORC_INGEST_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       cast(count(DISTINCT user_id) AS bigint) AS n_users,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sum_cents
+FROM events
+WHERE value > 50.0
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "catalog_select_files": (catalog_select_files, _CATALOG_SELECT_SQL),
     "catalog_dates": (catalog_dates, _CATALOG_DATES_SQL),
     "jsonl_ingest_stats": (jsonl_ingest_stats, _JSONL_INGEST_SQL),
+    "orc_ingest_stats": (orc_ingest_stats, _ORC_INGEST_SQL),
 }
