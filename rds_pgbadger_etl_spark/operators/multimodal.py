@@ -476,6 +476,66 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DHASH_SCHEMA)
 
 
+IMAGE_HASHES_SCHEMA = (
+    "doc_id bigint, ahash string, a_hi bigint, a_lo bigint, "
+    "dhash string, d_hi bigint, d_lo bigint"
+)
+
+
+def image_hashes(df: DataFrame) -> DataFrame:
+    """BOTH perceptual hash families — aHash (luminance threshold) and
+    dHash (horizontal gradient) — from ONE Arrow-batched decode pass.
+    The per-image hash math is O(64) regardless of payload size (the
+    nearest-neighbor resample touches only the sampled bytes), so the
+    dominant cost of an image-hash pass is moving and decoding the
+    payload bytes themselves; running :func:`image_ahash` and
+    :func:`image_dhash` as separate passes pays that byte-level cost —
+    scan, Arrow transfer, BMP parse — once PER FAMILY. This kernel pays
+    it once total and emits both families' words per row, bit-identical
+    to the single-family kernels (it calls the same word helpers).
+    Consumers project (doc_id, ahash, a_hi, a_lo) or
+    (doc_id, dhash, d_hi, d_lo) to recover each family's contract.
+    Non-image rows are dropped, as in the single-family kernels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            ahashes: list[str] = []
+            a_his: list[int] = []
+            a_los: list[int] = []
+            dhashes: list[str] = []
+            d_his: list[int] = []
+            d_los: list[int] = []
+            for did, kind, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if kind != "image/bmp":
+                    continue
+                b = bytes(payload)
+                a_hi, a_lo = _ahash_words_from_bmp(b)
+                d_hi, d_lo = _dhash_words_from_bmp(b)
+                ids.append(int(did))
+                ahashes.append(f"{a_hi:08x}{a_lo:08x}")
+                a_his.append(a_hi)
+                a_los.append(a_lo)
+                dhashes.append(f"{d_hi:08x}{d_lo:08x}")
+                d_his.append(d_hi)
+                d_los.append(d_lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(ahashes, dtype=object),
+                    "a_hi": pd.Series(a_his, dtype="int64"),
+                    "a_lo": pd.Series(a_los, dtype="int64"),
+                    "dhash": pd.Series(dhashes, dtype=object),
+                    "d_hi": pd.Series(d_his, dtype="int64"),
+                    "d_lo": pd.Series(d_los, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, IMAGE_HASHES_SCHEMA)
+
+
 def _attach_hamming(
     cand: DataFrame, words: DataFrame, out_col: str
 ) -> DataFrame:

@@ -973,17 +973,19 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _image_hashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-image aHash table, staged once per session — the written
-    hash table every image-dedup consumer (exact groups, Hamming
-    near-dups) reads."""
+def _image_hash_words_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH per-image hash families from ONE staged decode pass
+    (operators/multimodal.image_hashes): the payload synthesis + BMP
+    decode is the corpus's most expensive byte-level pass, so staging
+    one fused table instead of one per family halves the dominant cost;
+    each family's consumers project their columns back out."""
     from rds_pgbadger_etl_spark.plans._shared import shared_df
 
     return shared_df(
         spark,
-        "image_ahash",
+        "image_hashes",
         sf_dir,
-        lambda: M.image_ahash(
+        lambda: M.image_hashes(
             M.attach_real_media(
                 rebalance(load_table(spark, sf_dir, "documents"))
             )
@@ -991,20 +993,27 @@ def _image_hashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _image_dhashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-image dHash (gradient) table, staged once per session —
-    the second hash family image_near_dup_pairs bands over."""
-    from rds_pgbadger_etl_spark.plans._shared import shared_df
+def _image_hashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-image aHash table — a projection of the fused staged
+    hash table, keeping the (doc_id, ahash, hi, lo) contract every
+    image-dedup consumer (exact groups, Hamming near-dups) reads."""
+    return _image_hash_words_shared(spark, sf_dir).select(
+        "doc_id",
+        "ahash",
+        F.col("a_hi").alias("hi"),
+        F.col("a_lo").alias("lo"),
+    )
 
-    return shared_df(
-        spark,
-        "image_dhash",
-        sf_dir,
-        lambda: M.image_dhash(
-            M.attach_real_media(
-                rebalance(load_table(spark, sf_dir, "documents"))
-            )
-        ),
+
+def _image_dhashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-image dHash (gradient) table — the second hash family
+    image_near_dup_pairs bands over, projected from the same fused
+    staged table (no second decode pass)."""
+    return _image_hash_words_shared(spark, sf_dir).select(
+        "doc_id",
+        "dhash",
+        F.col("d_hi").alias("hi"),
+        F.col("d_lo").alias("lo"),
     )
 
 

@@ -1044,6 +1044,38 @@ def test_dhash_second_family_recovers_mean_shift_flips(spark):
     dh.unpersist()
 
 
+def test_image_hashes_fused_matches_single_family_kernels(spark):
+    """The fused one-decode-pass kernel (image_hashes) must be
+    BIT-IDENTICAL to running image_ahash and image_dhash separately —
+    same rows (non-image dropped), same hex strings, same words —
+    so rewiring the staged table to the fused pass cannot move any
+    oracle. Mixed media (BMP + WAV) pins the drop behavior too."""
+    media = spark.createDataFrame(
+        [
+            (0, "image/bmp", M._bmp_encode(12, 9, seed=3)),
+            (1, "audio/wav", M._wav_encode(8000, 50, seed=4)),
+            (2, "image/bmp", M._bmp_encode(31, 17, seed=200)),
+            (4, "image/bmp", M._bmp_encode(1, 1, seed=0)),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    fused = {r.doc_id: r for r in M.image_hashes(media).collect()}
+    ah = {r.doc_id: r for r in M.image_ahash(media).collect()}
+    dh = {r.doc_id: r for r in M.image_dhash(media).collect()}
+    assert set(fused) == set(ah) == set(dh) == {0, 2, 4}
+    for did, f in fused.items():
+        assert (f.ahash, f.a_hi, f.a_lo) == (
+            ah[did].ahash,
+            ah[did].hi,
+            ah[did].lo,
+        )
+        assert (f.dhash, f.d_hi, f.d_lo) == (
+            dh[did].dhash,
+            dh[did].hi,
+            dh[did].lo,
+        )
+
+
 def test_auto_band_cap_fires_with_no_knob(spark):
     """The DEFAULT ("auto") hot-band threshold must stop a corpus-scale
     template family (freq > max(64, 8 x median)) with NO knob passed,

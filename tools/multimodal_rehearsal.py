@@ -201,8 +201,7 @@ def main() -> None:
 
     from rds_pgbadger_etl_spark.operators.multimodal import (
         _bmp_encode,
-        image_ahash,
-        image_dhash,
+        image_hashes,
         image_near_dup_pairs,
     )
     from rds_pgbadger_etl_spark.session import get_spark
@@ -243,18 +242,26 @@ def main() -> None:
     )
     media = spark.read.parquet(corpus)
 
-    # --- stage 1: the map-only hash pass (decode -> resample -> aHash)
+    # --- stage 1: the map-only hash pass — round 12: ONE fused decode
+    # emitting BOTH families (aHash luminance + mean-invariant dHash
+    # gradient), the registered query's shape; each family projects its
+    # words back out of the fused table, no second byte-level pass
     t0 = time.perf_counter()
-    hashes = image_ahash(media).persist()
-    n_hashes = hashes.count()
+    fused = image_hashes(media).persist()
+    n_hashes = fused.count()
     t_hash = time.perf_counter() - t0
-    # round 11: the second (gradient) family — mean-invariant, so the
-    # planted paint-a-cell variants whose mean shift flips >3 aHash
-    # bits still verify via dHash
-    t0 = time.perf_counter()
-    dhashes = image_dhash(media).persist()
-    dhashes.count()
-    t_dhash = time.perf_counter() - t0
+    hashes = fused.select(
+        "doc_id",
+        "ahash",
+        F.col("a_hi").alias("hi"),
+        F.col("a_lo").alias("lo"),
+    )
+    dhashes = fused.select(
+        "doc_id",
+        "dhash",
+        F.col("d_hi").alias("hi"),
+        F.col("d_lo").alias("lo"),
+    )
 
     # --- stage 2: banded Hamming near-dup join over the hash table
     t0 = time.perf_counter()
@@ -392,7 +399,6 @@ def main() -> None:
                 "decoded_gb": round(n_images * (54 + W * H * 3) / 2**30, 2),
                 "gen_s": round(t_gen, 1),
                 "hash_s": round(t_hash, 1),
-                "dhash_s": round(t_dhash, 1),
                 "images_per_s": round(n_hashes / t_hash, 0),
                 "join_s": round(t_join, 1),
                 "near_pairs": n_pairs,
@@ -446,8 +452,7 @@ def main() -> None:
         )
     )
     pairs.unpersist()
-    dhashes.unpersist()
-    hashes.unpersist()
+    fused.unpersist()
     apairs.unpersist()
     contours.unpersist()
 
