@@ -182,6 +182,118 @@ def auto_quantizer_shape(n_vecs: int) -> tuple[int, int]:
 # arithmetic over the existing lf CTE.
 _RESIDUAL_KEY = "__pq_residual__"
 
+# How the residual knob was resolved: {"mode": "auto"|"explicit",
+# "variance_ratio": float|None, "chosen_residual": bool} — stamped in
+# the generation manifest so a store's encoding choice is auditable.
+_RESIDUAL_MODE_KEY = "__pq_residual_mode__"
+
+# residual="auto" picks residual encoding when the coarse quantizer
+# captures locality: intra-cell variance E||x - c(x)||^2 well below the
+# corpus variance E||x - mean||^2 means residuals concentrate near the
+# origin and the codebook quantizes them finer (the clustered regime,
+# measured 8x better ADC recall at 8M); on a corpus the cells DON'T
+# compress (hash-uniform embeddings: ratio ~= 1) residual encoding is
+# strictly worse (the registered negative control, 0.24 vs 0.40
+# recall@10), so raw wins. 0.5 sits between the measured regimes
+# (clustered rehearsal ~0.1, uniform fixture ~0.9) with wide margins.
+RESIDUAL_AUTO_RATIO = 0.5
+
+# diagnostic sample: 1-in-16 deterministic hash sample, plus the low-id
+# prefix so tiny fixtures never sample empty
+_VAR_SAMPLE_MOD = 16
+_VAR_SAMPLE_PREFIX = 1024
+
+
+def _assignment_variance_ratio(
+    cells: DataFrame, cell_ids: np.ndarray, cents: np.ndarray
+) -> float:
+    """Intra-cell / global variance ratio of an assigned corpus — the
+    residual="auto" diagnostic, computed from the assignment pass the
+    build already materializes (no extra shuffle: one map-only pass over
+    a deterministic hash sample, one metadata-sized partial per
+    partition). intra = mean ||x - c(x)||^2 against the ASSIGNED
+    centroid; global = mean ||x||^2 - ||mean x||^2 (the standard
+    decomposition, so no second pass for the mean). ``cents`` is the
+    FLOAT centroid matrix aligned with sorted ``cell_ids`` (non-
+    contiguous fine-cell ids from a refined 2-level train are fine)."""
+    sample = cells.filter(
+        (F.pmod(F.abs(F.hash("vec_id")), F.lit(_VAR_SAMPLE_MOD)) == 0)
+        | (F.col("vec_id") < _VAR_SAMPLE_PREFIX)
+    ).select("embedding", "cell")
+    ids = np.asarray(cell_ids, dtype="int64")
+    cmat = np.asarray(cents, dtype=np.float64)
+
+    def partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(
+                pdf["embedding"].map(np.asarray).to_numpy()
+            ).astype(np.float64)
+            c = cmat[np.searchsorted(ids, pdf["cell"].to_numpy("int64"))]
+            r = x - c
+            yield pd.DataFrame(
+                {
+                    "n": pd.Series([len(x)], dtype="int64"),
+                    "ss": [float((x * x).sum())],
+                    "rss": [float((r * r).sum())],
+                    "sv": [x.sum(axis=0).tolist()],
+                }
+            )
+
+    rows = sample.mapInPandas(
+        partials, "n bigint, ss double, rss double, sv array<double>"
+    ).collect()
+    n = sum(r.n for r in rows)
+    if n == 0:
+        return 1.0  # empty corpus: no locality evidence, keep raw
+    ss = sum(r.ss for r in rows)
+    rss = sum(r.rss for r in rows)
+    mean = np.sum([r.sv for r in rows], axis=0) / n
+    var_total = ss / n - float(mean @ mean)
+    if var_total <= 0:  # all-identical corpus: residuals are exact
+        return 0.0
+    return (rss / n) / var_total
+
+
+def _resolve_residual_auto(
+    index_dir: str,
+    residual: bool | str,
+    cells: DataFrame,
+    cell_ids: np.ndarray | None,
+    cents: np.ndarray | None,
+) -> bool:
+    """Resolve the residual knob AFTER the assignment exists: explicit
+    bools pass through; ``"auto"`` measures the variance ratio and
+    chooses. Either way the choice and how it was made are stamped in
+    the manifest (readers and appends dispatch off _RESIDUAL_KEY as
+    before; _RESIDUAL_MODE_KEY is the audit trail)."""
+    if residual == "auto":
+        ratio = _assignment_variance_ratio(cells, cell_ids, cents)
+        chosen = ratio < RESIDUAL_AUTO_RATIO
+        M.write_meta(
+            index_dir,
+            _RESIDUAL_MODE_KEY,
+            {
+                "mode": "auto",
+                "variance_ratio": round(float(ratio), 4),
+                "chosen_residual": bool(chosen),
+            },
+        )
+    else:
+        chosen = bool(residual)
+        M.write_meta(
+            index_dir,
+            _RESIDUAL_MODE_KEY,
+            {
+                "mode": "explicit",
+                "variance_ratio": None,
+                "chosen_residual": chosen,
+            },
+        )
+    M.write_meta(index_dir, _RESIDUAL_KEY, bool(chosen))
+    return chosen
+
 
 def _int_centroids(mat: np.ndarray) -> np.ndarray:
     """half-up integer components of the centroid matrix — the same
@@ -222,7 +334,7 @@ def build_ann_index(
     n_tables: int = S.N_TABLES,
     n_planes: int = S.N_PLANES,
     refine_iters: int = 0,
-    residual: bool = False,
+    residual: bool | str = "auto",
     train_fraction: float | None = None,
 ) -> None:
     """Encode the corpus once and land every staging table on disk.
@@ -250,12 +362,16 @@ def build_ann_index(
     deterministic-sample convention; the codebook table keeps its
     schema so `_load_codebook` is unchanged, and the manifest carries
     the flag so readers and appends dispatch the matching encode/LUT.
+    The DEFAULT ``residual="auto"`` measures the intra-cell / global
+    variance ratio on the assignment this build materializes anyway and
+    picks the regime's winning encoding with no knob
+    (:func:`_resolve_residual_auto` — clustered corpora get residual,
+    uniform ones raw; the choice and ratio are stamped in the manifest).
     """
     _CENTROIDS.pop(index_dir, None)  # rebuilt index invalidates the
     _CODEBOOKS.pop(index_dir, None)  # in-process quantizer cache
     _SQ_STATS.pop(index_dir, None)
     _stamp_layout(index_dir)
-    M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
     # a rebuild orphans any derived SQ8 arm (its grid was trained on the
     # old corpus); drop the flag so readers fail loudly until it's re-added
     M.write_meta(index_dir, _SQ8_KEY, False)
@@ -316,6 +432,13 @@ def build_ann_index(
     # one assignment pass feeds both partitioned layouts
     cells = cells.persist()
     try:
+        residual = _resolve_residual_auto(
+            index_dir,
+            residual,
+            cells,
+            np.arange(len(cent_matrix), dtype="int64"),
+            cent_matrix,
+        )
         if residual:
             # residual codebook: the first PQ_K vectors' residuals
             # against THEIR OWN centroids (metadata-sized collect —
@@ -1484,7 +1607,7 @@ def build_ann_index_2level(
     n_cells: int | None = N_CELLS_2L,
     refine_iters: int = 0,
     train_fraction: float | None = None,
-    residual: bool = False,
+    residual: bool | str = "auto",
 ) -> None:
     """Build the sharded-quantizer index: coarse groups over fine cells.
 
@@ -1513,7 +1636,8 @@ def build_ann_index_2level(
     _CODEBOOKS.pop(index_dir, None)
     _SQ_STATS.pop(index_dir, None)
     _stamp_layout(index_dir)
-    M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
+    # the residual flag is stamped by _land_2level_corpus AFTER the
+    # assignment exists (residual="auto" decides from it)
     # a rebuild orphans any derived SQ8 arm (grid trained on the old
     # corpus) — drop the flag so readers fail loudly until re-added
     M.write_meta(index_dir, _SQ8_KEY, False)
@@ -1567,15 +1691,17 @@ def build_ann_index_2level(
             .join(F.broadcast(gmap_df), "cell")
             .select("vec_id", "embedding", "group", "cell")
         )
-        res_cells = None
-        if residual:
-            res_cells = (
+        _land_2level_corpus(
+            spark,
+            index_dir,
+            emb,
+            assigned,
+            fine_cells=(
                 np.array([int(r.cell) for r in fine_rows], dtype="int64"),
-                _int_centroids(
-                    np.array([r.c_emb for r in fine_rows], dtype=np.float64)
-                ),
-            )
-        _land_2level_corpus(spark, index_dir, emb, assigned, res_cells)
+                np.array([r.c_emb for r in fine_rows], dtype=np.float64),
+            ),
+            residual=residual,
+        )
         return
 
     cent_rows = (
@@ -1645,12 +1771,14 @@ def build_ann_index_2level(
         .join(F.broadcast(gmap_df), "cell")
         .select("vec_id", "embedding", "group", "cell")
     )
-    res_cells = (
-        (np.arange(n_cells, dtype="int64"), _int_centroids(c_mat))
-        if residual
-        else None
+    _land_2level_corpus(
+        spark,
+        index_dir,
+        emb,
+        assigned,
+        fine_cells=(np.arange(n_cells, dtype="int64"), c_mat),
+        residual=residual,
     )
-    _land_2level_corpus(spark, index_dir, emb, assigned, res_cells)
 
 
 def _land_2level_corpus(
@@ -1658,7 +1786,8 @@ def _land_2level_corpus(
     index_dir: str,
     emb: DataFrame,
     assigned: DataFrame,
-    residual_cells: tuple[np.ndarray, np.ndarray] | None = None,
+    fine_cells: tuple[np.ndarray, np.ndarray] | None = None,
+    residual: bool | str = False,
 ) -> None:
     """Land the corpus-scale tables shared by the driver-side and
     distributed 2-level builds: the PQ ``codebook/`` (single-level
@@ -1668,17 +1797,33 @@ def _land_2level_corpus(
     ``vectors/`` from ONE persisted pass over ``assigned``
     (vec_id, embedding, group, cell).
 
-    ``residual_cells`` = (sorted fine cell ids, their integer centroid
-    rows) switches the PQ arm to RESIDUAL encoding against each row's
-    fine centroid (the 2-level FAISS IndexIVFPQ composition): the
-    codebook becomes the first PQ_K vectors' residuals and the encoder
-    looks its centroid up by cell. Requires the fine quantizer
-    collectible — the driver builds' contract; the distributed build
-    encodes inside its cogroup instead."""
+    ``residual`` resolves here, against the persisted assignment
+    (:func:`_resolve_residual_auto` — "auto" measures the intra-cell /
+    global variance ratio, explicit bools pass through; either way the
+    manifest gets the flag + audit record). When residual wins,
+    ``fine_cells`` = (sorted fine cell ids, their FLOAT centroid rows)
+    supplies the per-cell centroids: the PQ arm encodes each row's
+    RESIDUAL against its fine centroid (the 2-level FAISS IndexIVFPQ
+    composition), the codebook becomes the first PQ_K vectors'
+    residuals, and the encoder looks its centroid up by cell. Requires
+    the fine quantizer collectible — the driver builds' contract; the
+    distributed build encodes inside its cogroup instead (and passes
+    ``residual=False`` here, having stamped its own choice)."""
     assigned = assigned.persist()
     try:
-        if residual_cells is not None:
-            cell_ids, icents = residual_cells
+        use_residual = _resolve_residual_auto(
+            index_dir,
+            residual,
+            assigned,
+            fine_cells[0] if fine_cells is not None else None,
+            fine_cells[1] if fine_cells is not None else None,
+        )
+        if use_residual:
+            assert fine_cells is not None, "residual needs fine_cells"
+            cell_ids = np.asarray(fine_cells[0], dtype="int64")
+            icents = _int_centroids(
+                np.asarray(fine_cells[1], dtype=np.float64)
+            )
             icent_by_cell = {
                 int(c): icents[i] for i, c in enumerate(cell_ids)
             }
@@ -2407,6 +2552,19 @@ def build_ann_index_2level_distributed(
     _SQ_STATS.pop(index_dir, None)
     _stamp_layout(index_dir)
     M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
+    # the distributed build's knob is explicit (the decision diagnostic
+    # wants the collectible fine quantizer the driver builds have; at
+    # the scale this build exists for, the operator sizes the regime) —
+    # stamp the audit record to say so
+    M.write_meta(
+        index_dir,
+        _RESIDUAL_MODE_KEY,
+        {
+            "mode": "explicit",
+            "variance_ratio": None,
+            "chosen_residual": bool(residual),
+        },
+    )
     # a rebuild orphans any derived SQ8 arm (grid trained on the old
     # corpus) — drop the flag so readers fail loudly until re-added
     M.write_meta(index_dir, _SQ8_KEY, False)

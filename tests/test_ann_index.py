@@ -810,6 +810,89 @@ def test_residual_index_semantics_and_lifecycle(spark, tmp_path):
     assert raw != want  # residual ADC is a different approximation
 
 
+def _clustered_emb(spark, n=2000, dim=S.DIM, spread=0.02):
+    """Deterministic clustered corpus: 4 well-separated centers
+    (vec_id % 4), tiny intra-cluster jitter — the regime where residual
+    encoding wins (cells capture nearly all the variance)."""
+    import numpy as np
+
+    centers = np.array(
+        [
+            [1.0] * dim,
+            [-1.0] * dim,
+            [1.0, -1.0] * (dim // 2),
+            [-1.0, 1.0] * (dim // 2),
+        ]
+    )
+    rs = np.random.RandomState(7)
+    rows = []
+    for i in range(n):
+        v = centers[i % 4] + rs.uniform(-spread, spread, dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_residual_auto_selection_picks_the_regime(spark, tmp_path):
+    """residual="auto" — the build DEFAULT — must pick raw on a corpus
+    whose cells capture no locality (the fixture's hash-uniform
+    embeddings: measured ratio ~1.5) and residual on a clustered corpus
+    (ratio ~0), on BOTH layouts, with the choice and the measured
+    variance ratio stamped in the manifest; an explicit bool overrides
+    and stamps mode="explicit". The auto-chosen residual store must be
+    artifact-equivalent to an explicitly-residual build (same decision
+    path downstream of the flag)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qs = _queries(spark)
+
+    d_u = str(tmp_path / "auto_uniform")
+    AI.build_ann_index(spark, emb, d_u)  # default residual="auto"
+    mode = M.read_meta(d_u, AI._RESIDUAL_MODE_KEY)
+    assert mode["mode"] == "auto" and mode["chosen_residual"] is False
+    assert mode["variance_ratio"] > AI.RESIDUAL_AUTO_RATIO
+    assert M.read_meta(d_u, AI._RESIDUAL_KEY) is False
+
+    clustered = _clustered_emb(spark).persist()
+    cqs = [
+        (int(r.vec_id), list(r.embedding))
+        for r in clustered.filter(F.col("vec_id") < 3).collect()
+    ]
+    d_c = str(tmp_path / "auto_clustered")
+    AI.build_ann_index(spark, clustered, d_c)
+    mode = M.read_meta(d_c, AI._RESIDUAL_MODE_KEY)
+    assert mode["mode"] == "auto" and mode["chosen_residual"] is True
+    assert mode["variance_ratio"] < AI.RESIDUAL_AUTO_RATIO
+    assert M.read_meta(d_c, AI._RESIDUAL_KEY) is True
+    # auto-chosen residual == explicitly-residual (same store semantics)
+    d_ce = str(tmp_path / "explicit_clustered")
+    AI.build_ann_index(spark, clustered, d_ce, residual=True)
+    assert _rows(
+        AI.ann_index_ivfpq_topk(spark, d_c, cqs, K)
+    ) == _rows(AI.ann_index_ivfpq_topk(spark, d_ce, cqs, K))
+    assert (
+        M.read_meta(d_ce, AI._RESIDUAL_MODE_KEY)["mode"] == "explicit"
+    )
+
+    # the 2-level layout makes the same call in both regimes
+    d2_u = str(tmp_path / "auto2l_uniform")
+    AI.build_ann_index_2level(spark, emb, d2_u)
+    assert (
+        M.read_meta(d2_u, AI._RESIDUAL_MODE_KEY)["chosen_residual"]
+        is False
+    )
+    d2_c = str(tmp_path / "auto2l_clustered")
+    AI.build_ann_index_2level(spark, clustered, d2_c)
+    m2 = M.read_meta(d2_c, AI._RESIDUAL_MODE_KEY)
+    assert m2["mode"] == "auto" and m2["chosen_residual"] is True
+    clustered.unpersist()
+    # uniform-fixture sanity: the auto default left the standard index
+    # bit-compatible with the raw-PQ oracle family
+    got = _rows(AI.ann_index_ivfpq_topk(spark, d_u, qs, K))
+    want = _rows(S.ivfpq_topk(emb, QUERY_IDS, K))
+    assert got == want
+
+
 def test_2level_residual_builds_match_and_hold_semantics(spark, tmp_path):
     """Residual PQ on the TWO-LEVEL layout: the driver build (fine
     collectible → cell-keyed residual encoder) and the distributed

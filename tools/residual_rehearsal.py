@@ -125,7 +125,14 @@ def main() -> None:
         "variants": {},
     }
     dirs = {}
-    for variant, kwargs in [("raw", {}), ("residual", {"residual": True})]:
+    for variant, kwargs in [
+        ("raw", {"residual": False}),
+        ("residual", {"residual": True}),
+        # round 12: the no-knob arm — the build's DEFAULT measures the
+        # intra-cell/global variance ratio on its own assignment and
+        # must pick residual here (the clustered regime)
+        ("auto", {"residual": "auto"}),
+    ]:
         d = f"{BASE}/index_resfam_{variant}_{n_vecs}"
         dirs[variant] = d
         shutil.rmtree(d, ignore_errors=True)
@@ -181,6 +188,63 @@ def main() -> None:
     _, m1 = AI._read_centroids(spark, dirs["raw"])
     _, m2 = AI._read_centroids(spark, dirs["residual"])
     out["same_centroids"] = bool(np.array_equal(m1, m2))
+
+    # chosen == best: the auto arm's manifest choice must match the
+    # measured winner between the two explicit arms (ADC recall, p4)
+    from rds_pgbadger_etl_spark.operators import index_maintenance as IM
+
+    mode = IM.read_meta(dirs["auto"], AI._RESIDUAL_MODE_KEY)
+    best = max(
+        ("raw", "residual"),
+        key=lambda v: out["variants"][v]["adc_recall_p4"],
+    )
+    out["auto_choice"] = {
+        "variance_ratio": mode["variance_ratio"],
+        "chosen_residual": mode["chosen_residual"],
+        "best_arm": best,
+        "chosen_matches_best": bool(
+            mode["chosen_residual"] == (best == "residual")
+        ),
+    }
+
+    # the NEGATIVE regime with no knob: a hash-uniform corpus (the
+    # registered negative control's distribution) must make auto pick
+    # raw — both regimes' winners selected by the same default
+    uni = (
+        spark.range(200_000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        F.pmod(
+                            F.abs(F.hash(F.col("id") * 131 + d)),
+                            F.lit(2000),
+                        )
+                        / 1000.0
+                        - 1.0
+                    ).cast("float")
+                    for d in range(DIM)
+                ]
+            ).alias("embedding"),
+        )
+    )
+    d_uni = f"{BASE}/index_resfam_auto_uniform"
+    shutil.rmtree(d_uni, ignore_errors=True)
+    AI.build_ann_index(
+        spark,
+        uni,
+        d_uni,
+        n_centroids=AI.auto_n_centroids(200_000),
+        refine_iters=2,
+        train_fraction=0.05,
+    )
+    umode = IM.read_meta(d_uni, AI._RESIDUAL_MODE_KEY)
+    out["auto_choice_uniform"] = {
+        "variance_ratio": umode["variance_ratio"],
+        "chosen_residual": umode["chosen_residual"],
+        "chosen_matches_best": umode["chosen_residual"] is False,
+    }
     print(json.dumps(out))
 
 
