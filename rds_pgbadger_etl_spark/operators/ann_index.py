@@ -972,6 +972,10 @@ def ann_index_lsh_topk(
 # cross-engine-identical.
 
 _SQ8_KEY = "__sq8__"
+# Row count of the corpus the int8 grid was trained on — stamped by
+# add_sq8_to_ann_index so the stats audit can report how far the corpus
+# has grown past the grid (the drift-age signal).
+_SQ8_TRAINED_ROWS_KEY = "__sq8_trained_rows__"
 _SQ_STATS: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
 
@@ -1061,7 +1065,19 @@ def add_sq8_to_ann_index(spark: SparkSession, index_dir: str) -> None:
     under the layout's own pruning key — ``cell`` on the single-level
     index, ``(group, cell)`` on the two-level one — so probed reads
     stay partition-pruned on either layout. Idempotent (overwrite);
-    re-run after a rebuild to retrain the grid."""
+    re-run after a rebuild to retrain the grid.
+
+    RETRAIN RULE: the grid is immutable once built (appends encode
+    against it, unclipped, so search stays exact), but a drifting
+    append distribution walks codes outside 0..255 — storage grows past
+    the 64 B/vector design point and code-space distances lose
+    resolution on the drifted components. :func:`ann_index_stats`
+    reports ``sq8_oob_code_frac`` (fraction of code components outside
+    the byte range) and ``sq8_rows_past_grid`` (rows appended since the
+    grid trained): when oob_frac rises past ~1% or the corpus has more
+    than doubled past the grid, re-run this verb — it re-derives the
+    grid AND re-encodes every stored vector from ``raw/``, so the arm
+    comes back clean in one idempotent pass."""
     _check_layout(index_dir)
     _SQ_STATS.pop(index_dir, None)
     pcols = ["group", "cell"] if _is_2level(index_dir) else ["cell"]
@@ -1089,6 +1105,12 @@ def add_sq8_to_ann_index(spark: SparkSession, index_dir: str) -> None:
         .partitionBy(*pcols)
         .parquet(M.table_path(index_dir, "sq8"))
     )
+    # drift-age anchor: how many rows the grid was trained on (one
+    # count over the just-written metadata-pruned codes table)
+    n_trained = spark.read.parquet(
+        M.table_path(index_dir, "sq8")
+    ).count()
+    M.write_meta(index_dir, _SQ8_TRAINED_ROWS_KEY, int(n_trained))
     M.write_meta(index_dir, _SQ8_KEY, True)
 
 
@@ -1264,9 +1286,50 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     ``max_part_files``) and whether the partitioning is balanced
     (``max_part_rows`` vs ``avg_part_rows``). Rows-only by design: the
     physical file layout is Spark-side state with no SQL-expressible
-    DuckDB twin. Layout-dispatched like :func:`compact_ann_index`."""
+    DuckDB twin. Layout-dispatched like :func:`compact_ann_index`.
+
+    When the SQ8 arm is present its row additionally carries the GRID
+    DRIFT audit (null on every other table): ``sq8_oob_code_frac`` =
+    fraction of code components outside 0..255 (appends encode against
+    the immutable grid unclipped — exactness is preserved, but OOB
+    codes mean the append distribution has walked past the trained
+    range) and ``sq8_rows_past_grid`` = rows added since the grid
+    trained. The retrain rule lives on :func:`add_sq8_to_ann_index`."""
     _check_layout(index_dir)
-    return M.index_stats(spark, index_dir, _table_map(index_dir))
+    stats = M.index_stats(spark, index_dir, _table_map(index_dir))
+    if not M.read_meta(index_dir, _SQ8_KEY, False):
+        return stats.withColumn(
+            "sq8_oob_code_frac", F.lit(None).cast("double")
+        ).withColumn("sq8_rows_past_grid", F.lit(None).cast("long"))
+    # one aggregate over the codes table; the per-element HOF is fine
+    # here — this is a maintenance audit, not the probe path
+    oob = F.size(
+        F.filter("codes", lambda c: (c < F.lit(0)) | (c > F.lit(255)))
+    )
+    drift = (
+        spark.read.parquet(M.table_path(index_dir, "sq8"))
+        .agg(
+            (
+                F.sum(oob).cast("double") / F.sum(F.size("codes"))
+            ).alias("frac"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()[0]
+    )
+    trained = M.read_meta(index_dir, _SQ8_TRAINED_ROWS_KEY, None)
+    past = (
+        int(drift.n_rows) - int(trained) if trained is not None else None
+    )
+    return stats.withColumn(
+        "sq8_oob_code_frac",
+        F.when(
+            F.col("table") == "sq8",
+            F.lit(float(drift.frac or 0.0)),
+        ).cast("double"),
+    ).withColumn(
+        "sq8_rows_past_grid",
+        F.when(F.col("table") == "sq8", F.lit(past)).cast("long"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -266,7 +266,9 @@ def run_incremental_ann(
     the other quantizers (unclipped codes keep later out-of-range
     components exact); subsequent appends maintain the arm off the
     stored manifest flag, so streaming into a pre-built SQ8 store needs
-    no flag here at all."""
+    no flag here at all. Resuming with ``sq8=True`` over an existing
+    store that LACKS the arm derives it once (idempotent) rather than
+    silently ignoring the request."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -278,6 +280,11 @@ def run_incremental_ann(
                 "append"
             ).parquet(flags_out_dir)
             AI.append_to_ann_index(spark, batch, index_dir)
+            if sq8 and not M.read_meta(index_dir, AI._SQ8_KEY, False):
+                # requested arm absent from a pre-existing store (e.g. a
+                # resume over a store bootstrapped without it): derive
+                # it now instead of silently dropping the request
+                AI.add_sq8_to_ann_index(spark, index_dir)
         else:
             spark.createDataFrame([], _FLAG_SCHEMA).withColumn(
                 "batch_id", F.lit(batch_id)
@@ -349,6 +356,10 @@ def run_incremental_ann_2level(
                 "append"
             ).parquet(flags_out_dir)
             AI.append_to_ann_index_2level(spark, batch, index_dir)
+            if sq8 and not M.read_meta(index_dir, AI._SQ8_KEY, False):
+                # same resume contract as the single-level driver: a
+                # requested-but-absent arm is derived, never dropped
+                AI.add_sq8_to_ann_index(spark, index_dir)
         else:
             spark.createDataFrame([], _FLAG_SCHEMA).withColumn(
                 "batch_id", F.lit(batch_id)

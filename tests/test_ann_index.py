@@ -1088,6 +1088,50 @@ def test_sq8_append_uses_stored_grid_and_stays_exact(spark, tmp_path):
     )
 
 
+def test_sq8_grid_drift_audit_reports_oob_while_search_stays_exact(
+    spark, tmp_path
+):
+    """A deliberately drifted append population (components scaled past
+    the trained grid's range) must surface in ann_index_stats as a
+    non-zero sq8_oob_code_frac plus the rows-past-grid age, while the
+    covering-shortlist search anchor still equals IVF-Flat (codes are
+    unclipped, so exactness survives drift — the audit is about storage
+    and resolution, not correctness). Pre-drift the fraction is exactly
+    zero and the age anchor matches the trained row count."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    half = n // 2
+    d = str(tmp_path / "sq8_drift")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.add_sq8_to_ann_index(spark, d)
+    st = {r.table: r for r in AI.ann_index_stats(spark, d).collect()}
+    assert st["sq8"].sq8_oob_code_frac == 0.0
+    assert st["sq8"].sq8_rows_past_grid == 0
+    assert st["raw"].sq8_oob_code_frac is None  # audit is sq8-only
+
+    # drifted appends: 3x the trained range on every component
+    drifted = emb.filter(F.col("vec_id") >= half).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(3.0)).cast("float")
+        ).alias("embedding"),
+    )
+    AI.append_to_ann_index(spark, drifted, d)
+    st = {r.table: r for r in AI.ann_index_stats(spark, d).collect()}
+    assert st["sq8"].sq8_oob_code_frac > 0.0
+    assert st["sq8"].sq8_rows_past_grid == n - half
+    # exactness anchor unharmed by OOB codes
+    qs = _queries(spark)
+    assert _rows(AI.ann_index_sq8_topk(spark, d, qs, K, 10**9)) == _rows(
+        AI.ann_index_ivf_topk(spark, d, qs, K)
+    )
+    # the retrain verb clears the audit (grid re-derived over the union)
+    AI.add_sq8_to_ann_index(spark, d)
+    st = {r.table: r for r in AI.ann_index_stats(spark, d).collect()}
+    assert st["sq8"].sq8_oob_code_frac == 0.0
+    assert st["sq8"].sq8_rows_past_grid == 0
+
+
 def test_sq8_tombstones_and_compaction(spark, tmp_path):
     """Tombstoned ids vanish from SQ8 search logically; compaction
     includes the sq8 table (one file-set per cell again, deletes

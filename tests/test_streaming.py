@@ -825,3 +825,44 @@ def test_incremental_ann_sq8_bootstrap_stream(spark, tmp_path):
 
     b0_lo = np.array(b0.select("embedding").toPandas()["embedding"].tolist())
     assert lo == [float(x) for x in b0_lo.astype("float64").min(axis=0)]
+
+
+def test_stream_resume_with_sq8_derives_missing_arm(spark, tmp_path):
+    """Resuming a stream with sq8=True over a store that was
+    bootstrapped WITHOUT the arm must derive it once (idempotent)
+    instead of silently ignoring the flag — the requested arm is
+    present and searchable after the resumed batch."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+    from rds_pgbadger_etl_spark.plans.llm_ops import _query_vectors
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        run_incremental_ann,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    src, store, ckpt, flags = (
+        str(tmp_path / d) for d in ("src", "store", "ckpt", "flags")
+    )
+    emb.filter(F.col("vec_id") < n // 2).write.mode("append").parquet(src)
+    run_incremental_ann(
+        spark.readStream.schema(emb.schema).parquet(src),
+        store, ckpt, flags, k=3,  # no sq8 at bootstrap
+    )
+    assert M.read_meta(store, AI._SQ8_KEY, False) is False
+    emb.filter(F.col("vec_id") >= n // 2).write.mode("append").parquet(src)
+    run_incremental_ann(
+        spark.readStream.schema(emb.schema).parquet(src),
+        store, ckpt, flags, k=3, sq8=True,  # resume requests the arm
+    )
+    assert M.read_meta(store, AI._SQ8_KEY) is True
+    q = _query_vectors(spark, sf)
+    got = sorted(
+        map(str, AI.ann_index_sq8_topk(spark, store, q, 5, 10**9).collect())
+    )
+    flat = sorted(
+        map(str, AI.ann_index_ivf_topk(spark, store, q, 5).collect())
+    )
+    assert got == flat and got
