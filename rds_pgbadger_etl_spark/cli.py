@@ -97,7 +97,67 @@ def build_parser() -> argparse.ArgumentParser:
                    help="table directory for --query (parquet tables)")
     p.add_argument("--limit", type=int, default=50,
                    help="max rows to print for --query (default 50)")
+    p.add_argument("--compact", default=None, metavar="TABLE_DIR",
+                   help="maintenance verb: compact the partitioned "
+                        "parquet table at TABLE_DIR to size-targeted "
+                        "files (the small-file repair an hourly cron "
+                        "run schedules) and exit")
+    p.add_argument("--compact-partition-cols", default="log_date,log_hour",
+                   metavar="COLS",
+                   help="comma-separated partition columns of the "
+                        "--compact table (default: the events layout "
+                        "log_date,log_hour)")
+    p.add_argument("--compact-sort", default=None, metavar="COLS",
+                   help="comma-separated within-file sort columns for "
+                        "--compact (single-dimension row-group "
+                        "skipping, e.g. event_ts)")
+    p.add_argument("--cluster", default=None, metavar="COLS",
+                   help="comma-separated columns to Z-ORDER-cluster "
+                        "during --compact: per-run domain bounds feed "
+                        "the interleaved-bit key and files become "
+                        "disjoint in z-space, so scans filtering on ANY "
+                        "of these columns skip whole files (supersedes "
+                        "--compact-sort)")
     return p
+
+
+def run_compact(args) -> None:
+    """The layout-maintenance verb: size-targeted compaction with
+    optional single-column sort or multi-column Z-order clustering —
+    the cron job a 100 TB events table needs beside the hourly parse."""
+    from rds_pgbadger_etl_spark.session import get_spark
+    from rds_pgbadger_etl_spark.sinks.layout import (
+        compact_partitioned,
+        partition_file_stats,
+    )
+
+    spark = get_spark(app_name="rds-pgbadger-etl-spark", cpus=args.cpus)
+    pcols = [c for c in args.compact_partition_cols.split(",") if c]
+    before = sum(
+        r.n_files
+        for r in partition_file_stats(spark, args.compact, pcols).collect()
+    )
+    compact_partitioned(
+        spark,
+        args.compact,
+        pcols,
+        sort_cols=(
+            [c for c in args.compact_sort.split(",") if c]
+            if args.compact_sort
+            else None
+        ),
+        cluster_cols=(
+            [c for c in args.cluster.split(",") if c]
+            if args.cluster
+            else None
+        ),
+    )
+    after = sum(
+        r.n_files
+        for r in partition_file_stats(spark, args.compact, pcols).collect()
+    )
+    how = f"z-ordered on {args.cluster}" if args.cluster else "compacted"
+    print(f"{how} {args.compact}: {before} -> {after} files")
 
 
 def _parser(spark, strategy: str, paths: list[str]):
@@ -334,6 +394,9 @@ def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     if args.list_queries or args.query:
         run_query(args)
+        return
+    if args.compact:
+        run_compact(args)
         return
     if not args.log_dir or not args.out_dir:
         raise SystemExit("--log-dir and --out-dir are required (or env vars)")

@@ -105,10 +105,31 @@ FROM catalog GROUP BY log_date
 # oracle reproduces the classification from the source table.
 
 
-def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Per-(process, sf, kind) staging dirs for the file-source round-trip
+# queries — a PRIVATE mkdtemp per process (like the ANN/layout staging
+# helpers) rather than a fixed world-guessable gettempdir() name: two
+# concurrent runs at the same sf can't overwrite each other's files
+# mid-read, and nothing attacker-pre-creatable is reused. Stable within
+# the process so bench's repeated runs rewrite in place.
+_INGEST_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _ingest_dir(kind: str, sf_dir: str) -> str:
     import os
     import tempfile
 
+    key = (kind, sf_dir)
+    d = _INGEST_DIRS.get(key)
+    if d is None:
+        sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        d = os.path.join(
+            tempfile.mkdtemp(prefix=f"{kind}_{sf_tag}_"), "data"
+        )
+        _INGEST_DIRS[key] = d
+    return d
+
+
+def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -120,12 +141,7 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(doc)
         .alias("value")
     )
-    # stable per-sf path + overwrite: repeated runs (bench does 3)
-    # rewrite in place instead of accumulating scratch directories
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"jsonl_src_{sf_tag}"
-    )
+    out_dir = _ingest_dir("jsonl_src", sf_dir)
     lines.write.mode("overwrite").text(out_dir)
     parsed = (
         spark.read.schema(
@@ -174,14 +190,10 @@ GROUP BY 1
 
 
 def orc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out_dir = os.path.join(tempfile.gettempdir(), f"orc_src_{sf_tag}")
+    out_dir = _ingest_dir("orc_src", sf_dir)
     ev.write.mode("overwrite").orc(out_dir)
     back = spark.read.orc(out_dir).filter(F.col("value") > 50.0)
     return back.groupBy("event_type").agg(

@@ -111,12 +111,28 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
     zdir, tdir = _staged_layouts(spark, sf_dir)
-    # footer stats come back tz-aware (the session writes UTC micros)
-    t_lo = _dt.datetime.fromisoformat(T_LO).replace(tzinfo=_dt.timezone.utc)
-    t_hi = _dt.datetime.fromisoformat(T_HI).replace(tzinfo=_dt.timezone.utc)
+    t_lo = _dt.datetime.fromisoformat(T_LO)
+    t_hi = _dt.datetime.fromisoformat(T_HI)
     rows = []
     for layout, d in (("zorder", zdir), ("ts_sorted", tdir)):
         ranges = parquet_file_ranges(d, ["user_id", "ts"])
+        # match the comparison tz to the FOOTER VALUES themselves
+        # (zorder_range_query and its oracle interpret the T_LO/T_HI
+        # literals in the session timezone, and stats may come back
+        # aware or naive depending on the writer) — deriving tzinfo
+        # from the stats keeps the audited box aligned with the
+        # oracle-checked query in any session tz, and never compares
+        # aware against naive
+        stat_tz = next(
+            (
+                r["ts"][0].tzinfo
+                for r in ranges
+                if r["ts"][0] is not None
+            ),
+            None,
+        )
+        t_lo_c = t_lo.replace(tzinfo=stat_tz)
+        t_hi_c = t_hi.replace(tzinfo=stat_tz)
         n_user = sum(
             1 for r in ranges if _overlaps(r["user_id"], U_LO, U_HI)
         )
@@ -124,7 +140,7 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             1
             for r in ranges
             if _overlaps(r["user_id"], U_LO, U_HI)
-            and _overlaps(r["ts"], t_lo, t_hi)
+            and _overlaps(r["ts"], t_lo_c, t_hi_c)
         )
         rows.append((layout, "user_only", len(ranges), n_user))
         rows.append((layout, "box", len(ranges), n_box))

@@ -53,6 +53,7 @@ def compact_partitioned(
     sort_cols: list[str] | None = None,
     target_file_bytes: int = TARGET_FILE_BYTES,
     partition_filter: Column | None = None,
+    cluster_cols: list[str] | None = None,
 ) -> None:
     """Rewrite partitions of a parquet table with size-targeted files
     and optional within-file ordering.
@@ -63,6 +64,16 @@ def compact_partitioned(
     partition overwrite rewrites everything. ``partition_filter`` limits
     the rewrite to chosen partitions (the scale path: compact recent
     hours per run, not the whole table).
+
+    ``cluster_cols`` upgrades the rewrite to a MULTI-COLUMN Z-order
+    clustering (the maintenance-path delivery of :func:`write_zorder`):
+    per-run domain bounds feed :func:`zorder_key`, and instead of hash
+    salting, rows range-partition on (partition values, z) — files
+    within each partition become DISJOINT in z-space, so footer min/max
+    pruning skips whole files for predicates on ANY participating
+    column. The hourly cron compaction gets multi-dimension skipping
+    with one flag, no standalone rewrite. ``sort_cols`` is superseded
+    when clustering (the z-key IS the order).
     """
     df = spark.read.parquet(table_dir)
     if partition_filter is not None:
@@ -85,10 +96,53 @@ def compact_partitioned(
         + (int(max(1, -(-r.part_bytes // target_file_bytes))),)
         for r in sizes
     ]
+    total_files = sum(r[-1] for r in n_map)
+    if cluster_cols:
+        dcols = {c: F.col(c).cast("double") for c in cluster_cols}
+        bounds = df.select(
+            *[
+                f
+                for c in cluster_cols
+                for f in (
+                    F.min(dcols[c]).alias(f"lo_{c}"),
+                    F.max(dcols[c]).alias(f"hi_{c}"),
+                )
+            ]
+        ).first()
+        if not any(bounds[f"lo_{c}"] is None for c in cluster_cols):
+            zkey = zorder_key(
+                *[
+                    scale_to_bits(
+                        dcols[c], bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+                    )
+                    for c in cluster_cols
+                ]
+            )
+            # range partitioning on (partition values, z) makes each
+            # partition's files disjoint z-ranges — file-level skipping,
+            # not just row-group — while dirs stay contiguous per task.
+            # A range task can straddle a partition-value boundary, so
+            # the writer may emit up to one extra file per boundary
+            # (<= total_files + n_partitions files overall) — the cost
+            # of keeping the clustering one shuffle
+            clustered = (
+                df.withColumn("_z", zkey)
+                .repartitionByRange(total_files, *partition_cols, "_z")
+                .sortWithinPartitions(*partition_cols, "_z")
+            )
+            ready = clustered.drop("_z").localCheckpoint(eager=True)
+            (
+                ready.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols)
+                .parquet(table_dir)
+            )
+            return
+        # all-null cluster domain: nothing to cluster, fall through to
+        # the plain salted compaction
     map_df = F.broadcast(
         spark.createDataFrame(n_map, partition_cols + ["_n_files"])
     )
-    total_files = sum(r[-1] for r in n_map)
     salted = (
         df.join(map_df, partition_cols)
         .withColumn(
@@ -246,6 +300,12 @@ def write_zorder(
             )
         ]
     ).first()
+    if any(bounds[f"lo_{c}"] is None for c in cols):
+        # empty input (or an all-null key column): there is nothing to
+        # cluster — land the empty table rather than crashing on
+        # float(None) in scale_to_bits
+        df.write.mode("overwrite").parquet(out_dir)
+        return
     key = zorder_key(
         *[
             scale_to_bits(
