@@ -4154,6 +4154,28 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.ann_index_stats(spark, _ann_index_upsert_shared(spark, sf_dir))
 
 
+def ann_index_sq8_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 GRID-DRIFT audit as a registry row: ann_index_stats over
+    the staged store that actually carries the arm, filtered to the
+    sq8 table — out-of-range code fraction (appends encode unclipped
+    against the immutable grid, so a drifted append population walks
+    codes past 0..255) and rows-past-grid age, the two numbers the
+    retrain rule on add_sq8_to_ann_index reads. On the fixture store
+    (no appends after the derive) both are exactly 0/0 — the audit's
+    healthy baseline, re-verified every round. Rows-only by design:
+    physical artifact state, same contract as ann_index_stats."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_stats(
+        spark, _ann_index_sq8_shared(spark, sf_dir)
+    ).where(F.col("table") == "sq8").select(
+        "table",
+        "rows",
+        "sq8_oob_code_frac",
+        "sq8_rows_past_grid",
+    )
+
+
 def embed_documents_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-inference stage (operators/inference.embed_documents):
     text → embedding vectors through the real mapInPandas plumbing with
@@ -5586,6 +5608,7 @@ QUERIES = {
         _ANN_2LEVEL_RESIDUAL_SQL,
     ),
     "ann_index_stats": (ann_index_stats, None),
+    "ann_index_sq8_drift": (ann_index_sq8_drift, None),
     "ann_knn_join": (ann_knn_join, _ANN_KNN_JOIN_SQL),
     "embedding_pagerank": (embedding_pagerank, _PAGERANK_SQL),
     "embedding_communities": (embedding_communities, _LPA_SQL),

@@ -59,6 +59,11 @@ def test_every_query_has_oracle_or_documented_exception(spark):
         # of the persisted index — Spark-side state with no SQL twin;
         # compaction semantics pinned in test_ann_index.py
         "ann_index_stats",
+        # the SQ8 grid-drift slice of the same physical audit (OOB code
+        # fraction + rows-past-grid) — artifact state with no SQL twin;
+        # the drifted-append behavior and retrain rule are pinned in
+        # test_ann_index.py::test_sq8_grid_drift_audit_*
+        "ann_index_sq8_drift",
         # same layout-audit contract for the dedup signature store;
         # compaction semantics pinned in test_dedup_index.py
         "dedup_index_stats",
