@@ -220,9 +220,71 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# CSV file source (fourth source format: parquet, JSONL, ORC, CSV).
+# CSV is the interchange format real log pipelines actually receive;
+# it has no embedded schema and its DEFAULT timestamp rendering drops
+# sub-millisecond precision, so the round-trip pins the two things a
+# CSV ingester must get right: an explicit read schema and an explicit
+# microsecond timestampFormat on BOTH sides (the engine-wide
+# TIMESTAMP_MICROS discipline carried to a text format). Filter and
+# aggregate off the read-back; the oracle recomputes from the source
+# table, so a hash match proves the text round-trip is lossless —
+# including microseconds and the float value column (rounded to cents
+# before summing, the same convention as the JSONL/ORC twins).
+
+_CSV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def csv_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out_dir = _ingest_dir("csv_src", sf_dir)
+    (
+        ev.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", _CSV_TS_FMT)
+        .csv(out_dir)
+    )
+    back = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("header", "true")
+        .option("timestampFormat", _CSV_TS_FMT)
+        .csv(out_dir)
+        .filter(F.col("value") > 50.0)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+_CSV_INGEST_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       cast(count(DISTINCT user_id) AS bigint) AS n_users,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sum_cents
+FROM events
+WHERE value > 50.0
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "catalog_select_files": (catalog_select_files, _CATALOG_SELECT_SQL),
     "catalog_dates": (catalog_dates, _CATALOG_DATES_SQL),
     "jsonl_ingest_stats": (jsonl_ingest_stats, _JSONL_INGEST_SQL),
     "orc_ingest_stats": (orc_ingest_stats, _ORC_INGEST_SQL),
+    "csv_ingest_stats": (csv_ingest_stats, _CSV_INGEST_SQL),
 }
