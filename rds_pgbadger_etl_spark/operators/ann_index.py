@@ -244,6 +244,12 @@ def _assignment_variance_ratio(
     rows = sample.mapInPandas(
         partials, "n bigint, ss double, rss double, sv array<double>"
     ).collect()
+    return _ratio_from_partials(rows)
+
+
+def _ratio_from_partials(rows) -> float:
+    """Reduce the metadata-sized (n, ss, rss, sv) partials into the
+    intra-cell / global variance ratio."""
     n = sum(r.n for r in rows)
     if n == 0:
         return 1.0  # empty corpus: no locality evidence, keep raw
@@ -2591,13 +2597,17 @@ def build_ann_index_2level_distributed(
     n_cells: int | None = N_CELLS_2L,
     refine_iters: int = 0,
     train_fraction: float | None = None,
-    residual: bool = False,
+    residual: bool | str = "auto",
 ) -> None:
     """:func:`build_ann_index_2level` with the fine quantizer kept
     distributed (module comment above) — artifacts are search-identical
     to the driver-side build; use this past ~1M fine cells, where the
     driver-side pool collect and full-quantizer UDF closure stop being
-    feasible. The pool-position window runs over quantizer-scale rows
+    feasible. ``residual="auto"`` (the default, same contract as the
+    driver builds) measures the variance-ratio diagnostic WITHOUT
+    collecting the fine quantizer: a deterministic corpus sample takes
+    the same cogrouped assignment and joins its fine centroid back
+    JVM-side (:func:`_distributed_variance_ratio`). The pool-position window runs over quantizer-scale rows
     only (<= n_cells), never the corpus. ``refine_iters > 0`` trains
     both quantizer levels with Lloyd's k-means
     (:func:`_refined_quantizers_2level` — the fine level's training is
@@ -2614,20 +2624,9 @@ def build_ann_index_2level_distributed(
     _CODEBOOKS.pop(index_dir, None)
     _SQ_STATS.pop(index_dir, None)
     _stamp_layout(index_dir)
-    M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
-    # the distributed build's knob is explicit (the decision diagnostic
-    # wants the collectible fine quantizer the driver builds have; at
-    # the scale this build exists for, the operator sizes the regime) —
-    # stamp the audit record to say so
-    M.write_meta(
-        index_dir,
-        _RESIDUAL_MODE_KEY,
-        {
-            "mode": "explicit",
-            "variance_ratio": None,
-            "chosen_residual": bool(residual),
-        },
-    )
+    # the residual flag is stamped by _assign_and_land_2level_distributed
+    # AFTER the assignment machinery exists (residual="auto" decides
+    # from a sampled assignment)
     # a rebuild orphans any derived SQ8 arm (grid trained on the old
     # corpus) — drop the flag so readers fail loudly until re-added
     M.write_meta(index_dir, _SQ8_KEY, False)
@@ -2723,13 +2722,68 @@ def build_ann_index_2level_distributed(
         pool.unpersist()
 
 
+def _distributed_variance_ratio(
+    spark: SparkSession, with_group: DataFrame, fine_shards: DataFrame
+) -> float:
+    """The residual="auto" diagnostic for the DISTRIBUTED build — the
+    same intra-cell / global variance ratio as
+    :func:`_assignment_variance_ratio`, computed without ever
+    collecting the fine quantizer: a deterministic hash sample of the
+    corpus takes the same cogrouped per-group assignment, re-attaches
+    its embedding and its fine centroid JVM-side (sample-sized joins;
+    the centroid join key is the metadata-sized fine table), and emits
+    one metadata-sized partial per partition."""
+    sample = with_group.filter(
+        (F.pmod(F.abs(F.hash("vec_id")), F.lit(_VAR_SAMPLE_MOD)) == 0)
+        | (F.col("vec_id") < _VAR_SAMPLE_PREFIX)
+    )
+    s_ids = (
+        sample.groupBy("group")
+        .cogroup(fine_shards.groupBy("group"))
+        .applyInPandas(_assign_cells_in_group, _ASSIGNED_SCHEMA)
+    )
+    joined = (
+        s_ids.join(sample.select("vec_id", "embedding"), "vec_id")
+        .join(
+            fine_shards.select("group", "cell", "c_emb"),
+            ["group", "cell"],
+        )
+        .select("embedding", "c_emb")
+    )
+
+    def partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(
+                pdf["embedding"].map(np.asarray).to_numpy()
+            ).astype(np.float64)
+            c = np.vstack(pdf["c_emb"].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            r = x - c
+            yield pd.DataFrame(
+                {
+                    "n": pd.Series([len(x)], dtype="int64"),
+                    "ss": [float((x * x).sum())],
+                    "rss": [float((r * r).sum())],
+                    "sv": [x.sum(axis=0).tolist()],
+                }
+            )
+
+    rows = joined.mapInPandas(
+        partials, "n bigint, ss double, rss double, sv array<double>"
+    ).collect()
+    return _ratio_from_partials(rows)
+
+
 def _assign_and_land_2level_distributed(
     spark: SparkSession,
     emb: DataFrame,
     index_dir: str,
     live: list[int],
     g_live_mat: np.ndarray,
-    residual: bool = False,
+    residual: bool | str = False,
 ) -> None:
     """The distributed builds' shared corpus-assignment tail: nearest
     LIVE group map-side (tiny broadcast), nearest cell WITHIN the group
@@ -2739,7 +2793,9 @@ def _assign_and_land_2level_distributed(
     one JVM-side shuffle join keyed by vec_id, which is cheaper than
     Arrow-serializing every float array back OUT of the Python worker
     (the r10 rehearsal measured the two-way Arrow payload as the
-    distributed build's dominant term)."""
+    distributed build's dominant term). ``residual`` resolves here
+    ("auto" via the sampled distributed diagnostic) and the choice is
+    stamped in the manifest like the driver builds'."""
     nearest_live = _nearest_group_udf(
         np.array(live, dtype="int64"), g_live_mat
     )
@@ -2758,6 +2814,28 @@ def _assign_and_land_2level_distributed(
         F.col("cell").cast("long").alias("cell"),
         "c_emb",
     )
+    auto_record = None
+    if residual == "auto":
+        ratio = _distributed_variance_ratio(spark, with_group, fine_shards)
+        residual = ratio < RESIDUAL_AUTO_RATIO
+        auto_record = {
+            "mode": "auto",
+            "variance_ratio": round(float(ratio), 4),
+            "chosen_residual": bool(residual),
+        }
+        M.write_meta(index_dir, _RESIDUAL_MODE_KEY, auto_record)
+    else:
+        residual = bool(residual)
+        M.write_meta(
+            index_dir,
+            _RESIDUAL_MODE_KEY,
+            {
+                "mode": "explicit",
+                "variance_ratio": None,
+                "chosen_residual": residual,
+            },
+        )
+    M.write_meta(index_dir, _RESIDUAL_KEY, bool(residual))
     if residual:
         # the residual arm, fully distributed: the codebook derives
         # from the PQ_K prefix pushed through the SAME two-stage
@@ -2834,3 +2912,7 @@ def _assign_and_land_2level_distributed(
         emb.select("vec_id", "embedding"), "vec_id"
     ).select("vec_id", "embedding", "group", "cell")
     _land_2level_corpus(spark, index_dir, emb, assigned)
+    if auto_record is not None:
+        # _land_2level_corpus stamps the resolved explicit-False mode;
+        # restore the auto audit record (the chosen flag is identical)
+        M.write_meta(index_dir, _RESIDUAL_MODE_KEY, auto_record)

@@ -885,6 +885,24 @@ def test_residual_auto_selection_picks_the_regime(spark, tmp_path):
     AI.build_ann_index_2level(spark, clustered, d2_c)
     m2 = M.read_meta(d2_c, AI._RESIDUAL_MODE_KEY)
     assert m2["mode"] == "auto" and m2["chosen_residual"] is True
+
+    # the DISTRIBUTED build makes the same no-knob call via its sampled
+    # diagnostic (no fine-quantizer collect), both regimes
+    dd_u = str(tmp_path / "autodist_uniform")
+    AI.build_ann_index_2level_distributed(spark, emb, dd_u)
+    md = M.read_meta(dd_u, AI._RESIDUAL_MODE_KEY)
+    assert md["mode"] == "auto" and md["chosen_residual"] is False
+    assert M.read_meta(dd_u, AI._RESIDUAL_KEY) is False
+    dd_c = str(tmp_path / "autodist_clustered")
+    AI.build_ann_index_2level_distributed(spark, clustered, dd_c)
+    md = M.read_meta(dd_c, AI._RESIDUAL_MODE_KEY)
+    assert md["mode"] == "auto" and md["chosen_residual"] is True
+    assert M.read_meta(dd_c, AI._RESIDUAL_KEY) is True
+    # distributed auto == driver auto on the same corpus (same choice,
+    # same search results)
+    assert _rows(
+        AI.ann_index_2level_topk(spark, dd_c, cqs, K)
+    ) == _rows(AI.ann_index_2level_topk(spark, d2_c, cqs, K))
     clustered.unpersist()
     # uniform-fixture sanity: the auto default left the standard index
     # bit-compatible with the raw-PQ oracle family
