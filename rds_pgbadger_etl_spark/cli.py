@@ -137,7 +137,7 @@ def run_compact(args) -> None:
         r.n_files
         for r in partition_file_stats(spark, args.compact, pcols).collect()
     )
-    compact_partitioned(
+    mode = compact_partitioned(
         spark,
         args.compact,
         pcols,
@@ -156,7 +156,16 @@ def run_compact(args) -> None:
         r.n_files
         for r in partition_file_stats(spark, args.compact, pcols).collect()
     )
-    how = f"z-ordered on {args.cluster}" if args.cluster else "compacted"
+    # report what actually ran — a requested clustering can fall back
+    # to the plain compaction (all-null cluster domain, e.g. a
+    # non-numeric column), and the operator must not believe the table
+    # gained multi-dimension skipping when it did not
+    if args.cluster and mode != "zorder":
+        print(
+            f"WARNING: --cluster {args.cluster} did not apply "
+            f"(no non-null numeric domain); plain compaction ran"
+        )
+    how = f"z-ordered on {args.cluster}" if mode == "zorder" else "compacted"
     print(f"{how} {args.compact}: {before} -> {after} files")
 
 

@@ -223,14 +223,30 @@ def _assignment_variance_ratio(
     ids = np.asarray(cell_ids, dtype="int64")
     cmat = np.asarray(cents, dtype=np.float64)
 
+    def xc(pdf):
+        x = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )
+        return x, cmat[np.searchsorted(ids, pdf["cell"].to_numpy("int64"))]
+
+    return _ratio_from_partials(_variance_partials(sample, xc))
+
+
+_VAR_PARTIAL_SCHEMA = "n bigint, ss double, rss double, sv array<double>"
+
+
+def _variance_partials(df: DataFrame, xc_of) -> list:
+    """Metadata-sized (n, ss, rss, sv) variance partials, one row per
+    Arrow batch of ``df``; ``xc_of(pdf)`` returns the batch's (vector,
+    assigned-centroid) float64 matrices — the ONLY piece that differs
+    between the driver and distributed diagnostics, so the statistics
+    themselves cannot diverge."""
+
     def partials(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            x = np.vstack(
-                pdf["embedding"].map(np.asarray).to_numpy()
-            ).astype(np.float64)
-            c = cmat[np.searchsorted(ids, pdf["cell"].to_numpy("int64"))]
+            x, c = xc_of(pdf)
             r = x - c
             yield pd.DataFrame(
                 {
@@ -241,10 +257,7 @@ def _assignment_variance_ratio(
                 }
             )
 
-    rows = sample.mapInPandas(
-        partials, "n bigint, ss double, rss double, sv array<double>"
-    ).collect()
-    return _ratio_from_partials(rows)
+    return df.mapInPandas(partials, _VAR_PARTIAL_SCHEMA).collect()
 
 
 def _ratio_from_partials(rows) -> float:
@@ -1299,16 +1312,36 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     fraction of code components outside 0..255 (appends encode against
     the immutable grid unclipped — exactness is preserved, but OOB
     codes mean the append distribution has walked past the trained
-    range) and ``sq8_rows_past_grid`` = rows added since the grid
-    trained. The retrain rule lives on :func:`add_sq8_to_ann_index`."""
+    range) and ``sq8_rows_past_grid`` = NET row growth since the grid
+    trained (negative after compacted deletes shrink the corpus below
+    what the grid saw — read as max(0, value)). The retrain rule lives
+    on :func:`add_sq8_to_ann_index`."""
     _check_layout(index_dir)
     stats = M.index_stats(spark, index_dir, _table_map(index_dir))
     if not M.read_meta(index_dir, _SQ8_KEY, False):
         return stats.withColumn(
             "sq8_oob_code_frac", F.lit(None).cast("double")
         ).withColumn("sq8_rows_past_grid", F.lit(None).cast("long"))
-    # one aggregate over the codes table; the per-element HOF is fine
-    # here — this is a maintenance audit, not the probe path
+    frac, _n_rows, past = _sq8_drift_numbers(spark, index_dir)
+    return stats.withColumn(
+        "sq8_oob_code_frac",
+        F.when(F.col("table") == "sq8", F.lit(frac)).cast("double"),
+    ).withColumn(
+        "sq8_rows_past_grid",
+        F.when(F.col("table") == "sq8", F.lit(past)).cast("long"),
+    )
+
+
+def _sq8_drift_numbers(
+    spark: SparkSession, index_dir: str
+) -> tuple[float, int, int | None]:
+    """(oob_frac, n_rows, rows_past_grid) from ONE aggregate over the
+    sq8 codes table plus the manifest anchor. ``rows_past_grid`` is the
+    NET row growth since the grid trained — deletes applied physically
+    by a later compaction shrink it and can make it negative (the
+    corpus is smaller than the grid ever saw: no drift pressure); the
+    retrain rule reads it as max(0, value). The per-element HOF is fine
+    here — this is a maintenance audit, not the probe path."""
     oob = F.size(
         F.filter("codes", lambda c: (c < F.lit(0)) | (c > F.lit(255)))
     )
@@ -1326,15 +1359,23 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     past = (
         int(drift.n_rows) - int(trained) if trained is not None else None
     )
-    return stats.withColumn(
-        "sq8_oob_code_frac",
-        F.when(
-            F.col("table") == "sq8",
-            F.lit(float(drift.frac or 0.0)),
-        ).cast("double"),
-    ).withColumn(
-        "sq8_rows_past_grid",
-        F.when(F.col("table") == "sq8", F.lit(past)).cast("long"),
+    return float(drift.frac or 0.0), int(drift.n_rows), past
+
+
+def sq8_drift_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The drift audit ALONE — one aggregate over only the sq8 codes
+    table (the registered per-round query's shape: ann_index_stats
+    would re-aggregate every artifact table just to keep one row).
+    Raises if the store has no SQ8 arm, like the sq8 readers."""
+    if not M.read_meta(index_dir, _SQ8_KEY, False):
+        raise ValueError(
+            f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
+        )
+    frac, n_rows, past = _sq8_drift_numbers(spark, index_dir)
+    return spark.createDataFrame(
+        [("sq8", n_rows, frac, past)],
+        "table string, rows bigint, sq8_oob_code_frac double, "
+        "sq8_rows_past_grid bigint",
     )
 
 
@@ -1857,6 +1898,7 @@ def _land_2level_corpus(
     assigned: DataFrame,
     fine_cells: tuple[np.ndarray, np.ndarray] | None = None,
     residual: bool | str = False,
+    stamp_residual: bool = True,
 ) -> None:
     """Land the corpus-scale tables shared by the driver-side and
     distributed 2-level builds: the PQ ``codebook/`` (single-level
@@ -1877,16 +1919,21 @@ def _land_2level_corpus(
     residuals, and the encoder looks its centroid up by cell. Requires
     the fine quantizer collectible — the driver builds' contract; the
     distributed build encodes inside its cogroup instead (and passes
-    ``residual=False`` here, having stamped its own choice)."""
+    ``stamp_residual=False`` with its already-resolved-and-stamped
+    choice, so nothing here re-writes the manifest record)."""
     assigned = assigned.persist()
     try:
-        use_residual = _resolve_residual_auto(
-            index_dir,
-            residual,
-            assigned,
-            fine_cells[0] if fine_cells is not None else None,
-            fine_cells[1] if fine_cells is not None else None,
-        )
+        if stamp_residual:
+            use_residual = _resolve_residual_auto(
+                index_dir,
+                residual,
+                assigned,
+                fine_cells[0] if fine_cells is not None else None,
+                fine_cells[1] if fine_cells is not None else None,
+            )
+        else:
+            assert residual in (True, False), "pass a resolved bool"
+            use_residual = bool(residual)
         if use_residual:
             assert fine_cells is not None, "residual needs fine_cells"
             cell_ids = np.asarray(fine_cells[0], dtype="int64")
@@ -2751,30 +2798,16 @@ def _distributed_variance_ratio(
         .select("embedding", "c_emb")
     )
 
-    def partials(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            x = np.vstack(
-                pdf["embedding"].map(np.asarray).to_numpy()
-            ).astype(np.float64)
-            c = np.vstack(pdf["c_emb"].map(np.asarray).to_numpy()).astype(
-                np.float64
-            )
-            r = x - c
-            yield pd.DataFrame(
-                {
-                    "n": pd.Series([len(x)], dtype="int64"),
-                    "ss": [float((x * x).sum())],
-                    "rss": [float((r * r).sum())],
-                    "sv": [x.sum(axis=0).tolist()],
-                }
-            )
+    def xc(pdf):
+        x = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )
+        c = np.vstack(pdf["c_emb"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )
+        return x, c
 
-    rows = joined.mapInPandas(
-        partials, "n bigint, ss double, rss double, sv array<double>"
-    ).collect()
-    return _ratio_from_partials(rows)
+    return _ratio_from_partials(_variance_partials(joined, xc))
 
 
 def _assign_and_land_2level_distributed(
@@ -2814,16 +2847,18 @@ def _assign_and_land_2level_distributed(
         F.col("cell").cast("long").alias("cell"),
         "c_emb",
     )
-    auto_record = None
     if residual == "auto":
         ratio = _distributed_variance_ratio(spark, with_group, fine_shards)
         residual = ratio < RESIDUAL_AUTO_RATIO
-        auto_record = {
-            "mode": "auto",
-            "variance_ratio": round(float(ratio), 4),
-            "chosen_residual": bool(residual),
-        }
-        M.write_meta(index_dir, _RESIDUAL_MODE_KEY, auto_record)
+        M.write_meta(
+            index_dir,
+            _RESIDUAL_MODE_KEY,
+            {
+                "mode": "auto",
+                "variance_ratio": round(float(ratio), 4),
+                "chosen_residual": bool(residual),
+            },
+        )
     else:
         residual = bool(residual)
         M.write_meta(
@@ -2911,8 +2946,9 @@ def _assign_and_land_2level_distributed(
     assigned = assigned_ids.join(
         emb.select("vec_id", "embedding"), "vec_id"
     ).select("vec_id", "embedding", "group", "cell")
-    _land_2level_corpus(spark, index_dir, emb, assigned)
-    if auto_record is not None:
-        # _land_2level_corpus stamps the resolved explicit-False mode;
-        # restore the auto audit record (the chosen flag is identical)
-        M.write_meta(index_dir, _RESIDUAL_MODE_KEY, auto_record)
+    # choice already resolved and stamped above — the landing must not
+    # re-write the manifest record (a failure mid-landing would
+    # otherwise leave a wrong mode="explicit" stamp)
+    _land_2level_corpus(
+        spark, index_dir, emb, assigned, residual=False, stamp_residual=False
+    )

@@ -4163,17 +4163,12 @@ def ann_index_sq8_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrain rule on add_sq8_to_ann_index reads. On the fixture store
     (no appends after the derive) both are exactly 0/0 — the audit's
     healthy baseline, re-verified every round. Rows-only by design:
-    physical artifact state, same contract as ann_index_stats."""
+    physical artifact state, same contract as ann_index_stats. Reads
+    ONLY the sq8 codes table (sq8_drift_stats), not the full per-table
+    layout aggregate."""
     from rds_pgbadger_etl_spark.operators import ann_index as AI
 
-    return AI.ann_index_stats(
-        spark, _ann_index_sq8_shared(spark, sf_dir)
-    ).where(F.col("table") == "sq8").select(
-        "table",
-        "rows",
-        "sq8_oob_code_frac",
-        "sq8_rows_past_grid",
-    )
+    return AI.sq8_drift_stats(spark, _ann_index_sq8_shared(spark, sf_dir))
 
 
 def embed_documents_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,9 +54,13 @@ def compact_partitioned(
     target_file_bytes: int = TARGET_FILE_BYTES,
     partition_filter: Column | None = None,
     cluster_cols: list[str] | None = None,
-) -> None:
+) -> str:
     """Rewrite partitions of a parquet table with size-targeted files
-    and optional within-file ordering.
+    and optional within-file ordering. Returns the mode that actually
+    ran: ``"zorder"`` (clustered rewrite), ``"salted"`` (plain
+    compaction — including the documented fallback when every
+    ``cluster_cols`` domain is null, e.g. a non-numeric column cast to
+    double), or ``"noop"`` (no partitions matched).
 
     File count per partition derives from that partition's actual bytes
     (a skewed hour gets more files, a quiet hour gets one); rows are
@@ -90,7 +94,7 @@ def compact_partitioned(
         .collect()
     )
     if not sizes:
-        return
+        return "noop"
     n_map = [
         tuple(r[c] for c in partition_cols)
         + (int(max(1, -(-r.part_bytes // target_file_bytes))),)
@@ -98,7 +102,10 @@ def compact_partitioned(
     ]
     total_files = sum(r[-1] for r in n_map)
     if cluster_cols:
-        dcols = {c: F.col(c).cast("double") for c in cluster_cols}
+        # try_cast: a non-numeric column yields an all-null domain and
+        # takes the documented salted fallback (ANSI cast would throw
+        # mid-rewrite instead)
+        dcols = {c: F.col(c).try_cast("double") for c in cluster_cols}
         bounds = df.select(
             *[
                 f
@@ -137,9 +144,9 @@ def compact_partitioned(
                 .partitionBy(*partition_cols)
                 .parquet(table_dir)
             )
-            return
+            return "zorder"
         # all-null cluster domain: nothing to cluster, fall through to
-        # the plain salted compaction
+        # the plain salted compaction (reported via the return value)
     map_df = F.broadcast(
         spark.createDataFrame(n_map, partition_cols + ["_n_files"])
     )
@@ -163,6 +170,7 @@ def compact_partitioned(
         .partitionBy(*partition_cols)
         .parquet(table_dir)
     )
+    return "salted"
 
 
 # ---------------------------------------------------------------------------

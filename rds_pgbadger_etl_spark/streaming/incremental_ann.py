@@ -249,6 +249,7 @@ def run_incremental_ann(
     threshold: float | None = None,
     n_centroids: int | None = S.N_CENTROIDS,
     sq8: bool = False,
+    residual: bool | str = False,
 ) -> None:
     """The ingestion pipeline: per micro-batch, flag each new embedding's
     nearest already-indexed neighbors, write the flags, then admit the
@@ -260,6 +261,16 @@ def run_incremental_ann(
     micro-batch, so ``None`` (auto) would size for the batch, not the
     eventual corpus — a stream expecting to grow should pass
     ``ann_index.auto_n_centroids(expected_corpus_size)`` explicitly.
+
+    ``residual`` passes to the bootstrap build. The STREAMING default is
+    explicit ``False`` — NOT the batch builds' ``"auto"`` — for the same
+    first-batch reason as ``n_centroids``: the variance-ratio diagnostic
+    would measure one unrepresentative micro-batch and stamp the
+    encoding immutably (a batch at or below the centroid count measures
+    ratio 0 and would lock residual encoding for a corpus where raw
+    wins). A stream whose corpus is known-clustered passes ``True``;
+    ``"auto"`` is accepted but decides from the first batch — use it
+    only when that batch is representative.
 
     ``sq8=True`` derives the SQ8 arm right after the bootstrap build —
     its per-dim grid trains on the first batch and is immutable like
@@ -290,7 +301,11 @@ def run_incremental_ann(
                 "batch_id", F.lit(batch_id)
             ).write.mode("append").parquet(flags_out_dir)
             AI.build_ann_index(
-                spark, batch, index_dir, n_centroids=n_centroids
+                spark,
+                batch,
+                index_dir,
+                n_centroids=n_centroids,
+                residual=residual,
             )
             if sq8:
                 AI.add_sq8_to_ann_index(spark, index_dir)
@@ -322,7 +337,7 @@ def run_incremental_ann_2level(
     threshold: float | None = None,
     n_groups: int | None = AI.N_GROUPS_2L,
     n_cells: int | None = AI.N_CELLS_2L,
-    residual: bool = False,
+    residual: bool | str = False,
     sq8: bool = False,
 ) -> None:
     """:func:`run_incremental_ann` for the two-level (sharded-quantizer)
@@ -338,7 +353,10 @@ def run_incremental_ann_2level(
     ``residual`` selects the residual-PQ arm for that bootstrap — a
     store that already exists keeps whatever encoding it was built
     with (appends dispatch off the stored manifest flag), so streaming
-    into a pre-built residual store needs no flag here at all.
+    into a pre-built residual store needs no flag here at all. The
+    streaming default is explicit ``False``, not the batch builds'
+    ``"auto"`` — the diagnostic would measure one unrepresentative
+    first micro-batch (see :func:`run_incremental_ann`).
 
     ``n_groups``/``n_cells`` size the bootstrap build only (quantizers
     are immutable afterwards); as with the single-level driver, a stream

@@ -1143,11 +1143,30 @@ def test_sq8_grid_drift_audit_reports_oob_while_search_stays_exact(
     assert _rows(AI.ann_index_sq8_topk(spark, d, qs, K, 10**9)) == _rows(
         AI.ann_index_ivf_topk(spark, d, qs, K)
     )
+    # the drift-only reader returns the same numbers from ONE sq8
+    # aggregate (the registered query's shape)
+    row = AI.sq8_drift_stats(spark, d).collect()[0]
+    assert row.sq8_oob_code_frac == st["sq8"].sq8_oob_code_frac
+    assert row.sq8_rows_past_grid == st["sq8"].sq8_rows_past_grid
     # the retrain verb clears the audit (grid re-derived over the union)
     AI.add_sq8_to_ann_index(spark, d)
     st = {r.table: r for r in AI.ann_index_stats(spark, d).collect()}
     assert st["sq8"].sq8_oob_code_frac == 0.0
     assert st["sq8"].sq8_rows_past_grid == 0
+    # net-growth semantics: compacted deletes shrink the corpus below
+    # what the grid trained on — the documented negative reading
+    victims = [int(r.vec_id) for r in emb.limit(5).collect()]
+    AI.delete_from_ann_index(spark, victims, d)
+    AI.compact_ann_index(spark, d)
+    st = {r.table: r for r in AI.ann_index_stats(spark, d).collect()}
+    assert st["sq8"].sq8_rows_past_grid == -len(victims)
+    # no arm => loud, like the sq8 readers
+    d_raw = str(tmp_path / "no_arm")
+    AI.build_ann_index(spark, emb, d_raw)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        AI.sq8_drift_stats(spark, d_raw)
 
 
 def test_sq8_tombstones_and_compaction(spark, tmp_path):

@@ -153,6 +153,20 @@ def test_cli_compact_cluster_verb(capsys, spark, tmp_path):
     )
     msg = capsys.readouterr().out
     assert "z-ordered on user_id,ts" in msg
+    # a cluster request that can't apply (string column: all-null
+    # double domain) must WARN and report plain compaction, not claim
+    # z-ordering it didn't do
+    cli.main(
+        [
+            "--compact", out,
+            "--compact-partition-cols", "log_date",
+            "--cluster", "event_type",
+            "--cpus", "8",
+        ]
+    )
+    msg = capsys.readouterr().out
+    assert "WARNING" in msg and "did not apply" in msg
+    assert "z-ordered" not in msg
     assert sorted(map(str, spark.read.parquet(out).collect())) == want
     n_parts = spark.read.parquet(out).select("log_date").distinct().count()
     import glob

@@ -136,19 +136,47 @@ def test_compact_with_cluster_cols_delivers_file_skipping(
     want = rows_of(outs["zorder"])
     # small target bytes force several files per partition — the
     # regime where FILE-level (not just row-group) skipping shows
-    compact_partitioned(
-        spark,
-        outs["zorder"],
-        ["log_date"],
-        target_file_bytes=64 * 1024,
-        cluster_cols=["user_id", "ts"],
+    assert (
+        compact_partitioned(
+            spark,
+            outs["zorder"],
+            ["log_date"],
+            target_file_bytes=64 * 1024,
+            cluster_cols=["user_id", "ts"],
+        )
+        == "zorder"
     )
-    compact_partitioned(
-        spark,
-        outs["ts_sorted"],
-        ["log_date"],
-        target_file_bytes=64 * 1024,
-        sort_cols=["ts"],
+    assert (
+        compact_partitioned(
+            spark,
+            outs["ts_sorted"],
+            ["log_date"],
+            target_file_bytes=64 * 1024,
+            sort_cols=["ts"],
+        )
+        == "salted"
+    )
+    # a cluster request whose domain is all-null (string column cast to
+    # double) must REPORT the fallback, not silently claim clustering
+    assert (
+        compact_partitioned(
+            spark,
+            outs["ts_sorted"],
+            ["log_date"],
+            target_file_bytes=64 * 1024,
+            cluster_cols=["event_type"],
+        )
+        == "salted"
+    )
+    assert (
+        compact_partitioned(
+            spark,
+            outs["ts_sorted"],
+            ["log_date"],
+            partition_filter=F.col("log_date") == "1900-01-01",
+            cluster_cols=["user_id"],
+        )
+        == "noop"
     )
     assert rows_of(outs["zorder"]) == want
     assert rows_of(outs["ts_sorted"]) == want

@@ -852,6 +852,13 @@ def test_stream_resume_with_sq8_derives_missing_arm(spark, tmp_path):
         store, ckpt, flags, k=3,  # no sq8 at bootstrap
     )
     assert M.read_meta(store, AI._SQ8_KEY, False) is False
+    # the streaming bootstrap must NOT inherit the batch builds'
+    # residual="auto" (one micro-batch is unrepresentative): explicit
+    # raw unless the caller opts in
+    assert M.read_meta(store, AI._RESIDUAL_KEY) is False
+    assert (
+        M.read_meta(store, AI._RESIDUAL_MODE_KEY)["mode"] == "explicit"
+    )
     emb.filter(F.col("vec_id") >= n // 2).write.mode("append").parquet(src)
     run_incremental_ann(
         spark.readStream.schema(emb.schema).parquet(src),
