@@ -888,6 +888,71 @@ def ann_index_ivf_topk(
     )
 
 
+def ann_index_truncated_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    dims: int = S.MRL_DIMS,
+    shortlist: int = S.MRL_SHORTLIST,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """Adaptive retrieval over the artifact — BOTH pruning axes composed
+    at the reader with no new index state: the IVF probe prunes WHICH
+    raw partitions are read (rows touched ∝ probed cells), and the
+    matryoshka truncation prunes HOW MUCH of each row is scored (the
+    shortlist cosine runs on the leading ``dims`` of DIM components,
+    dims/DIM of the FLOPs and Arrow bytes). The exact rerank then
+    re-scores only ≤ queries × shortlist survivors at full dimension —
+    a broadcast point-lookup semi-join against the same probed
+    partitions, not a second corpus pass. Output contract matches
+    ann_index_ivf_topk (q_id, vec_id, sim, rank) with ``sim`` the exact
+    full-dimension cosine, so shortlist ≥ probed volume reproduces
+    IVF-Flat bit-for-bit (pinned in tests)."""
+    cells, mat = _read_centroids(spark, index_dir)
+    probes = _probe_cells(queries, cells, mat, n_probe)
+    probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
+    qdf = _queries_df(spark, queries)
+    q_sliced = qdf.select(
+        "q_id", F.slice("q_emb", 1, dims).alias("q_emb")
+    )
+    raw = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(M.table_path(index_dir, "raw")).where(
+            _cell_predicate(probes)
+        ),
+    )
+    tscored = (
+        raw.join(F.broadcast(probes_df), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q_sliced), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(
+                F.col("q_emb"), F.slice("embedding", 1, dims)
+            ).alias("tsim"),
+        )
+    )
+    short = S.topk_per_key(
+        tscored, "q_id", [F.col("tsim").desc(), F.col("vec_id")], shortlist
+    ).select("q_id", "vec_id")
+    rescored = (
+        raw.select("vec_id", "embedding")
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    return S.topk_per_key(
+        rescored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )
+
+
 def _query_buckets(
     queries: list[Query], n_tables: int, n_planes: int
 ) -> list[tuple[int, int, str]]:

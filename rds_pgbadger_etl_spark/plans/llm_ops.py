@@ -815,6 +815,160 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+# --- Matryoshka-style truncated-dimension search -------------------------
+# The DIMENSION ladder next to the precision ladder (PQ 2 B / SQ8 64 B /
+# raw 256 B per vector): cosine over only the leading `dims` components.
+# No index artifact, 4× less scanned+multiplied at dims=16 of 64; the
+# two-stage variant reranks a truncated shortlist with exact full-dim
+# cosine (adaptive retrieval). Unlike the index recall audits, the
+# truncation recall sweep is FULLY SQL-expressible (both arms are
+# deterministic top-k), so for once a recall measurement is oracle-green
+# rather than rows-only.
+
+_MRL_DIMS_SWEEP = (8, 16, 32)
+
+
+def _slice_cos_sql(a: str, b: str, d: int | str) -> str:
+    return _cos_sql(f"list_slice({a}, 1, {d})", f"list_slice({b}, 1, {d})")
+
+
+def ann_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: truncated-dimension brute-force top-k (leading 16 of 64
+    components) — the zero-artifact cheap rung of the dimension ladder."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.truncated_topk(emb, _QUERY_IDS, _TOPK)
+
+
+_ANN_TRUNC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+sims AS (
+  SELECT q.q_id, e.vec_id, {_slice_cos_sql('q.q_emb', 'e.emb', S.MRL_DIMS)} AS sim
+  FROM e, q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_TOPK}
+"""
+
+
+def ann_truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: truncated shortlist (16 dims, top-25) + exact
+    full-dimension rerank — coarse pass over everything, full-precision
+    pass over ≤ queries × shortlist point lookups."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.truncated_rerank_topk(emb, _QUERY_IDS, _TOPK)
+
+
+_ANN_TRUNC_RERANK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+tsims AS (
+  SELECT q.q_id, e.vec_id,
+         {_slice_cos_sql('q.q_emb', 'e.emb', S.MRL_DIMS)} AS tsim
+  FROM e, q WHERE e.vec_id <> q.q_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY tsim DESC, vec_id) AS rnk
+    FROM tsims) WHERE rnk <= {S.MRL_SHORTLIST}
+),
+re AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'e.emb')} AS sim
+  FROM short s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM re
+) WHERE rnk <= {_TOPK}
+"""
+
+
+def ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 audit, oracle-green: recall@5 of truncated-dimension
+    search vs the exact full-dimension top-k, swept over prefix widths
+    8/16/32 — the measured dims-vs-recall operating curve of
+    the dimension ladder. Both arms are deterministic (6-decimal
+    rounding, vec_id tie-break), so unlike the index recall audits this
+    one has a real SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = S.brute_force_topk(emb, _QUERY_IDS, _TOPK).select("q_id", "vec_id")
+    denom = float(len(_QUERY_IDS) * _TOPK)
+    arms = None
+    for d in _MRL_DIMS_SWEEP:
+        arm = S.truncated_topk(emb, _QUERY_IDS, _TOPK, dims=d).select(
+            F.lit(d).alias("dims"), "q_id", "vec_id"
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    hits = (
+        arms.join(full, ["q_id", "vec_id"])
+        .groupBy("dims")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    scaffold = spark.createDataFrame(
+        [(d,) for d in _MRL_DIMS_SWEEP], "dims int"
+    )
+    h = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+    return scaffold.join(hits, "dims", "left").select(
+        "dims",
+        h.alias("hits"),
+        F.round(h / F.lit(denom), 6).alias("recall"),
+    )
+
+
+_ANN_TRUNC_RECALL_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+fsims AS (
+  SELECT q.q_id, e.vec_id, {_cos_sql('q.q_emb', 'e.emb')} AS sim
+  FROM e, q WHERE e.vec_id <> q.q_id
+),
+f AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id) AS rnk
+    FROM fsims) WHERE rnk <= {_TOPK}
+),
+dm AS (SELECT * FROM (VALUES {", ".join(f"({d})" for d in _MRL_DIMS_SWEEP)}) t(dims)),
+tsims AS (
+  SELECT dm.dims, q.q_id, e.vec_id,
+         {_slice_cos_sql('q.q_emb', 'e.emb', 'dm.dims')} AS sim
+  FROM e, q, dm WHERE e.vec_id <> q.q_id
+),
+t AS (
+  SELECT dims, q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY dims, q_id
+                                 ORDER BY sim DESC, vec_id) AS rnk
+    FROM tsims) WHERE rnk <= {_TOPK}
+),
+h AS (
+  SELECT t.dims, count(*) AS hits
+  FROM t JOIN f ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+  GROUP BY t.dims
+)
+SELECT cast(dm.dims AS int) AS dims,
+       cast(coalesce(h.hits, 0) AS bigint) AS hits,
+       round(coalesce(h.hits, 0) / {float(len(_QUERY_IDS) * _TOPK)}, 6) AS recall
+FROM dm LEFT JOIN h USING (dims)
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(
@@ -3829,6 +3983,69 @@ def ann_index_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_index_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: adaptive retrieval over the persisted artifact — IVF
+    partition pruning × matryoshka truncated shortlist × exact full-dim
+    rerank, with no index state beyond the IVF layout itself."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_truncated_topk(
+        spark, _ann_index_shared(spark, sf_dir), _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+_ANN_IDX_TRUNC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+tsims AS (
+  SELECT p.q_id, a.vec_id,
+         {_slice_cos_sql('q.q_emb', 'a.emb', S.MRL_DIMS)} AS tsim
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id <> p.q_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY tsim DESC, vec_id) AS rnk
+    FROM tsims) WHERE rnk <= {S.MRL_SHORTLIST}
+),
+re AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'e.emb')} AS sim
+  FROM short s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM re
+) WHERE rnk <= {_TOPK}
+"""
+
+
 def _ann_index_upsert_shared(spark: SparkSession, sf_dir: str) -> str:
     """Index built on the FIRST HALF of the corpus, remainder appended
     with append_to_ann_index — encoding new vectors against the stored
@@ -5483,6 +5700,16 @@ QUERIES = {
     "text_token_count": (text_token_count, _TEXT_TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, _DOC_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, _ANN_BRUTE_SQL),
+    "ann_truncated_topk": (ann_truncated_topk, _ANN_TRUNC_SQL),
+    "ann_truncated_rerank_topk": (
+        ann_truncated_rerank_topk,
+        _ANN_TRUNC_RERANK_SQL,
+    ),
+    "ann_truncated_recall": (ann_truncated_recall, _ANN_TRUNC_RECALL_SQL),
+    "ann_index_truncated_topk": (
+        ann_index_truncated_topk,
+        _ANN_IDX_TRUNC_SQL,
+    ),
     "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
     "embedding_near_dups": (embedding_near_dups, _EMB_NEAR_DUPS_SQL),

@@ -776,6 +776,57 @@ def test_2level_distributed_build_matches_driver_build(spark, index2_dir, tmp_pa
     assert ra == rb and ra
 
 
+def test_truncated_reader_with_full_shortlist_equals_ivf_flat(
+    spark, index_dir
+):
+    """ann_index_truncated_topk's exactness anchor: with shortlist ≥
+    the probed volume the truncated stage cannot drop a candidate, so
+    the full-dim rerank must reproduce IVF-Flat bit-for-bit; at the
+    default (16-dim, 25-row) operating point the result stays a valid
+    top-k contract (k rows per query, exact full-dim sims)."""
+    qs = _queries(spark)
+    flat = _rows(AI.ann_index_ivf_topk(spark, index_dir, qs, K))
+    full = _rows(
+        AI.ann_index_truncated_topk(spark, index_dir, qs, K, shortlist=10**9)
+    )
+    assert full == flat
+    tight = AI.ann_index_truncated_topk(spark, index_dir, qs, K).collect()
+    assert len(tight) == len(QUERY_IDS) * K
+    sims = {(r.q_id, r.vec_id): r.sim for r in tight}
+    exact = {
+        (r[0], r[1]): r[2]
+        for r in flat
+    }
+    # every reranked sim that IS a true IVF neighbor carries the exact score
+    for key, sim in sims.items():
+        if key in exact:
+            assert sim == exact[key]
+
+
+def test_sq8_arm_on_distributed_build_matches_driver_build(
+    spark, index2_dir, tmp_path
+):
+    """add_sq8_to_ann_index is layout-agnostic by design (grid from
+    raw/, codes under the layout's own pruning key) — pin that deriving
+    it on a DISTRIBUTED-built two-level store yields the same grid and
+    search-identical SQ8 results as on the driver-built store, so the
+    past-the-clamp build path keeps the full arm ladder."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "idx2l_dist_sq8")
+    AI.build_ann_index_2level_distributed(spark, emb, d)
+    AI.add_sq8_to_ann_index(spark, d)
+    d_ref = str(tmp_path / "idx2l_drv_sq8")
+    AI.build_ann_index_2level(spark, emb, d_ref)
+    AI.add_sq8_to_ann_index(spark, d_ref)
+    qs = _queries(spark)
+    assert _rows(AI.ann_index_2level_sq8_topk(spark, d, qs, K)) == _rows(
+        AI.ann_index_2level_sq8_topk(spark, d_ref, qs, K)
+    )
+    va, sa = AI._read_sq_stats(spark, d)
+    vb, sb = AI._read_sq_stats(spark, d_ref)
+    assert (va == vb).all() and (sa == sb).all()
+
+
 def test_residual_index_semantics_and_lifecycle(spark, tmp_path):
     """The residual-PQ artifact (FAISS IndexIVFPQ composition): codes
     are argmin over the residual codebook; the per-(query, probed cell)

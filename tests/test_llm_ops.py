@@ -163,6 +163,70 @@ def test_lsh_recall_vs_brute_force(spark, sf_oracle):
     assert hits >= 3
 
 
+def test_truncated_topk_full_width_is_exact(spark, sf_oracle):
+    """Truncating to the FULL dimension must reproduce brute force
+    bit-for-bit — the slice is the only thing the truncated plan adds,
+    so at dims=DIM the two pipelines are the same computation."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    brute = {tuple(r) for r in S.brute_force_topk(emb, qids, 5).collect()}
+    trunc = {
+        tuple(r)
+        for r in S.truncated_topk(emb, qids, 5, dims=S.DIM).collect()
+    }
+    assert trunc == brute
+
+
+def test_truncated_rerank_exact_when_shortlist_covers(spark, sf_oracle):
+    """With shortlist ≥ corpus size the truncated stage cannot drop a
+    true neighbor, so the reranked result must equal brute force
+    exactly (sims are the FULL-dimension scores by contract)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count()
+    qids = [0, 1, 2, 3, 4]
+    brute = {tuple(r) for r in S.brute_force_topk(emb, qids, 5).collect()}
+    rer = {
+        tuple(r)
+        for r in S.truncated_rerank_topk(
+            emb, qids, 5, dims=8, shortlist=n
+        ).collect()
+    }
+    assert rer == brute
+
+
+def test_truncated_recall_sweep_shape_and_bounds(spark, sf_oracle):
+    """The oracled dims-sweep audit: one row per swept width, hits
+    within [0, queries×k], recall = hits/(queries×k), and the rerank
+    at the default shortlist must recover at least the truncated-only
+    arm's recall at the same width (rerank can only fix, never break,
+    an already-correct hit)."""
+    from rds_pgbadger_etl_spark.plans.llm_ops import (
+        _MRL_DIMS_SWEEP,
+        ann_truncated_recall,
+    )
+
+    rows = {r.dims: r for r in ann_truncated_recall(spark, sf_oracle).collect()}
+    assert set(rows) == set(_MRL_DIMS_SWEEP)
+    for r in rows.values():
+        assert 0 <= r.hits <= 25
+        assert abs(r.recall - round(r.hits / 25.0, 6)) < 1e-12
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    full = {
+        (r.q_id, r.vec_id) for r in S.brute_force_topk(emb, qids, 5).collect()
+    }
+    t16 = {
+        (r.q_id, r.vec_id)
+        for r in S.truncated_topk(emb, qids, 5, dims=16).collect()
+    }
+    r16 = {
+        (r.q_id, r.vec_id)
+        for r in S.truncated_rerank_topk(emb, qids, 5, dims=16).collect()
+    }
+    assert len(r16 & full) >= len(t16 & full)
+
+
 def test_multimodal_decode_real_roundtrip(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").limit(6)
     decoded = M.decode_media(M.attach_real_media(docs)).collect()
