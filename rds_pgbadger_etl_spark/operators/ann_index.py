@@ -2251,6 +2251,72 @@ def ann_index_2level_topk(
     )
 
 
+def ann_index_2level_truncated_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    dims: int = S.MRL_DIMS,
+    shortlist: int = S.MRL_SHORTLIST,
+    n_probe_groups: int = N_PROBE_GROUPS,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """Adaptive retrieval on the sharded-quantizer layout — the same
+    composition :func:`ann_index_truncated_topk` makes on the
+    single-level artifact, so the dimension ladder exists on BOTH
+    layouts like every other arm (flat/PQ/residual/SQ8): two-level
+    probe prunes the (group, cell) partitions read, the matryoshka
+    slice prunes the shortlist arithmetic to dims/DIM, and the exact
+    full-dimension rerank re-scores only ≤ queries × shortlist
+    survivors from the same pruned partitions. ``sim`` is the exact
+    full-dim cosine; shortlist ≥ probed volume reproduces the flat
+    2-level reader bit-for-bit (pinned in tests)."""
+    probes = _probe_cells_2level(
+        spark, index_dir, queries, n_probe_groups, n_probe
+    )
+    probes_df = spark.createDataFrame(
+        probes, "q_id long, group long, cell long"
+    )
+    qdf = _queries_df(spark, queries)
+    q_sliced = qdf.select("q_id", F.slice("q_emb", 1, dims).alias("q_emb"))
+    raw = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(M.table_path(index_dir, "raw")).where(
+            F.col("group").isin(sorted({g for _, g, _ in probes}))
+            & F.col("cell").isin(sorted({c for _, _, c in probes}))
+        ),
+    )
+    tscored = (
+        raw.join(F.broadcast(probes_df), ["group", "cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q_sliced), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(
+                F.col("q_emb"), F.slice("embedding", 1, dims)
+            ).alias("tsim"),
+        )
+    )
+    short = S.topk_per_key(
+        tscored, "q_id", [F.col("tsim").desc(), F.col("vec_id")], shortlist
+    ).select("q_id", "vec_id")
+    rescored = (
+        raw.select("vec_id", "embedding")
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    return S.topk_per_key(
+        rescored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )
+
+
 def _adc_lut_flat_residual_2level(
     spark: SparkSession,
     index_dir: str,

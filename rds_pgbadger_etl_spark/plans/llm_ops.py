@@ -3874,6 +3874,17 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 codes=_pq_codes_shared(spark, sf_dir),
             ),
         ),
+        # the dimension ladder's arms: zero-artifact truncated search
+        # and its exact-rerank composition — so the standing audit
+        # prices dims-cut next to the precision-cut (PQ) methods
+        (
+            "truncated",
+            lambda: S.truncated_topk(emb(), _QUERY_IDS, _RECALL_K),
+        ),
+        (
+            "truncated_rerank",
+            lambda: S.truncated_rerank_topk(emb(), _QUERY_IDS, _RECALL_K),
+        ),
     ]
     cands = _staged_arm_union(
         spark, "method", methods, (sf_dir, "recall_report", _RECALL_K)
@@ -4638,6 +4649,59 @@ SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
 
 
 _ANN_2LEVEL_SQL = _ann_2level_sql()
+
+
+def ann_index_2level_truncated_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X3: adaptive retrieval on the sharded-quantizer layout — the
+    dimension ladder's two-level arm (probe-pruned (group, cell)
+    partitions × truncated shortlist × exact full-dim rerank)."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_truncated_topk(
+        spark,
+        _ann_index_2level_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+    )
+
+
+# The truncated 2-level twin shares every CTE through `probes` with
+# _ANN_2LEVEL_SQL (same composed assignment, same probe math) and swaps
+# the scoring tail: truncated-sim shortlist, then exact full-dim rerank
+# — the same tail shape as _ANN_IDX_TRUNC_SQL. Built by surgery on the
+# flat twin so the two oracles cannot drift apart.
+_2LEVEL_SIMS_TAIL = "sims AS ("
+assert _2LEVEL_SIMS_TAIL in _ANN_2LEVEL_SQL
+_ANN_2LEVEL_TRUNC_SQL = (
+    _ANN_2LEVEL_SQL[: _ANN_2LEVEL_SQL.index(_2LEVEL_SIMS_TAIL)]
+    + f"""tsims AS (
+  SELECT p.q_id, a.vec_id,
+         {_slice_cos_sql('q.q_emb', 'a.emb', S.MRL_DIMS)} AS tsim
+  FROM probes p
+  JOIN asgn a ON a.cell = p.cell
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id <> p.q_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY tsim DESC, vec_id) AS rnk
+    FROM tsims) WHERE rnk <= {S.MRL_SHORTLIST}
+),
+re AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'e.emb')} AS sim
+  FROM short s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM re
+) WHERE rnk <= {_TOPK}
+"""
+)
 
 # Same guard surgery as _ANN_DELETE_SQL for the two-level twin:
 # tombstones exclude members from the sims stage only (quantizers and
@@ -5709,6 +5773,10 @@ QUERIES = {
     "ann_index_truncated_topk": (
         ann_index_truncated_topk,
         _ANN_IDX_TRUNC_SQL,
+    ),
+    "ann_index_2level_truncated_topk": (
+        ann_index_2level_truncated_topk,
+        _ANN_2LEVEL_TRUNC_SQL,
     ),
     "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),

@@ -803,6 +803,27 @@ def test_truncated_reader_with_full_shortlist_equals_ivf_flat(
             assert sim == exact[key]
 
 
+def test_2level_truncated_reader_with_full_shortlist_equals_flat(
+    spark, index2_dir
+):
+    """The two-level truncated reader's exactness anchor, mirroring the
+    single-level one: a covering shortlist must reproduce the flat
+    2-level reader bit-for-bit, and the default operating point keeps
+    the top-k contract with exact full-dim sims."""
+    qs = _queries(spark)
+    flat = _rows(AI.ann_index_2level_topk(spark, index2_dir, qs, K))
+    full = _rows(
+        AI.ann_index_2level_truncated_topk(
+            spark, index2_dir, qs, K, shortlist=10**9
+        )
+    )
+    assert full == flat
+    tight = AI.ann_index_2level_truncated_topk(
+        spark, index2_dir, qs, K
+    ).collect()
+    assert len(tight) == len(QUERY_IDS) * K
+
+
 def test_sq8_arm_on_distributed_build_matches_driver_build(
     spark, index2_dir, tmp_path
 ):

@@ -535,7 +535,14 @@ def test_ann_recall_report(spark, sf_oracle):
     from rds_pgbadger_etl_spark.plans.llm_ops import ann_recall_report
 
     rows = {r.method: r for r in ann_recall_report(spark, sf_oracle).collect()}
-    assert set(rows) == {"lsh", "ivf", "pq_adc", "ivfpq"}
+    assert set(rows) == {
+        "lsh",
+        "ivf",
+        "pq_adc",
+        "ivfpq",
+        "truncated",
+        "truncated_rerank",
+    }
     for r in rows.values():
         # the recall denominator is the FIXED query set (5 queries x k),
         # independent of how many queries a method returned rows for
@@ -547,6 +554,13 @@ def test_ann_recall_report(spark, sf_oracle):
     # floor (ivfpq prunes ivf's candidate set further)
     assert rows["ivf"].recall_at_k >= rows["ivfpq"].recall_at_k - 1e-9
     assert rows["ivf"].recall_at_k > 0.5
+    # exact rerank of the truncated shortlist can only keep or improve
+    # the truncated arm's recall (every surviving true neighbor stays
+    # top-k under its exact score)
+    assert (
+        rows["truncated_rerank"].recall_at_k
+        >= rows["truncated"].recall_at_k - 1e-9
+    )
 
 
 def test_semantic_dedup_invariants(spark, sf_oracle):
