@@ -345,28 +345,47 @@ def compact_index(
 def index_stats(
     spark: SparkSession, index_dir: str, tables: dict[str, str | tuple[str, ...]]
 ) -> DataFrame:
-    """Layout audit: one row per table with rows/partition skew and
-    files/partition — rising ``max_part_files`` says compact now;
-    ``max_part_rows`` vs ``avg_part_rows`` grades partition balance.
+    """Layout audit: one row per table with rows/partition skew,
+    files/partition, and the table's on-disk byte footprint — rising
+    ``max_part_files`` says compact now; ``max_part_rows`` vs
+    ``avg_part_rows`` grades partition balance; ``bytes`` /
+    ``bytes_per_row`` ground the storage-ladder claims (PQ codes vs SQ8
+    vs raw) in the artifact itself instead of back-of-envelope math.
     Rows-only by design: physical file layout has no SQL twin."""
     out = None
     for t, pc in tables.items():
         pcs = _partition_cols(pc)
-        per_part = (
-            spark.read.parquet(table_path(index_dir, t))
-            .groupBy(*[F.col(c) for c in pcs])
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.countDistinct(F.col("_metadata.file_path")).alias("files"),
+        scan = spark.read.parquet(table_path(index_dir, t))
+        per_part = scan.groupBy(*[F.col(c) for c in pcs]).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct(F.col("_metadata.file_path")).alias("files"),
+        )
+        # bytes from the DISTINCT (path, size) pairs — _metadata
+        # repeats each file's size on every row, so a plain sum would
+        # multiply it by the row count
+        sizes = (
+            scan.select(
+                F.col("_metadata.file_path").alias("fp"),
+                F.col("_metadata.file_size").alias("sz"),
+            )
+            .distinct()
+            .agg(F.sum("sz").cast("long").alias("bytes"))
+        )
+        summary = (
+            per_part.agg(
+                F.count(F.lit(1)).alias("n_partitions"),
+                F.sum("rows").alias("rows"),
+                F.sum("files").cast("long").alias("files"),
+                F.max("rows").alias("max_part_rows"),
+                F.round(F.avg("rows"), 2).alias("avg_part_rows"),
+                F.max("files").cast("long").alias("max_part_files"),
+            )
+            .select(F.lit(t).alias("table"), "*")
+            .crossJoin(F.broadcast(sizes))  # 1x1: metadata-sized
+            .withColumn(
+                "bytes_per_row",
+                F.round(F.col("bytes") / F.greatest("rows", F.lit(1)), 1),
             )
         )
-        summary = per_part.agg(
-            F.count(F.lit(1)).alias("n_partitions"),
-            F.sum("rows").alias("rows"),
-            F.sum("files").cast("long").alias("files"),
-            F.max("rows").alias("max_part_rows"),
-            F.round(F.avg("rows"), 2).alias("avg_part_rows"),
-            F.max("files").cast("long").alias("max_part_files"),
-        ).select(F.lit(t).alias("table"), "*")
         out = summary if out is None else out.unionByName(summary)
     return out.orderBy("table")

@@ -285,7 +285,7 @@ def truncated_topk(
 
     MRL-trained embeddings order information by prefix, so the leading
     slice is itself a usable (coarser) embedding; truncating 64 → 16
-    dims cuts the bytes scanned AND the distance FLOPs 4× with no index
+    dims cuts the SCORED bytes and distance FLOPs 4× with no index
     artifact at all — the cheapest rung of the dimension ladder, the
     way SQ8 is the cheapest rung of the precision ladder. The slice
     happens in the projection (``F.slice``), so the parquet scan still
@@ -317,11 +317,13 @@ def truncated_rerank_topk(
     nothing).
 
     Stage 1 is :func:`truncated_topk` at ``shortlist`` ≫ k: the only
-    pass that touches the whole corpus, at ``dims/DIM`` of the cost.
-    Stage 2 re-reads full vectors for ≤ queries × shortlist rows via a
-    broadcast semi-join against the corpus — at 100 TB that is a
-    pruned point-lookup scan, not a second corpus pass — and reranks
-    by exact cosine. Returned ``sim`` is the full-dimension score, so
+    pass that touches the whole corpus, at ``dims/DIM`` of the scoring
+    cost. Stage 2 re-reads full vectors for ≤ queries × shortlist rows
+    via a broadcast join — row-pruned map-side on the flat table (the
+    scan bytes are only cut when the layout can prune: the artifact
+    variants :func:`~...ann_index.ann_index_truncated_topk` restrict
+    both passes to the probed cell partitions) — and reranks by exact
+    cosine. Returned ``sim`` is the full-dimension score, so
     the result equals :func:`brute_force_topk` whenever every true
     top-k member survives the truncated shortlist (guaranteed at
     ``shortlist`` ≥ corpus; measured in the registered recall sweep

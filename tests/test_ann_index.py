@@ -1198,6 +1198,11 @@ def test_sq8_grid_drift_audit_reports_oob_while_search_stays_exact(
     assert st["sq8"].sq8_oob_code_frac == 0.0
     assert st["sq8"].sq8_rows_past_grid == 0
     assert st["raw"].sq8_oob_code_frac is None  # audit is sq8-only
+    # the byte-footprint columns ground the storage ladder: the int8
+    # codes table must sit well under the float raw table per row
+    for t in ("raw", "sq8", "vectors"):
+        assert st[t].bytes > 0 and st[t].bytes_per_row > 0, t
+    assert st["sq8"].bytes_per_row < st["raw"].bytes_per_row
 
     # drifted appends: 3x the trained range on every component
     drifted = emb.filter(F.col("vec_id") >= half).select(

@@ -183,6 +183,34 @@ def main() -> None:
     entry["rerank_recall_p2"] = round(hits / denom, 4)
     out["variants"]["sq8"] = entry
 
+    # truncated leg (round 12): the DIMENSION arm on the same raw dir —
+    # identical centroids and probes again, shortlist scored on the
+    # leading 16 of 64 components (4x less scanned+multiplied), exact
+    # full-dim rerank. shortlist == K gives the pure truncated-space
+    # top-K set (the apples-to-apples convention); the 4K-shortlist
+    # row is the production composition. The clustered regime is
+    # truncation's POSITIVE case at 8M (cluster separation survives the
+    # prefix), complementing the registered uniform-fixture floor.
+    entry = {}
+    for n_probe in (2, 4):
+        t0 = time.perf_counter()
+        got = AI.ann_index_truncated_topk(
+            spark, d, queries, K, shortlist=K, n_probe=n_probe
+        ).collect()
+        sec = time.perf_counter() - t0
+        hits = sum(1 for r in got if (int(r.q_id), int(r.vec_id)) in truth)
+        entry[f"shortlist_recall_p{n_probe}"] = round(hits / denom, 4)
+        entry[f"search_sec_p{n_probe}"] = round(sec, 1)
+    rr = AI.ann_index_truncated_topk(
+        spark, d, queries, K, shortlist=4 * K
+    ).collect()
+    hits = sum(1 for r in rr if (int(r.q_id), int(r.vec_id)) in truth)
+    entry["rerank_recall_p2"] = round(hits / denom, 4)
+    t0 = time.perf_counter()
+    AI.ann_index_ivf_topk(spark, d, queries, K, n_probe=4).collect()
+    entry["flat_search_sec_p4"] = round(time.perf_counter() - t0, 1)
+    out["variants"]["truncated"] = entry
+
     import numpy as np  # noqa: F811
 
     _, m1 = AI._read_centroids(spark, dirs["raw"])
