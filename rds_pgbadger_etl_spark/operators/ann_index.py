@@ -1205,13 +1205,24 @@ def ann_index_sq8_topk(
     k: int = 5,
     shortlist: int | None = None,
     n_probe: int = S.N_PROBE,
+    dims: int | None = None,
 ) -> DataFrame:
     """Two-stage SQ8 search: partition-pruned scan of the probed cells'
     int8 codes (~64 B/vector — 4x less IO than raw), exact-integer
     code-space L2 against the broadcast query codes, ``shortlist``
     candidates per query (ties to lower vec_id), then exact cosine ONLY
     on those rows. Output contract matches ann_index_ivf_topk:
-    (q_id, vec_id, sim, rank)."""
+    (q_id, vec_id, sim, rank).
+
+    ``dims`` composes the PRECISION ladder with the DIMENSION ladder:
+    the code-space shortlist runs on only the leading ``dims`` of the
+    stored codes (the per-dim grid is independent, so the prefix of the
+    trained grid IS the trained grid of the prefix) — ~``dims`` bytes
+    per scored vector through the Arrow kernel, 16 B at dims=16 vs
+    SQ8's 64 B vs raw's 256 B. The slice is JVM-side projection; file
+    IO still reads the codes column (a deployment standardizing on a
+    prefix width would land a prefix-codes table for the scan-side
+    cut). The rerank stays exact full-dimension cosine either way."""
     if not M.read_meta(index_dir, _SQ8_KEY, False):
         raise ValueError(
             f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
@@ -1223,6 +1234,8 @@ def ann_index_sq8_topk(
     q_mat = np.vstack(
         [_sq8_encode_np(vec, vmin, scale) for _, vec in queries]
     )
+    if dims is not None:
+        q_mat = q_mat[:, :dims]
     # probe rows carry the query's position in the closure matrix so the
     # join can index the per-row distance array
     q_pos = {int(q): i for i, (q, _) in enumerate(queries)}
@@ -1238,8 +1251,11 @@ def ann_index_sq8_topk(
             _cell_predicate(probes)
         ),
     )
+    code_col = (
+        F.col("codes") if dims is None else F.slice("codes", 1, dims)
+    )
     scored = (
-        sq8.withColumn("dists", _sq8_dists_udf(q_mat)(F.col("codes")))
+        sq8.withColumn("dists", _sq8_dists_udf(q_mat)(code_col))
         .join(F.broadcast(probes_df), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(

@@ -5624,6 +5624,41 @@ SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
 """
 
 
+def ann_index_sq8_trunc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the two ladders COMPOSED — SQ8 precision cut x matryoshka
+    dimension cut: the exact-integer code-space shortlist runs on the
+    leading 16 of the stored 64 int8 codes (~16 B scored per probed
+    vector, vs SQ8's 64 B and raw's 256 B), the rerank stays exact
+    full-dimension cosine. The per-dim grid is independent, so the
+    prefix of the trained grid IS the trained grid of the prefix —
+    which is why the oracle is the SQ8 twin with one dim filter."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_sq8_topk(
+        spark,
+        _ann_index_sq8_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+        dims=S.MRL_DIMS,
+    )
+
+
+# the truncated twin = the SQ8 twin with the shortlist's code-space sum
+# restricted to the leading dims (surgery, so the twins cannot drift)
+_SQD_TAIL = (
+    "JOIN codes qc ON qc.vec_id = m.q_id AND qc.dim = cc.dim\n"
+    "  GROUP BY m.q_id, m.vec_id"
+)
+assert _SQD_TAIL in _ANN_SQ8_RERANK_SQL
+_ANN_SQ8_TRUNC_SQL = _ANN_SQ8_RERANK_SQL.replace(
+    _SQD_TAIL,
+    "JOIN codes qc ON qc.vec_id = m.q_id AND qc.dim = cc.dim\n"
+    f"  WHERE cc.dim < {S.MRL_DIMS}\n"
+    "  GROUP BY m.q_id, m.vec_id",
+)
+
+
 def ann_index_2level_ivfpq_rerank_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5870,6 +5905,10 @@ QUERIES = {
         _ANN_IVFPQ_RERANK_SQL,
     ),
     "ann_index_sq8_topk": (ann_index_sq8_topk, _ANN_SQ8_RERANK_SQL),
+    "ann_index_sq8_trunc_topk": (
+        ann_index_sq8_trunc_topk,
+        _ANN_SQ8_TRUNC_SQL,
+    ),
     "ann_index_2level_sq8_topk": (
         ann_index_2level_sq8_topk,
         _ANN_2LEVEL_SQ8_SQL,

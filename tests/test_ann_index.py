@@ -1115,6 +1115,23 @@ def test_sq8_rerank_with_full_shortlist_equals_ivf_flat(spark, sq8_dir):
     assert tight.count() == len(QUERY_IDS) * K
 
 
+def test_sq8_truncated_dims_identity_and_covering_exactness(spark, sq8_dir):
+    """The dims knob's anchors: full-width slicing is the identity
+    (dims=DIM bit-identical to the unsliced arm — the per-dim grid is
+    independent, so the prefix of the trained grid IS the trained grid
+    of the prefix), and a covering shortlist makes the truncated
+    code-space stage unable to drop a candidate, so the exact rerank
+    equals IVF-Flat even at dims=16."""
+    qs = _queries(spark)
+    full = _rows(AI.ann_index_sq8_topk(spark, sq8_dir, qs, K))
+    ident = _rows(AI.ann_index_sq8_topk(spark, sq8_dir, qs, K, dims=S.DIM))
+    assert ident == full
+    cover = _rows(
+        AI.ann_index_sq8_topk(spark, sq8_dir, qs, K, 10**9, dims=16)
+    )
+    assert cover == _rows(AI.ann_index_ivf_topk(spark, sq8_dir, qs, K))
+
+
 def test_sq8_codes_match_driver_encoder_and_fit_byte_grid(spark, sq8_dir):
     """The JVM transform encoder and the driver-side query encoder are
     the same grid bit for bit (the convention pair every quantized arm

@@ -183,6 +183,23 @@ def main() -> None:
     entry["rerank_recall_p2"] = round(hits / denom, 4)
     out["variants"]["sq8"] = entry
 
+    # composed leg (round 12): SQ8 precision cut x matryoshka dimension
+    # cut on the same dir — the code-space shortlist reads the leading
+    # 16 of the 64 stored int8 codes (~16 B scored per probed vector);
+    # exact full-dim rerank as always. This is the ladder's deepest
+    # feasible-IO point that an exact rerank can still repair.
+    entry = {}
+    for n_probe in (2, 4):
+        got = AI.ann_index_sq8_topk(
+            spark, d, queries, K, K, n_probe=n_probe, dims=16
+        ).collect()
+        hits = sum(1 for r in got if (int(r.q_id), int(r.vec_id)) in truth)
+        entry[f"shortlist_recall_p{n_probe}"] = round(hits / denom, 4)
+    rr = AI.ann_index_sq8_topk(spark, d, queries, K, 4 * K, dims=16).collect()
+    hits = sum(1 for r in rr if (int(r.q_id), int(r.vec_id)) in truth)
+    entry["rerank_recall_p2"] = round(hits / denom, 4)
+    out["variants"]["sq8_trunc16"] = entry
+
     # truncated leg (round 12): the DIMENSION arm on the same raw dir —
     # identical centroids and probes again, shortlist scored on the
     # leading 16 of 64 components (4x less scanned+multiplied), exact
