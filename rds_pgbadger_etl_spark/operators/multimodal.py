@@ -573,7 +573,9 @@ def _attach_hamming(
 
 
 def image_near_dup_pairs(
-    hashes: DataFrame, dhashes: DataFrame | None = None
+    hashes: DataFrame,
+    dhashes: DataFrame | None = None,
+    max_band_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Hamming near-dup pairs over aHash words: band each 64-bit hash
     into four 16-bit words, equi-join on (band, value) — candidates ∝
@@ -592,12 +594,54 @@ def image_near_dup_pairs(
     means alone, so flips that break one family rarely break both.
     Output gains the ``dhamming`` column (both distances are reported
     for every qualifying pair)."""
-    pa = hamming_band_pairs(hashes)
     if dhashes is None:
-        return pa
-    pd_ = hamming_band_pairs(dhashes)
+        return hamming_band_pairs(hashes, max_band_freq=max_band_freq)
+    # FUSED two-family banding: both families ride ONE persist, ONE
+    # auto-cap aggregate, ONE self-join — the family tag in every key
+    # keeps buckets and hot-cap counts per family, so candidates are
+    # identical to banding each family separately. Verification is the
+    # either-family rule applied to BOTH attached distances; by the
+    # pigeonhole guarantee any pair within a family's threshold is
+    # found by that family's own bands, so this equals the
+    # verify-per-family-then-union composition (and in the capped
+    # regime can only ADD recall: a pair whose clean bands are hot in
+    # one family can still surface through the other family's bucket).
+    # callers that evaluate repeatedly over a staged corpus pass the
+    # resolved int cap (a corpus property) to skip the per-evaluation
+    # distinct-docs action "auto" needs
+    w2 = (
+        hashes.select("doc_id", "hi", "lo").withColumn("fam", F.lit(0))
+        .unionByName(
+            dhashes.select("doc_id", "hi", "lo").withColumn(
+                "fam", F.lit(1)
+            )
+        )
+    )
+    bands = _banded(w2, ["fam"]).persist()
+    cap = _auto_band_cap(bands, max_band_freq)
+    if cap is None:
+        pruned = bands
+    else:
+        hot = (
+            bands.groupBy("fam", "band", "val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > cap)
+            .select("fam", "band", "val")
+        )
+        pruned = bands.join(
+            F.broadcast(hot), ["fam", "band", "val"], "left_anti"
+        )
     cand = (
-        pa.select("a", "b").unionByName(pd_.select("a", "b")).distinct()
+        pruned.alias("l")
+        .join(
+            pruned.alias("r"),
+            (F.col("l.fam") == F.col("r.fam"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
     )
     both = _attach_hamming(
         _attach_hamming(cand, hashes, "hamming"), dhashes, "dhamming"
@@ -606,6 +650,32 @@ def image_near_dup_pairs(
         (F.col("hamming") <= _AHASH_MAX_HAMMING)
         | (F.col("dhamming") <= _AHASH_MAX_HAMMING)
     ).select("a", "b", "hamming", "dhamming")
+
+
+def _banded(w: DataFrame, extra: list[str]) -> DataFrame:
+    """Explode (hi, lo) 64-bit signatures into 4x16-bit band rows
+    (doc_id, *extra, band, val) — the one banding expression shared by
+    the single-family and fused two-family paths."""
+    return w.select(
+        *extra,
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("hi") if i < 2 else F.col("lo"),
+                            16 if i % 2 == 0 else 0,
+                        )
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(_AHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(*extra, "doc_id", "bv.band", "bv.val")
 
 
 def hamming_band_pairs(
@@ -642,25 +712,7 @@ def hamming_band_pairs(
     count, the hot-set groupBy, the anti-join, and both self-join sides
     re-read them."""
     w = words.select("doc_id", "hi", "lo")
-    bands = w.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(
-                            F.col("hi") if i < 2 else F.col("lo"),
-                            16 if i % 2 == 0 else 0,
-                        )
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for i in range(_AHASH_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "bv.band", "bv.val")
+    bands = _banded(w, [])
     if max_band_freq is not None:
         bands = bands.persist()
         cap = _auto_band_cap(bands, max_band_freq)

@@ -1171,6 +1171,34 @@ def _image_dhashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_BAND_CAPS: dict[tuple[str, str], int] = {}
+
+
+def _media_band_cap(spark: SparkSession, sf_dir: str) -> int:
+    """The multimodal hot-band cap, resolved ONCE per (process, corpus):
+    max(64, ceil(AUTO_BAND_DOC_FRAC x n_docs)) — the same value
+    operators/multimodal._auto_band_cap derives per evaluation from the
+    bands table, but n_docs is a property of the staged corpus, so the
+    repeated-evaluation paths (bench, driver, tests) pay its count once
+    instead of one distinct-count action per query per run."""
+    import math
+
+    from rds_pgbadger_etl_spark.operators.dedup import AUTO_BAND_FREQ_FLOOR
+    from rds_pgbadger_etl_spark.operators.multimodal import (
+        AUTO_BAND_DOC_FRAC,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cap = _MEDIA_BAND_CAPS.get(key)
+    if cap is None:
+        n_docs = _image_hash_words_shared(spark, sf_dir).count()
+        cap = max(
+            AUTO_BAND_FREQ_FLOOR, math.ceil(AUTO_BAND_DOC_FRAC * n_docs)
+        )
+        _MEDIA_BAND_CAPS[key] = cap
+    return cap
+
+
 def multimodal_image_near_dups(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1185,6 +1213,7 @@ def multimodal_image_near_dups(
     return M.image_near_dup_pairs(
         _image_hashes_shared(spark, sf_dir),
         _image_dhashes_shared(spark, sf_dir),
+        max_band_freq=_media_band_cap(spark, sf_dir),
     )
 
 
@@ -5786,6 +5815,34 @@ SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
 _ANN_2LEVEL_SQ8_SQL = _ann_2level_sq8_sql()
 
 
+def ann_index_2level_sq8_trunc_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X3: the composed SQ8 × truncation arm on the sharded-quantizer
+    layout — same 16-of-64-codes shortlist as the single-level
+    composition, so BOTH ladders exist composed on BOTH layouts."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_sq8_topk(
+        spark,
+        _ann_index_2level_sq8_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+        dims=S.MRL_DIMS,
+    )
+
+
+# same one-filter surgery as the single-level truncated twin
+assert _SQD_TAIL in _ANN_2LEVEL_SQ8_SQL
+_ANN_2LEVEL_SQ8_TRUNC_SQL = _ANN_2LEVEL_SQ8_SQL.replace(
+    _SQD_TAIL,
+    "JOIN codes qc ON qc.vec_id = m.q_id AND qc.dim = cc.dim\n"
+    f"  WHERE cc.dim < {S.MRL_DIMS}\n"
+    "  GROUP BY m.q_id, m.vec_id",
+)
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -5908,6 +5965,10 @@ QUERIES = {
     "ann_index_sq8_trunc_topk": (
         ann_index_sq8_trunc_topk,
         _ANN_SQ8_TRUNC_SQL,
+    ),
+    "ann_index_2level_sq8_trunc_topk": (
+        ann_index_2level_sq8_trunc_topk,
+        _ANN_2LEVEL_SQ8_TRUNC_SQL,
     ),
     "ann_index_2level_sq8_topk": (
         ann_index_2level_sq8_topk,
