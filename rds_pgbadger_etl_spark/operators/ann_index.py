@@ -2585,6 +2585,7 @@ def ann_index_2level_sq8_topk(
     shortlist: int | None = None,
     n_probe_groups: int = N_PROBE_GROUPS,
     n_probe: int = S.N_PROBE,
+    dims: int | None = None,
 ) -> DataFrame:
     """SQ8 two-stage search over the sharded-quantizer layout: the
     (group, cell)-pruned scan reads the int8 codes (~64 B/vector — 4x
@@ -2592,7 +2593,9 @@ def ann_index_2level_sq8_topk(
     shortlist recall on the fixture), shortlist by exact-integer
     code-space L2 against the closure-held query-code matrix, exact
     cosine rerank on the shortlist's raw rows. Output contract matches
-    ann_index_2level_topk: (q_id, vec_id, sim, rank)."""
+    ann_index_2level_topk: (q_id, vec_id, sim, rank). ``dims`` slices
+    the code-space stage to the leading codes exactly like the
+    single-level reader (the ladders compose on both layouts)."""
     if not M.read_meta(index_dir, _SQ8_KEY, False):
         raise ValueError(
             f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
@@ -2605,6 +2608,8 @@ def ann_index_2level_sq8_topk(
     q_mat = np.vstack(
         [_sq8_encode_np(vec, vmin, scale) for _, vec in queries]
     )
+    if dims is not None:
+        q_mat = q_mat[:, :dims]
     q_pos = {int(q): i for i, (q, _) in enumerate(queries)}
     probes_df = spark.createDataFrame(
         [(q, q_pos[q], g, c) for q, g, c in probes],
@@ -2620,8 +2625,11 @@ def ann_index_2level_sq8_topk(
             g_pred & c_pred
         ),
     )
+    code_col = (
+        F.col("codes") if dims is None else F.slice("codes", 1, dims)
+    )
     scored = (
-        sq8.withColumn("dists", _sq8_dists_udf(q_mat)(F.col("codes")))
+        sq8.withColumn("dists", _sq8_dists_udf(q_mat)(code_col))
         .join(F.broadcast(probes_df), ["group", "cell"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(

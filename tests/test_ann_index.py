@@ -1132,6 +1132,33 @@ def test_sq8_truncated_dims_identity_and_covering_exactness(spark, sq8_dir):
     assert cover == _rows(AI.ann_index_ivf_topk(spark, sq8_dir, qs, K))
 
 
+@pytest.fixture(scope="module")
+def sq8_2l_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ann_index_2l_sq8"))
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    AI.build_ann_index_2level(spark, emb, d)
+    AI.add_sq8_to_ann_index(spark, d)
+    return d
+
+
+def test_2level_sq8_truncated_dims_identity_and_covering(spark, sq8_2l_dir):
+    """The dims knob's anchors on the TWO-LEVEL layout — same contract
+    as the single-level composition: full-width slice is the identity,
+    covering shortlist equals the flat 2-level reader at dims=16."""
+    qs = _queries(spark)
+    full = _rows(AI.ann_index_2level_sq8_topk(spark, sq8_2l_dir, qs, K))
+    ident = _rows(
+        AI.ann_index_2level_sq8_topk(spark, sq8_2l_dir, qs, K, dims=S.DIM)
+    )
+    assert ident == full
+    cover = _rows(
+        AI.ann_index_2level_sq8_topk(
+            spark, sq8_2l_dir, qs, K, 10**9, dims=16
+        )
+    )
+    assert cover == _rows(AI.ann_index_2level_topk(spark, sq8_2l_dir, qs, K))
+
+
 def test_sq8_codes_match_driver_encoder_and_fit_byte_grid(spark, sq8_dir):
     """The JVM transform encoder and the driver-side query encoder are
     the same grid bit for bit (the convention pair every quantized arm
