@@ -586,7 +586,9 @@ def image_near_dup_pairs(
     (operators/dedup.py) applied to the image modality.
 
     ``dhashes`` adds the SECOND hash family (:func:`image_dhash`,
-    mean-invariant gradients): each family bands independently and a
+    mean-invariant gradients): both families band in one fused pass
+    (the family tag rides every bucket and hot-cap key, so candidates
+    equal per-family banding) and a
     pair qualifies when EITHER family verifies within <= 3 — a
     brightness shift that flips >3 aHash threshold bits (the measured
     0.94-recall failure, tools/multimodal_rehearsal.py) leaves the
