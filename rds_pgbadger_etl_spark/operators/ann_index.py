@@ -888,6 +888,25 @@ def ann_index_ivf_topk(
     )
 
 
+def _nonzero_prefix_queries(
+    queries: list[Query], dims: int
+) -> list[Query]:
+    """Drop queries whose leading ``dims`` components are all zero —
+    the driver-side half of the truncated readers' NaN guard (a
+    zero-prefix query's truncated cosine is 0/0 against every
+    candidate, so its whole shortlist would be NaN)."""
+    return [(q, v) for q, v in queries if any(x != 0.0 for x in v[:dims])]
+
+
+def _nonzero_prefix_col(dims: int):
+    """Candidate-side zero-prefix guard on the ``embedding`` column —
+    same predicate the SQL twins express with ``list_filter`` over
+    ``list_slice``."""
+    return F.exists(
+        F.slice("embedding", 1, dims), lambda x: x != F.lit(0.0)
+    )
+
+
 def ann_index_truncated_topk(
     spark: SparkSession,
     index_dir: str,
@@ -908,7 +927,14 @@ def ann_index_truncated_topk(
     partitions, not a second corpus pass. Output contract matches
     ann_index_ivf_topk (q_id, vec_id, sim, rank) with ``sim`` the exact
     full-dimension cosine, so shortlist ≥ probed volume reproduces
-    IVF-Flat bit-for-bit (pinned in tests)."""
+    IVF-Flat bit-for-bit (pinned in tests).
+
+    Zero-prefix rows (all-zero leading ``dims``) are dropped from the
+    shortlist stage on both sides — queries driver-side, candidates
+    with the same ``exists`` guard as similarity.truncated_topk — so a
+    0/0 = NaN truncated cosine (which Spark sorts above every real
+    similarity) can never pollute the shortlist."""
+    queries = _nonzero_prefix_queries(queries, dims)
     cells, mat = _read_centroids(spark, index_dir)
     probes = _probe_cells(queries, cells, mat, n_probe)
     probes_df = spark.createDataFrame(probes, _PROBE_SCHEMA)
@@ -926,6 +952,7 @@ def ann_index_truncated_topk(
     tscored = (
         raw.join(F.broadcast(probes_df), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
+        .filter(_nonzero_prefix_col(dims))
         .join(F.broadcast(q_sliced), "q_id")
         .select(
             "q_id",
@@ -2286,7 +2313,10 @@ def ann_index_2level_truncated_topk(
     full-dimension rerank re-scores only ≤ queries × shortlist
     survivors from the same pruned partitions. ``sim`` is the exact
     full-dim cosine; shortlist ≥ probed volume reproduces the flat
-    2-level reader bit-for-bit (pinned in tests)."""
+    2-level reader bit-for-bit (pinned in tests). Zero-prefix rows are
+    dropped from the shortlist stage on both sides, exactly like
+    :func:`ann_index_truncated_topk` (NaN-pollution guard)."""
+    queries = _nonzero_prefix_queries(queries, dims)
     probes = _probe_cells_2level(
         spark, index_dir, queries, n_probe_groups, n_probe
     )
@@ -2306,6 +2336,7 @@ def ann_index_2level_truncated_topk(
     tscored = (
         raw.join(F.broadcast(probes_df), ["group", "cell"])
         .filter(F.col("vec_id") != F.col("q_id"))
+        .filter(_nonzero_prefix_col(dims))
         .join(F.broadcast(q_sliced), "q_id")
         .select(
             "q_id",

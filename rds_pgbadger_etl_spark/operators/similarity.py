@@ -297,10 +297,19 @@ def truncated_topk(
     Same plan as :func:`brute_force_topk` (broadcast queries, no
     shuffle, two-phase top-k) and the same rounding convention, so the
     DuckDB twin is the brute SQL over ``list_slice``.
+
+    ZERO-PREFIX GUARD: a vector whose leading ``dims`` components are
+    all zero has no direction in the truncated space — its cosine is
+    0/0 = NaN, and Spark sorts NaN above every real similarity under
+    ``sim DESC``, so one degenerate row would outrank every true
+    neighbor. Such rows are filtered before ranking (as candidates AND
+    as queries: a zero-prefix query's whole result would be NaN), and
+    the SQL twins carry the same ``list_filter`` guard so the two
+    engines' NaN conventions never meet the comparison.
     """
     sliced = emb.select(
         "vec_id", F.slice(F.col("embedding"), 1, dims).alias("embedding")
-    )
+    ).filter(F.exists("embedding", lambda x: x != F.lit(0.0)))
     return brute_force_topk(sliced, query_ids, k)
 
 

@@ -832,6 +832,14 @@ def _slice_cos_sql(a: str, b: str, d: int | str) -> str:
     return _cos_sql(f"list_slice({a}, 1, {d})", f"list_slice({b}, 1, {d})")
 
 
+def _nzp_sql(col: str, d: int | str) -> str:
+    """Zero-prefix guard: TRUE iff the leading ``d`` components carry
+    any non-zero value — the twin of the Spark readers' ``exists``
+    filter (a zero prefix makes the truncated cosine 0/0, and the two
+    engines' NaN ordering must never meet the comparison)."""
+    return f"len(list_filter(list_slice({col}, 1, {d}), x -> x <> 0)) > 0"
+
+
 def ann_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: truncated-dimension brute-force top-k (leading 16 of 64
     components) — the zero-artifact cheap rung of the dimension ladder."""
@@ -849,6 +857,7 @@ q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
 sims AS (
   SELECT q.q_id, e.vec_id, {_slice_cos_sql('q.q_emb', 'e.emb', S.MRL_DIMS)} AS sim
   FROM e, q WHERE e.vec_id <> q.q_id
+    AND {_nzp_sql('e.emb', S.MRL_DIMS)} AND {_nzp_sql('q.q_emb', S.MRL_DIMS)}
 )
 SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
@@ -876,6 +885,7 @@ tsims AS (
   SELECT q.q_id, e.vec_id,
          {_slice_cos_sql('q.q_emb', 'e.emb', S.MRL_DIMS)} AS tsim
   FROM e, q WHERE e.vec_id <> q.q_id
+    AND {_nzp_sql('e.emb', S.MRL_DIMS)} AND {_nzp_sql('q.q_emb', S.MRL_DIMS)}
 ),
 short AS (
   SELECT q_id, vec_id FROM (
@@ -950,6 +960,7 @@ tsims AS (
   SELECT dm.dims, q.q_id, e.vec_id,
          {_slice_cos_sql('q.q_emb', 'e.emb', 'dm.dims')} AS sim
   FROM e, q, dm WHERE e.vec_id <> q.q_id
+    AND {_nzp_sql('e.emb', 'dm.dims')} AND {_nzp_sql('q.q_emb', 'dm.dims')}
 ),
 t AS (
   SELECT dims, q_id, vec_id FROM (
@@ -1180,7 +1191,15 @@ def _media_band_cap(spark: SparkSession, sf_dir: str) -> int:
     operators/multimodal._auto_band_cap derives per evaluation from the
     bands table, but n_docs is a property of the staged corpus, so the
     repeated-evaluation paths (bench, driver, tests) pay its count once
-    instead of one distinct-count action per query per run."""
+    instead of one distinct-count action per query per run.
+
+    n_docs counts DISTINCT doc_ids — mirroring _auto_band_cap exactly
+    rather than relying on the hash table's one-row-per-doc invariant.
+    The cache key is (applicationId, sf_dir): like every plans/_shared
+    staging table it assumes the corpus at sf_dir is immutable for the
+    process lifetime (regenerating sf_dir mid-process would serve the
+    stale STAGED hash table anyway, so the cap can never diverge from
+    the data the queries actually read)."""
     import math
 
     from rds_pgbadger_etl_spark.operators.dedup import AUTO_BAND_FREQ_FLOOR
@@ -1191,7 +1210,12 @@ def _media_band_cap(spark: SparkSession, sf_dir: str) -> int:
     key = (spark.sparkContext.applicationId, sf_dir)
     cap = _MEDIA_BAND_CAPS.get(key)
     if cap is None:
-        n_docs = _image_hash_words_shared(spark, sf_dir).count()
+        n_docs = (
+            _image_hash_words_shared(spark, sf_dir)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
         cap = max(
             AUTO_BAND_FREQ_FLOOR, math.ceil(AUTO_BAND_DOC_FRAC * n_docs)
         )
@@ -4066,6 +4090,7 @@ tsims AS (
   JOIN asgn a ON a.cell = p.cell
   JOIN q ON q.q_id = p.q_id
   WHERE a.vec_id <> p.q_id
+    AND {_nzp_sql('a.emb', S.MRL_DIMS)} AND {_nzp_sql('q.q_emb', S.MRL_DIMS)}
 ),
 short AS (
   SELECT q_id, vec_id FROM (
@@ -4712,6 +4737,7 @@ _ANN_2LEVEL_TRUNC_SQL = (
   JOIN asgn a ON a.cell = p.cell
   JOIN q ON q.q_id = p.q_id
   WHERE a.vec_id <> p.q_id
+    AND {_nzp_sql('a.emb', S.MRL_DIMS)} AND {_nzp_sql('q.q_emb', S.MRL_DIMS)}
 ),
 short AS (
   SELECT q_id, vec_id FROM (

@@ -177,6 +177,38 @@ def test_truncated_topk_full_width_is_exact(spark, sf_oracle):
     assert trunc == brute
 
 
+def test_truncated_zero_prefix_guard(spark):
+    """A vector whose leading ``dims`` components are all zero must
+    appear on NEITHER side of the truncated ranking — its truncated
+    cosine is 0/0 = NaN, which Spark sorts above every real similarity
+    under ``sim DESC``, so unguarded it would outrank every true
+    neighbor (and DuckDB's NULL/NaN conventions differ, breaking
+    oracle parity on degenerate data)."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0] + [0.0] * 62),
+        (1, [0.9, 0.1] + [0.0] * 62),
+        (2, [0.0, 0.0] + [1.0] * 62),  # zero prefix at dims=2
+        (3, [0.5, 0.5] + [0.0] * 62),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = S.truncated_topk(emb, [0, 2], k=3, dims=2).collect()
+    assert all(r.vec_id != 2 for r in out)  # never a candidate
+    assert all(r.q_id != 2 for r in out)  # zero-prefix query dropped
+    assert out and all(not math.isnan(r.sim) for r in out)
+
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        _nonzero_prefix_queries,
+    )
+
+    qs = [(0, rows[0][1]), (2, rows[2][1])]
+    assert _nonzero_prefix_queries(qs, 2) == [qs[0]]
+    assert _nonzero_prefix_queries(qs, 64) == qs
+
+
 def test_truncated_rerank_exact_when_shortlist_covers(spark, sf_oracle):
     """With shortlist ≥ corpus size the truncated stage cannot drop a
     true neighbor, so the reranked result must equal brute force
