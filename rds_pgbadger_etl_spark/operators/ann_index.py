@@ -394,6 +394,7 @@ def build_ann_index(
     # a rebuild orphans any derived SQ8 arm (its grid was trained on the
     # old corpus); drop the flag so readers fail loudly until it's re-added
     M.write_meta(index_dir, _SQ8_KEY, False)
+    M.write_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
     if n_centroids is None:  # auto: sqrt-of-corpus rule (one count job)
         n_centroids = auto_n_centroids(emb.count())
     if refine_iters > 0:
@@ -600,19 +601,37 @@ def append_to_ann_index(
             # quantizer, same invariant as the PQ codebook — unclipped
             # codes keep out-of-range components exact) and append
             vmin, scale = _read_sq_stats(spark, index_dir)
+            sq8_new = cells.select(
+                "vec_id",
+                "cell",
+                _sq8_encode_udf(vmin, scale)(F.col("embedding")).alias(
+                    "codes"
+                ),
+            )
             (
-                cells.select(
-                    "vec_id",
-                    "cell",
-                    _sq8_encode_udf(vmin, scale)(F.col("embedding")).alias(
-                        "codes"
-                    ),
-                )
-                .repartition("cell")
+                sq8_new.repartition("cell")
                 .write.mode("append")
                 .partitionBy("cell")
                 .parquet(M.table_path(index_dir, "sq8"))
             )
+            # incremental drift accounting: one O(new) aggregate (the
+            # encode kernel re-runs over the persisted batch — cheaper
+            # than the O(corpus) stats rescan it replaces)
+            _accumulate_sq8_counters(index_dir, sq8_new)
+            pdims = M.read_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
+            if pdims is not None:
+                # prefix arm present: land the sliced rows alongside
+                (
+                    sq8_new.select(
+                        "vec_id",
+                        "cell",
+                        F.slice("codes", 1, int(pdims)).alias("codes"),
+                    )
+                    .repartition("cell")
+                    .write.mode("append")
+                    .partitionBy("cell")
+                    .parquet(M.table_path(index_dir, "sq8_prefix"))
+                )
     finally:
         cells.unpersist()
     (
@@ -1083,6 +1102,22 @@ def ann_index_lsh_topk(
 # cross-engine-identical.
 
 _SQ8_KEY = "__sq8__"
+# Incremental drift accounting (manifest counters): the OOB-component /
+# total-component / physical-row counts of the sq8 codes table, stamped
+# at retrain, accumulated at append, recomputed exactly at compaction —
+# so the drift audit reads three manifest keys instead of rescanning a
+# corpus-sized codes table per monitoring call. A store whose counters
+# predate this accounting (missing keys) falls back to the exact scan
+# until its next retrain or compaction stamps them.
+_SQ8_OOB_KEY = "__sq8_oob_components__"
+_SQ8_COMP_KEY = "__sq8_components__"
+_SQ8_ROWS_KEY = "__sq8_rows__"
+# Materialized prefix-codes arm (``sq8_prefix/``): the leading-`dims`
+# int8 codes as their own cell-partitioned table, so a truncated
+# code-space search cuts SCAN bytes, not just scored bytes. The key
+# stores the materialized width; readers with dims <= width scan the
+# prefix table instead of the full codes column.
+_SQ8_PREFIX_DIMS_KEY = "__sq8_prefix_dims__"
 # Row count of the corpus the int8 grid was trained on — stamped by
 # add_sq8_to_ann_index so the stats audit can report how far the corpus
 # has grown past the grid (the drift-age signal).
@@ -1169,6 +1204,45 @@ def _sq8_dists_udf(q_mat: np.ndarray):
     return dists
 
 
+def _sq8_code_aggregate(codes_df: DataFrame) -> tuple[int, int, int]:
+    """(oob_components, total_components, n_rows) over a codes table or
+    batch — ONE map-side-combined aggregate; the per-element HOF is
+    fine because this runs at maintenance/append time, not on the
+    probe path."""
+    oob = F.size(
+        F.filter("codes", lambda c: (c < F.lit(0)) | (c > F.lit(255)))
+    )
+    row = codes_df.agg(
+        F.sum(oob).alias("oob"),
+        F.sum(F.size("codes")).alias("comp"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(row.oob or 0), int(row.comp or 0), int(row.n)
+
+
+def _stamp_sq8_counters(index_dir: str, oob: int, comp: int, n: int) -> None:
+    M.write_meta(index_dir, _SQ8_OOB_KEY, int(oob))
+    M.write_meta(index_dir, _SQ8_COMP_KEY, int(comp))
+    M.write_meta(index_dir, _SQ8_ROWS_KEY, int(n))
+
+
+def _accumulate_sq8_counters(index_dir: str, codes_df: DataFrame) -> None:
+    """Append-time half of the incremental drift accounting: fold the
+    new batch's (oob, components, rows) into the manifest counters —
+    one O(new) aggregate per append instead of an O(corpus) rescan per
+    stats call. No-op when the counters were never stamped (a store
+    from before this accounting): the exact-scan fallback covers it."""
+    if M.read_meta(index_dir, _SQ8_ROWS_KEY, None) is None:
+        return
+    oob, comp, n = _sq8_code_aggregate(codes_df)
+    _stamp_sq8_counters(
+        index_dir,
+        M.read_meta(index_dir, _SQ8_OOB_KEY, 0) + oob,
+        M.read_meta(index_dir, _SQ8_COMP_KEY, 0) + comp,
+        M.read_meta(index_dir, _SQ8_ROWS_KEY, 0) + n,
+    )
+
+
 def add_sq8_to_ann_index(spark: SparkSession, index_dir: str) -> None:
     """Derive the SQ8 arm from the stored ``raw/`` partitions: one
     64-row min/max aggregate (map-side combined) trains the grid, one
@@ -1216,13 +1290,78 @@ def add_sq8_to_ann_index(spark: SparkSession, index_dir: str) -> None:
         .partitionBy(*pcols)
         .parquet(M.table_path(index_dir, "sq8"))
     )
-    # drift-age anchor: how many rows the grid was trained on (one
-    # count over the just-written metadata-pruned codes table)
-    n_trained = spark.read.parquet(
-        M.table_path(index_dir, "sq8")
-    ).count()
+    # drift-age anchor + counter baseline: one aggregate over the
+    # just-written codes table stamps the trained row count AND the
+    # incremental drift counters (oob is 0 by construction right after
+    # a retrain — the grid is the corpus's own min/max — but it is
+    # measured, not assumed)
+    oob, comp, n_trained = _sq8_code_aggregate(
+        spark.read.parquet(M.table_path(index_dir, "sq8"))
+    )
     M.write_meta(index_dir, _SQ8_TRAINED_ROWS_KEY, int(n_trained))
+    _stamp_sq8_counters(index_dir, oob, comp, n_trained)
     M.write_meta(index_dir, _SQ8_KEY, True)
+    # a retrain moves the grid, so a materialized prefix arm re-derives
+    # from the fresh codes (same dims; no-op when no arm is present)
+    pdims = M.read_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
+    if pdims is not None:
+        add_sq8_prefix_to_ann_index(spark, index_dir, int(pdims))
+
+
+def add_sq8_prefix_to_ann_index(
+    spark: SparkSession, index_dir: str, dims: int = S.MRL_DIMS
+) -> None:
+    """Materialize the PREFIX-CODES arm: ``sq8_prefix/`` holds the
+    leading ``dims`` int8 codes per vector, partitioned exactly like
+    ``sq8/`` — the deployment move the truncated readers' docstrings
+    promise ("a deployment standardizing on a prefix width lands a
+    prefix-codes table for the scan-side cut").
+
+    Why a separate table: ``ann_index_sq8_topk(dims=...)`` slices the
+    stored codes in the PROJECTION, which cuts Arrow bytes and distance
+    FLOPs but not file IO — parquet still reads the whole codes column
+    (measured at the 8M rehearsal: truncated-16 51.1 s vs flat 44.8 s,
+    no IO win). With this arm present the probed scan reads ~``dims``
+    bytes per vector from disk — the number that actually rules at
+    100 TB — and results are BIT-IDENTICAL because the per-dim grid is
+    independent (the prefix of the trained codes IS the codes of the
+    prefix; pinned by test).
+
+    Derived state over ``sq8/`` (one map-only slice pass, idempotent
+    overwrite, layout-dispatched partitioning), so the lifecycle rides
+    the existing verbs: appends land sliced rows alongside the full
+    codes, compaction includes the table in the layout map, tombstones
+    filter it through the same ``_live`` anti-join, and a grid retrain
+    re-derives it automatically (:func:`add_sq8_to_ann_index`)."""
+    _check_layout(index_dir)
+    if not M.read_meta(index_dir, _SQ8_KEY, False):
+        raise ValueError(
+            f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
+        )
+    pcols = ["group", "cell"] if _is_2level(index_dir) else ["cell"]
+    sq8 = spark.read.parquet(M.table_path(index_dir, "sq8"))
+    (
+        sq8.select(
+            "vec_id", *pcols, F.slice("codes", 1, dims).alias("codes")
+        )
+        .repartition(*pcols)
+        .write.mode("overwrite")
+        .partitionBy(*pcols)
+        .parquet(M.table_path(index_dir, "sq8_prefix"))
+    )
+    M.write_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, int(dims))
+
+
+def _sq8_scan_table(index_dir: str, dims: int | None) -> tuple[str, bool]:
+    """(table, slice_needed) for a code-space scan at width ``dims`` —
+    the prefix arm serves any request at or under its materialized
+    width; wider (or full-width) requests scan the full codes table."""
+    if dims is None:
+        return "sq8", False
+    pdims = M.read_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
+    if pdims is not None and dims <= int(pdims):
+        return "sq8_prefix", dims < int(pdims)
+    return "sq8", True
 
 
 def ann_index_sq8_topk(
@@ -1246,10 +1385,13 @@ def ann_index_sq8_topk(
     stored codes (the per-dim grid is independent, so the prefix of the
     trained grid IS the trained grid of the prefix) — ~``dims`` bytes
     per scored vector through the Arrow kernel, 16 B at dims=16 vs
-    SQ8's 64 B vs raw's 256 B. The slice is JVM-side projection; file
-    IO still reads the codes column (a deployment standardizing on a
-    prefix width would land a prefix-codes table for the scan-side
-    cut). The rerank stays exact full-dimension cosine either way."""
+    SQ8's 64 B vs raw's 256 B. When the store carries a materialized
+    prefix arm at width ≥ dims (:func:`add_sq8_prefix_to_ann_index`)
+    the scan reads ``sq8_prefix/`` and the byte cut applies to file IO
+    too; otherwise the slice is JVM-side projection over the full
+    codes column. Results are bit-identical either way (per-dim grid
+    independence; pinned by test). The rerank stays exact
+    full-dimension cosine."""
     if not M.read_meta(index_dir, _SQ8_KEY, False):
         raise ValueError(
             f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
@@ -1271,15 +1413,16 @@ def ann_index_sq8_topk(
         "q_id long, q_idx int, cell int",
     )
 
+    scan_table, needs_slice = _sq8_scan_table(index_dir, dims)
     sq8 = _live(
         spark,
         index_dir,
-        spark.read.parquet(M.table_path(index_dir, "sq8")).where(
+        spark.read.parquet(M.table_path(index_dir, scan_table)).where(
             _cell_predicate(probes)
         ),
     )
     code_col = (
-        F.col("codes") if dims is None else F.slice("codes", 1, dims)
+        F.slice("codes", 1, dims) if needs_slice else F.col("codes")
     )
     scored = (
         sq8.withColumn("dists", _sq8_dists_udf(q_mat)(code_col))
@@ -1341,10 +1484,14 @@ def _table_map(index_dir: str) -> dict:
         tables = dict(_PARTITIONED_TABLES_2L)
         if M.read_meta(index_dir, _SQ8_KEY, False):
             tables["sq8"] = ("group", "cell")
+            if M.read_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None) is not None:
+                tables["sq8_prefix"] = ("group", "cell")
         return tables
     tables = dict(_PARTITIONED_TABLES)
     if M.read_meta(index_dir, _SQ8_KEY, False):
         tables["sq8"] = "cell"
+        if M.read_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None) is not None:
+            tables["sq8_prefix"] = "cell"
     return tables
 
 
@@ -1361,10 +1508,44 @@ def _is_2level(index_dir: str) -> bool:
 _data_files = M.data_files
 
 
+# The documented SQ8 retrain rule (add_sq8_to_ann_index docstring) as
+# thresholds the maintenance pass acts on: retrain when more than ~1%
+# of code components sit outside the byte range, or when the corpus
+# has more than doubled past what the grid trained on.
+SQ8_RETRAIN_OOB_FRAC = 0.01
+SQ8_RETRAIN_GROWTH = 1.0
+
+
+def _sq8_drift_retrain_due(
+    spark: SparkSession, index_dir: str
+) -> dict | None:
+    """The drift check :func:`compact_ann_index` runs before its
+    rewrite — O(metadata) (manifest counters), returning the evidence
+    dict when the documented retrain rule fires, else None."""
+    if not M.read_meta(index_dir, _SQ8_KEY, False):
+        return None
+    frac, _n_rows, past = _sq8_drift_numbers(spark, index_dir)
+    trained = M.read_meta(index_dir, _SQ8_TRAINED_ROWS_KEY, None)
+    grown = (
+        past is not None
+        and trained is not None
+        and int(trained) > 0
+        and past > SQ8_RETRAIN_GROWTH * int(trained)
+    )
+    if frac > SQ8_RETRAIN_OOB_FRAC or grown:
+        return {
+            "oob_frac": frac,
+            "rows_past_grid": past,
+            "trained_rows": trained,
+        }
+    return None
+
+
 def compact_ann_index(
     spark: SparkSession,
     index_dir: str,
     tables: tuple[str, ...] | None = None,
+    sq8_drift_check: bool = True,
 ) -> dict:
     """Rewrite each partitioned artifact table so every partition holds
     one file-set again, and return per-table file counts before/after.
@@ -1398,15 +1579,51 @@ def compact_ann_index(
     the two-level (group, cell) tables — dispatch is by the on-disk
     marker (:func:`_is_2level`); ``tables=None`` compacts every
     partitioned table of whichever layout is present.
-    """
+
+    DRIFT-TRIGGERED SQ8 RETRAIN (``sq8_drift_check``, default on): the
+    engine's no-knob principle applied to the grid-drift audit — an
+    operator should not have to read ``sq8_oob_code_frac`` and call
+    :func:`add_sq8_to_ann_index` by hand. The check runs O(metadata)
+    off the manifest counters before the rewrite; when the store
+    carries the arm and the documented rule fires (oob_frac > 1% or
+    the corpus has more than doubled past the grid), the idempotent
+    retrain verb re-runs AFTER the rewrite — the grid re-derives from
+    the just-compacted (tombstone-applied) ``raw/``, every vector
+    re-encodes, a present prefix arm re-lands, and the drift counters
+    reset. The rare retrain pays one extra rewrite of the small codes
+    table; the common no-drift compaction instead restamps the
+    counters exactly from the table it rewrote anyway. The returned
+    stats carry the evidence under ``"sq8_retrain"`` and the manifest
+    records it (``__sq8_last_retrain__``)."""
     _check_layout(index_dir)
     table_map = _table_map(index_dir)
-    return M.compact_index(
-        spark, index_dir, table_map, tables or tuple(table_map), "vec_id"
+    todo = tables or tuple(table_map)
+    retrain = (
+        _sq8_drift_retrain_due(spark, index_dir)
+        if sq8_drift_check and "sq8" in todo
+        else None
     )
+    stats = M.compact_index(
+        spark, index_dir, table_map, todo, "vec_id"
+    )
+    if retrain:
+        add_sq8_to_ann_index(spark, index_dir)
+        M.write_meta(index_dir, "__sq8_last_retrain__", retrain)
+        stats["sq8_retrain"] = retrain
+    elif "sq8" in todo and M.read_meta(index_dir, _SQ8_KEY, False):
+        # the rewrite applied tombstones physically: restamp the drift
+        # counters exactly from the compacted table (one aggregate over
+        # data the compaction just rewrote anyway)
+        oob, comp, n = _sq8_code_aggregate(
+            spark.read.parquet(M.table_path(index_dir, "sq8"))
+        )
+        _stamp_sq8_counters(index_dir, oob, comp, n)
+    return stats
 
 
-def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+def ann_index_stats(
+    spark: SparkSession, index_dir: str, exact_drift: bool = False
+) -> DataFrame:
     """Layout audit over the partitioned artifact tables: one row per
     table with rows/partition skew and files/partition — the numbers
     that tell an operator WHEN to run :func:`compact_ann_index` (rising
@@ -1422,15 +1639,21 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     codes mean the append distribution has walked past the trained
     range) and ``sq8_rows_past_grid`` = NET row growth since the grid
     trained (negative after compacted deletes shrink the corpus below
-    what the grid saw — read as max(0, value)). The retrain rule lives
-    on :func:`add_sq8_to_ann_index`."""
+    what the grid saw — read as max(0, value)). The drift numbers come
+    from the O(metadata) manifest counters (see
+    :func:`_sq8_drift_numbers`); ``exact_drift=True`` recomputes them
+    with the full-table aggregate for audits. The retrain rule lives
+    on :func:`add_sq8_to_ann_index` and fires automatically from
+    :func:`compact_ann_index`."""
     _check_layout(index_dir)
     stats = M.index_stats(spark, index_dir, _table_map(index_dir))
     if not M.read_meta(index_dir, _SQ8_KEY, False):
         return stats.withColumn(
             "sq8_oob_code_frac", F.lit(None).cast("double")
         ).withColumn("sq8_rows_past_grid", F.lit(None).cast("long"))
-    frac, _n_rows, past = _sq8_drift_numbers(spark, index_dir)
+    frac, _n_rows, past = _sq8_drift_numbers(
+        spark, index_dir, exact=exact_drift
+    )
     return stats.withColumn(
         "sq8_oob_code_frac",
         F.when(F.col("table") == "sq8", F.lit(frac)).cast("double"),
@@ -1441,45 +1664,54 @@ def ann_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def _sq8_drift_numbers(
-    spark: SparkSession, index_dir: str
+    spark: SparkSession, index_dir: str, exact: bool = False
 ) -> tuple[float, int, int | None]:
-    """(oob_frac, n_rows, rows_past_grid) from ONE aggregate over the
-    sq8 codes table plus the manifest anchor. ``rows_past_grid`` is the
-    NET row growth since the grid trained — deletes applied physically
-    by a later compaction shrink it and can make it negative (the
-    corpus is smaller than the grid ever saw: no drift pressure); the
-    retrain rule reads it as max(0, value). The per-element HOF is fine
-    here — this is a maintenance audit, not the probe path."""
-    oob = F.size(
-        F.filter("codes", lambda c: (c < F.lit(0)) | (c > F.lit(255)))
-    )
-    drift = (
-        spark.read.parquet(M.table_path(index_dir, "sq8"))
-        .agg(
-            (
-                F.sum(oob).cast("double") / F.sum(F.size("codes"))
-            ).alias("frac"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .collect()[0]
-    )
+    """(oob_frac, n_rows, rows_past_grid) — O(metadata) by default: the
+    manifest counters stamped at retrain, accumulated at append, and
+    recomputed at compaction carry the exact physical-table numbers, so
+    a monitoring call reads three keys instead of rescanning a
+    corpus-sized codes table (the r12 regression: the stats query
+    doubled in cost and scaled with the corpus). ``exact=True`` — and
+    the fallback for a store whose counters were never stamped — runs
+    the one-aggregate scan; the two paths agree exactly because every
+    counter transition is measured from the same codes (pinned by
+    test). ``rows_past_grid`` is the NET row growth since the grid
+    trained — deletes applied physically by a later compaction shrink
+    it and can make it negative (the corpus is smaller than the grid
+    ever saw: no drift pressure); the retrain rule reads it as
+    max(0, value)."""
     trained = M.read_meta(index_dir, _SQ8_TRAINED_ROWS_KEY, None)
-    past = (
-        int(drift.n_rows) - int(trained) if trained is not None else None
+    if not exact:
+        oob = M.read_meta(index_dir, _SQ8_OOB_KEY, None)
+        comp = M.read_meta(index_dir, _SQ8_COMP_KEY, None)
+        n_rows = M.read_meta(index_dir, _SQ8_ROWS_KEY, None)
+        if oob is not None and comp is not None and n_rows is not None:
+            frac = float(oob) / float(comp) if comp else 0.0
+            past = (
+                int(n_rows) - int(trained) if trained is not None else None
+            )
+            return frac, int(n_rows), past
+    oob_n, comp_n, n_rows = _sq8_code_aggregate(
+        spark.read.parquet(M.table_path(index_dir, "sq8"))
     )
-    return float(drift.frac or 0.0), int(drift.n_rows), past
+    frac = float(oob_n) / float(comp_n) if comp_n else 0.0
+    past = int(n_rows) - int(trained) if trained is not None else None
+    return frac, int(n_rows), past
 
 
-def sq8_drift_stats(spark: SparkSession, index_dir: str) -> DataFrame:
-    """The drift audit ALONE — one aggregate over only the sq8 codes
-    table (the registered per-round query's shape: ann_index_stats
-    would re-aggregate every artifact table just to keep one row).
-    Raises if the store has no SQ8 arm, like the sq8 readers."""
+def sq8_drift_stats(
+    spark: SparkSession, index_dir: str, exact: bool = False
+) -> DataFrame:
+    """The drift audit ALONE (the registered per-round query's shape:
+    ann_index_stats would re-aggregate every artifact table just to
+    keep one row) — O(metadata) from the manifest counters by default,
+    ``exact=True`` for the full-scan audit. Raises if the store has no
+    SQ8 arm, like the sq8 readers."""
     if not M.read_meta(index_dir, _SQ8_KEY, False):
         raise ValueError(
             f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
         )
-    frac, n_rows, past = _sq8_drift_numbers(spark, index_dir)
+    frac, n_rows, past = _sq8_drift_numbers(spark, index_dir, exact=exact)
     return spark.createDataFrame(
         [("sq8", n_rows, frac, past)],
         "table string, rows bigint, sq8_oob_code_frac double, "
@@ -1859,6 +2091,7 @@ def build_ann_index_2level(
     # a rebuild orphans any derived SQ8 arm (grid trained on the old
     # corpus) — drop the flag so readers fail loudly until re-added
     M.write_meta(index_dir, _SQ8_KEY, False)
+    M.write_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(
@@ -2169,20 +2402,35 @@ def append_to_ann_index_2level(
             # SQ8 arm present: stored-grid encode + append, same
             # immutable-quantizer invariant as the single-level path
             vmin, scale = _read_sq_stats(spark, index_dir)
+            sq8_new = assigned.select(
+                "vec_id",
+                "group",
+                "cell",
+                _sq8_encode_udf(vmin, scale)(F.col("embedding")).alias(
+                    "codes"
+                ),
+            )
             (
-                assigned.select(
-                    "vec_id",
-                    "group",
-                    "cell",
-                    _sq8_encode_udf(vmin, scale)(F.col("embedding")).alias(
-                        "codes"
-                    ),
-                )
-                .repartition("group", "cell")
+                sq8_new.repartition("group", "cell")
                 .write.mode("append")
                 .partitionBy("group", "cell")
                 .parquet(M.table_path(index_dir, "sq8"))
             )
+            _accumulate_sq8_counters(index_dir, sq8_new)
+            pdims = M.read_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
+            if pdims is not None:
+                (
+                    sq8_new.select(
+                        "vec_id",
+                        "group",
+                        "cell",
+                        F.slice("codes", 1, int(pdims)).alias("codes"),
+                    )
+                    .repartition("group", "cell")
+                    .write.mode("append")
+                    .partitionBy("group", "cell")
+                    .parquet(M.table_path(index_dir, "sq8_prefix"))
+                )
     finally:
         assigned.unpersist()
 
@@ -2626,7 +2874,9 @@ def ann_index_2level_sq8_topk(
     cosine rerank on the shortlist's raw rows. Output contract matches
     ann_index_2level_topk: (q_id, vec_id, sim, rank). ``dims`` slices
     the code-space stage to the leading codes exactly like the
-    single-level reader (the ladders compose on both layouts)."""
+    single-level reader (the ladders compose on both layouts), and a
+    materialized prefix arm at width ≥ dims is scanned when present —
+    same scan-side byte cut, same bit-identity."""
     if not M.read_meta(index_dir, _SQ8_KEY, False):
         raise ValueError(
             f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
@@ -2649,15 +2899,16 @@ def ann_index_2level_sq8_topk(
     g_pred = F.col("group").isin(sorted({g for _, g, _ in probes}))
     c_pred = F.col("cell").isin(sorted({c for _, _, c in probes}))
 
+    scan_table, needs_slice = _sq8_scan_table(index_dir, dims)
     sq8 = _live(
         spark,
         index_dir,
-        spark.read.parquet(M.table_path(index_dir, "sq8")).where(
+        spark.read.parquet(M.table_path(index_dir, scan_table)).where(
             g_pred & c_pred
         ),
     )
     code_col = (
-        F.col("codes") if dims is None else F.slice("codes", 1, dims)
+        F.slice("codes", 1, dims) if needs_slice else F.col("codes")
     )
     scored = (
         sq8.withColumn("dists", _sq8_dists_udf(q_mat)(code_col))
@@ -2863,6 +3114,7 @@ def build_ann_index_2level_distributed(
     # a rebuild orphans any derived SQ8 arm (grid trained on the old
     # corpus) — drop the flag so readers fail loudly until re-added
     M.write_meta(index_dir, _SQ8_KEY, False)
+    M.write_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(

@@ -1398,3 +1398,230 @@ def test_2level_rebuild_invalidates_sq8_arm(spark, tmp_path):
     AI.add_sq8_to_ann_index(spark, d)
     got = _rows(AI.ann_index_2level_sq8_topk(spark, d, _queries(spark), K, 10**9))
     assert got == _rows(AI.ann_index_2level_topk(spark, d, _queries(spark), K))
+
+
+def test_sq8_prefix_arm_bit_identity_and_lifecycle(spark, tmp_path):
+    """The materialized prefix-codes arm (sq8_prefix/) must be
+    INVISIBLE in results: a store carrying it answers every truncated
+    width at or under the materialized width bit-identically to a twin
+    store without it (per-dim grid independence), while the probed
+    scan actually switches to the prefix table (plan-pinned — the
+    scan-side IO cut is the arm's whole point). Lifecycle: appends
+    land sliced rows alongside the full codes, compaction covers the
+    table, a grid retrain re-derives it, a rebuild invalidates it."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d_arm = str(tmp_path / "with_arm")
+    d_twin = str(tmp_path / "no_arm")
+    for d in (d_arm, d_twin):
+        AI.build_ann_index(spark, emb.filter(F.col("vec_id") < half), d)
+        AI.add_sq8_to_ann_index(spark, d)
+    AI.add_sq8_prefix_to_ann_index(spark, d_arm)  # default width 16
+    assert M.read_meta(d_arm, AI._SQ8_PREFIX_DIMS_KEY) == S.MRL_DIMS
+    qs = _queries(spark)
+
+    def trunc(d, dims):
+        return _rows(AI.ann_index_sq8_topk(spark, d, qs, K, dims=dims))
+
+    # bit-identity at the materialized width, below it, and (fallback
+    # to the full codes table) above it
+    for dims in (16, 8, 32, None):
+        assert trunc(d_arm, dims) == trunc(d_twin, dims), dims
+    # the dims<=width scan reads the prefix table, not the full codes
+    # (widen the metadata string limit: the default 100 truncates the
+    # long pytest tmp path out of the Location entry)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = AI.ann_index_sq8_topk(spark, d_arm, qs, K, dims=16)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "/sq8_prefix" in plan  # the table dir, not the test name
+        full_plan = (
+            AI.ann_index_sq8_topk(spark, d_arm, qs, K)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "/sq8_prefix" not in full_plan
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    # appends maintain the arm (sliced rows land alongside)
+    for d in (d_arm, d_twin):
+        AI.append_to_ann_index(
+            spark, emb.filter(F.col("vec_id") >= half), d
+        )
+    for dims in (16, 8, None):
+        assert trunc(d_arm, dims) == trunc(d_twin, dims), dims
+    n_sq8 = spark.read.parquet(M.table_path(d_arm, "sq8")).count()
+    pfx = spark.read.parquet(M.table_path(d_arm, "sq8_prefix"))
+    assert pfx.count() == n_sq8
+    assert pfx.select(F.max(F.size("codes"))).collect()[0][0] == S.MRL_DIMS
+    # tombstones + compaction ride the same lifecycle (prefix table is
+    # in the maintenance map, anti-joined and rewritten)
+    victims = [int(r.vec_id) for r in emb.limit(3).collect()]
+    for d in (d_arm, d_twin):
+        AI.delete_from_ann_index(spark, victims, d)
+    res_arm = AI.compact_ann_index(spark, d_arm)
+    AI.compact_ann_index(spark, d_twin)
+    assert "sq8_prefix" in res_arm
+    for dims in (16, None):
+        assert trunc(d_arm, dims) == trunc(d_twin, dims), dims
+    assert (
+        spark.read.parquet(M.table_path(d_arm, "sq8_prefix")).count()
+        == spark.read.parquet(M.table_path(d_arm, "sq8")).count()
+    )
+    # a grid retrain re-derives the arm from the fresh codes
+    for d in (d_arm, d_twin):
+        AI.add_sq8_to_ann_index(spark, d)
+    assert M.read_meta(d_arm, AI._SQ8_PREFIX_DIMS_KEY) == S.MRL_DIMS
+    for dims in (16, 8):
+        assert trunc(d_arm, dims) == trunc(d_twin, dims), dims
+    # a rebuild invalidates the arm with the rest of the SQ8 state
+    AI.build_ann_index(spark, emb, d_arm)
+    assert M.read_meta(d_arm, AI._SQ8_PREFIX_DIMS_KEY) is None
+    # and the verb refuses a store with no SQ8 arm
+    with pytest.raises(ValueError, match="SQ8"):
+        AI.add_sq8_prefix_to_ann_index(spark, d_arm)
+
+
+def test_2level_sq8_prefix_arm_bit_identity(spark, tmp_path):
+    """The prefix arm on the sharded-quantizer layout: (group, cell)
+    partitioning, bit-identical truncated results vs the slice-side
+    twin, appends maintained, plan scans the prefix table."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d_arm = str(tmp_path / "arm_2l")
+    d_twin = str(tmp_path / "twin_2l")
+    for d in (d_arm, d_twin):
+        AI.build_ann_index_2level(
+            spark, emb.filter(F.col("vec_id") < half), d
+        )
+        AI.add_sq8_to_ann_index(spark, d)
+    AI.add_sq8_prefix_to_ann_index(spark, d_arm)
+    part_cols = {
+        tuple(sorted(c for c in ("group", "cell") if f"{c}=" in p))
+        for p in AI._data_files(M.table_path(d_arm, "sq8_prefix"))
+    }
+    assert part_cols == {("cell", "group")}
+    qs = _queries(spark)
+
+    def trunc(d, dims):
+        return _rows(
+            AI.ann_index_2level_sq8_topk(spark, d, qs, K, dims=dims)
+        )
+
+    for dims in (16, 8, None):
+        assert trunc(d_arm, dims) == trunc(d_twin, dims), dims
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = (
+            AI.ann_index_2level_sq8_topk(spark, d_arm, qs, K, dims=16)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "/sq8_prefix" in plan  # the table dir, not the test name
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    for d in (d_arm, d_twin):
+        AI.append_to_ann_index_2level(
+            spark, emb.filter(F.col("vec_id") >= half), d
+        )
+    for dims in (16, 8, None):
+        assert trunc(d_arm, dims) == trunc(d_twin, dims), dims
+
+
+def test_sq8_drift_counters_match_exact_scan(spark, tmp_path):
+    """The O(metadata) manifest counters must agree EXACTLY with the
+    full-table aggregate after every lifecycle transition — retrain
+    stamp, clean append, drifted append, and post-compaction restamp
+    (with the auto-retrain disabled to isolate the accounting)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d = str(tmp_path / "counters")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.add_sq8_to_ann_index(spark, d)
+
+    def agree():
+        inc = AI._sq8_drift_numbers(spark, d)
+        ex = AI._sq8_drift_numbers(spark, d, exact=True)
+        assert inc == ex
+        return inc
+
+    assert agree() == (0.0, half, 0)
+    # drifted append: counters accumulate the batch's own aggregate
+    drifted = emb.filter(F.col("vec_id") >= half).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(3.0)).cast("float")
+        ).alias("embedding"),
+    )
+    AI.append_to_ann_index(spark, drifted, d)
+    frac, n_rows, past = agree()
+    assert frac > 0.0 and past == emb.count() - half
+    # compaction (auto-retrain off) applies tombstones physically and
+    # restamps the counters exactly
+    victims = [int(r.vec_id) for r in emb.limit(4).collect()]
+    AI.delete_from_ann_index(spark, victims, d)
+    AI.compact_ann_index(spark, d, sq8_drift_check=False)
+    frac2, n2, past2 = agree()
+    assert n2 == emb.count() - len(victims)
+    # stats and the drift-only reader serve the counter numbers
+    row = AI.sq8_drift_stats(spark, d).collect()[0]
+    assert (row.sq8_oob_code_frac, row.sq8_rows_past_grid) == (frac2, past2)
+
+
+def test_compaction_auto_retrains_drifted_sq8(spark, tmp_path):
+    """The no-knob drift response: a store whose append distribution
+    walked past the trained grid (oob_frac > the documented 1%) must
+    auto-heal on compaction — grid re-derived, every vector re-encoded,
+    prefix arm re-landed, counters reset, manifest records the retrain
+    — while covering-shortlist search stays exactly IVF-Flat. A second
+    store triggers via the GROWTH rule (corpus more than doubled past
+    the grid) with no OOB at all."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    half = n // 2
+    qs = _queries(spark)
+
+    d = str(tmp_path / "oob_drift")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.add_sq8_to_ann_index(spark, d)
+    AI.add_sq8_prefix_to_ann_index(spark, d)
+    drifted = emb.filter(F.col("vec_id") >= half).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(3.0)).cast("float")
+        ).alias("embedding"),
+    )
+    AI.append_to_ann_index(spark, drifted, d)
+    frac_before, _, _ = AI._sq8_drift_numbers(spark, d)
+    assert frac_before > AI.SQ8_RETRAIN_OOB_FRAC
+    res = AI.compact_ann_index(spark, d)
+    assert res["sq8_retrain"]["oob_frac"] == frac_before
+    assert M.read_meta(d, "__sq8_last_retrain__") == res["sq8_retrain"]
+    frac_after, n_rows, past = AI._sq8_drift_numbers(spark, d)
+    assert frac_after == 0.0 and past == 0 and n_rows == n
+    assert AI._sq8_drift_numbers(spark, d, exact=True) == (0.0, n, 0)
+    # the prefix arm re-derived against the retrained grid
+    assert M.read_meta(d, AI._SQ8_PREFIX_DIMS_KEY) == S.MRL_DIMS
+    assert (
+        spark.read.parquet(M.table_path(d, "sq8_prefix")).count() == n
+    )
+    # exactness anchor: covering shortlist still equals IVF-Flat
+    assert _rows(AI.ann_index_sq8_topk(spark, d, qs, K, 10**9)) == _rows(
+        AI.ann_index_ivf_topk(spark, d, qs, K)
+    )
+
+    # growth-rule trigger: tiny trained prefix, large clean append
+    d2 = str(tmp_path / "growth_drift")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < 100), d2)
+    AI.add_sq8_to_ann_index(spark, d2)
+    AI.append_to_ann_index(spark, emb.filter(F.col("vec_id") >= 100), d2)
+    _, _, past2 = AI._sq8_drift_numbers(spark, d2)
+    assert past2 > AI.SQ8_RETRAIN_GROWTH * 100
+    res2 = AI.compact_ann_index(spark, d2)
+    assert res2["sq8_retrain"]["rows_past_grid"] == past2
+    assert AI._sq8_drift_numbers(spark, d2) == (0.0, n, 0)
+    # and a clean store does NOT retrain
+    res3 = AI.compact_ann_index(spark, d2)
+    assert "sq8_retrain" not in res3
