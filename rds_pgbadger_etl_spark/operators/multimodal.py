@@ -572,10 +572,33 @@ def _attach_hamming(
     )
 
 
+def image_fused_bands(
+    hashes: DataFrame, dhashes: DataFrame
+) -> DataFrame:
+    """The fused two-family banded rows (fam, doc_id, band, val) as a
+    standalone plan — the deterministic corpus property
+    :func:`image_near_dup_pairs` banding starts from. Exposed so
+    repeated evaluations over a staged corpus (bench/driver/tests)
+    can materialize it ONCE per process (plans/llm_ops stages it like
+    the hash words and the band cap) instead of paying the
+    explode+persist chain on every call."""
+    w2 = (
+        hashes.select("doc_id", "hi", "lo")
+        .withColumn("fam", F.lit(0))
+        .unionByName(
+            dhashes.select("doc_id", "hi", "lo").withColumn(
+                "fam", F.lit(1)
+            )
+        )
+    )
+    return _banded(w2, ["fam"])
+
+
 def image_near_dup_pairs(
     hashes: DataFrame,
     dhashes: DataFrame | None = None,
     max_band_freq: int | str | None = "auto",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Hamming near-dup pairs over aHash words: band each 64-bit hash
     into four 16-bit words, equi-join on (band, value) — candidates ∝
@@ -595,7 +618,16 @@ def image_near_dup_pairs(
     gradients nearly untouched, and a gradient-heavy edit leaves the
     means alone, so flips that break one family rarely break both.
     Output gains the ``dhamming`` column (both distances are reported
-    for every qualifying pair)."""
+    for every qualifying pair).
+
+    ``bands`` lets a caller hand in an already-staged fused band table
+    (:func:`image_fused_bands` — it is a deterministic corpus property
+    like the hash words and the cap, so plans/llm_ops persists it once
+    per process/corpus); without it the banding is built and persisted
+    here, and that persist lives for the Spark session (self-join input
+    — unpersisting before the result is consumed would recompute the
+    explode twice; ad-hoc single-shot callers accept the cached
+    partitions, repeated-evaluation callers should pass ``bands``)."""
     if dhashes is None:
         return hamming_band_pairs(hashes, max_band_freq=max_band_freq)
     # FUSED two-family banding: both families ride ONE persist, ONE
@@ -611,28 +643,10 @@ def image_near_dup_pairs(
     # callers that evaluate repeatedly over a staged corpus pass the
     # resolved int cap (a corpus property) to skip the per-evaluation
     # distinct-docs action "auto" needs
-    w2 = (
-        hashes.select("doc_id", "hi", "lo").withColumn("fam", F.lit(0))
-        .unionByName(
-            dhashes.select("doc_id", "hi", "lo").withColumn(
-                "fam", F.lit(1)
-            )
-        )
-    )
-    bands = _banded(w2, ["fam"]).persist()
+    if bands is None:
+        bands = image_fused_bands(hashes, dhashes).persist()
     cap = _auto_band_cap(bands, max_band_freq)
-    if cap is None:
-        pruned = bands
-    else:
-        hot = (
-            bands.groupBy("fam", "band", "val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > cap)
-            .select("fam", "band", "val")
-        )
-        pruned = bands.join(
-            F.broadcast(hot), ["fam", "band", "val"], "left_anti"
-        )
+    pruned = prune_hot_bands(bands, cap, ["fam"])
     cand = (
         pruned.alias("l")
         .join(
@@ -652,6 +666,26 @@ def image_near_dup_pairs(
         (F.col("hamming") <= _AHASH_MAX_HAMMING)
         | (F.col("dhamming") <= _AHASH_MAX_HAMMING)
     ).select("a", "b", "hamming", "dhamming")
+
+
+def prune_hot_bands(
+    bands: DataFrame, cap: int | None, keys: list[str]
+) -> DataFrame:
+    """Drop band rows whose (keys, band, val) bucket holds more than
+    ``cap`` docs — the hot-band guard shared by the fused two-family
+    path and the staged-evaluation plans (the pruned table is itself a
+    deterministic corpus property once the cap is resolved, so
+    plans/llm_ops can stage it per process/corpus and skip the
+    count+anti-join per evaluation). ``cap=None`` passes through."""
+    if cap is None:
+        return bands
+    hot = (
+        bands.groupBy(*keys, "band", "val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys, "band", "val")
+    )
+    return bands.join(F.broadcast(hot), [*keys, "band", "val"], "left_anti")
 
 
 def _banded(w: DataFrame, extra: list[str]) -> DataFrame:

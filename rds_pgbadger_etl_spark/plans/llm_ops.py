@@ -1182,6 +1182,33 @@ def _image_dhashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_fused_bands_shared(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fused two-family band table — hot buckets already pruned at
+    the resolved corpus cap — staged once per (process, corpus): like
+    the hash words it derives from and the band cap applied to it, it
+    is a deterministic corpus property, so the repeated-evaluation
+    paths skip the explode AND the hot-count anti-join per call (the
+    remaining warm cost of the image near-dup query after the decode
+    and banding fusions)."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "image_fused_bands_pruned",
+        sf_dir,
+        lambda: M.prune_hot_bands(
+            M.image_fused_bands(
+                _image_hashes_shared(spark, sf_dir),
+                _image_dhashes_shared(spark, sf_dir),
+            ),
+            _media_band_cap(spark, sf_dir),
+            ["fam"],
+        ),
+    )
+
+
 _MEDIA_BAND_CAPS: dict[tuple[str, str], int] = {}
 
 
@@ -1234,10 +1261,13 @@ def multimodal_image_near_dups(
     shifts that flip aHash bits leave gradients alone, and vice versa).
     Oracle = both families' closed-form hash words + the union of both
     bandings + both popcount distances."""
+    # the staged bands are already hot-pruned at the resolved corpus
+    # cap, so the per-evaluation cap is None (no second prune)
     return M.image_near_dup_pairs(
         _image_hashes_shared(spark, sf_dir),
         _image_dhashes_shared(spark, sf_dir),
-        max_band_freq=_media_band_cap(spark, sf_dir),
+        max_band_freq=None,
+        bands=_image_fused_bands_shared(spark, sf_dir),
     )
 
 
@@ -3988,6 +4018,7 @@ def _ann_index_shared(spark: SparkSession, sf_dir: str) -> str:
 
 
 _SQ8_READY: set[str] = set()
+_SQ8_PREFIX_READY: set[str] = set()
 
 
 def _ann_index_sq8_shared(spark: SparkSession, sf_dir: str) -> str:
@@ -4002,6 +4033,22 @@ def _ann_index_sq8_shared(spark: SparkSession, sf_dir: str) -> str:
     if d not in _SQ8_READY:
         add_sq8_to_ann_index(spark, d)
         _SQ8_READY.add(d)
+    return d
+
+
+def _with_sq8_prefix(spark: SparkSession, d: str) -> str:
+    """Add the materialized prefix-codes arm to an SQ8-carrying staged
+    store (once per staged dir). The registered truncated queries run
+    over it so the oracle gate exercises the scan-side arm — results
+    must be bit-identical to the projection-slice path, and the SAME
+    SQL twin proves it."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        add_sq8_prefix_to_ann_index,
+    )
+
+    if d not in _SQ8_PREFIX_READY:
+        add_sq8_prefix_to_ann_index(spark, d)
+        _SQ8_PREFIX_READY.add(d)
     return d
 
 
@@ -5686,12 +5733,16 @@ def ann_index_sq8_trunc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, vs SQ8's 64 B and raw's 256 B), the rerank stays exact
     full-dimension cosine. The per-dim grid is independent, so the
     prefix of the trained grid IS the trained grid of the prefix —
-    which is why the oracle is the SQ8 twin with one dim filter."""
+    which is why the oracle is the SQ8 twin with one dim filter. The
+    staged store carries the MATERIALIZED prefix arm
+    (add_sq8_prefix_to_ann_index), so the shortlist scan reads the
+    ~dims-byte sq8_prefix/ table — the scan-side IO cut — and this
+    oracle proves the arm bit-identical to the projection slice."""
     from rds_pgbadger_etl_spark.operators import ann_index as AI
 
     return AI.ann_index_sq8_topk(
         spark,
-        _ann_index_sq8_shared(spark, sf_dir),
+        _with_sq8_prefix(spark, _ann_index_sq8_shared(spark, sf_dir)),
         _query_vectors(spark, sf_dir),
         _TOPK,
         _RERANK_SHORTLIST,
@@ -5851,7 +5902,9 @@ def ann_index_2level_sq8_trunc_topk(
 
     return AI.ann_index_2level_sq8_topk(
         spark,
-        _ann_index_2level_sq8_shared(spark, sf_dir),
+        _with_sq8_prefix(
+            spark, _ann_index_2level_sq8_shared(spark, sf_dir)
+        ),
         _query_vectors(spark, sf_dir),
         _TOPK,
         _RERANK_SHORTLIST,

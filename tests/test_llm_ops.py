@@ -1276,3 +1276,35 @@ def test_auto_band_cap_fires_in_store_lookup(spark, tmp_path):
     assert any(n == 900 for _o, n in unc_pairs)  # uncapped DOES join it
     for df in pinned + [prof]:
         df.unpersist()
+
+
+def test_image_near_dups_staged_bands_equivalent(spark, sf_smoke):
+    """Handing image_near_dup_pairs a pre-staged fused band table
+    (image_fused_bands) must reproduce the internally-banded result
+    exactly — the staging is a pure evaluation-cost move."""
+    from rds_pgbadger_etl_spark.operators import multimodal as MM
+    from rds_pgbadger_etl_spark.plans.llm_ops import (
+        _image_dhashes_shared,
+        _image_hashes_shared,
+    )
+
+    h = _image_hashes_shared(spark, sf_smoke)
+    dh = _image_dhashes_shared(spark, sf_smoke)
+    inline = sorted(
+        map(
+            str,
+            MM.image_near_dup_pairs(h, dh, max_band_freq=64).collect(),
+        )
+    )
+    staged = sorted(
+        map(
+            str,
+            MM.image_near_dup_pairs(
+                h,
+                dh,
+                max_band_freq=64,
+                bands=MM.image_fused_bands(h, dh),
+            ).collect(),
+        )
+    )
+    assert staged == inline
