@@ -118,6 +118,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "disjoint in z-space, so scans filtering on ANY "
                         "of these columns skip whole files (supersedes "
                         "--compact-sort)")
+    p.add_argument("--maintain-index", default=None, metavar="INDEX_DIR",
+                   help="maintenance verb: service the persisted ANN "
+                        "index at INDEX_DIR — rewrite every artifact "
+                        "table to one file-set per partition, apply "
+                        "pending delete tombstones physically, and "
+                        "auto-retrain the SQ8 grid when the drift rule "
+                        "fires (oob_frac > 1%% or corpus more than "
+                        "doubled past the grid) — and exit")
+    p.add_argument("--maintain-dedup", default=None, metavar="INDEX_DIR",
+                   help="maintenance verb: service the persisted dedup "
+                        "signature store at INDEX_DIR — compact bands/"
+                        "profiles, apply pending tombstones, upgrade "
+                        "the prefix fanout when the store has grown "
+                        "past the small-store threshold — and exit")
     return p
 
 
@@ -167,6 +181,47 @@ def run_compact(args) -> None:
         )
     how = f"z-ordered on {args.cluster}" if mode == "zorder" else "compacted"
     print(f"{how} {args.compact}: {before} -> {after} files")
+
+
+def run_maintain_index(args) -> None:
+    """The persisted-ANN-store maintenance verb — the reference's whole
+    shape is a cron container (Dockerfile:15), so the mutable artifacts
+    must be serviceable without writing Python: one invocation compacts
+    every table (generation flip), GCs tombstones physically, and acts
+    on the SQ8 drift audit (compact_ann_index's no-knob retrain)."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="rds-pgbadger-etl-spark", cpus=args.cpus)
+    res = AI.compact_ann_index(spark, args.maintain_index)
+    retrain = res.pop("sq8_retrain", None)
+    for t, st in sorted(res.items()):
+        print(
+            f"{t}: {st['files_before']} -> {st['files_after']} files"
+        )
+    if retrain:
+        print(
+            "sq8 grid retrained: oob_frac "
+            f"{retrain['oob_frac']:.4f}, rows_past_grid "
+            f"{retrain['rows_past_grid']}"
+        )
+
+
+def run_maintain_dedup(args) -> None:
+    """The persisted-dedup-store maintenance verb: compaction +
+    tombstone GC + the growth-triggered prefix-fanout upgrade, from the
+    shell (same cron shape as --maintain-index)."""
+    from rds_pgbadger_etl_spark.operators.dedup_index import (
+        compact_dedup_index,
+    )
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="rds-pgbadger-etl-spark", cpus=args.cpus)
+    res = compact_dedup_index(spark, args.maintain_dedup)
+    for t, st in sorted(res.items()):
+        print(
+            f"{t}: {st['files_before']} -> {st['files_after']} files"
+        )
 
 
 def _parser(spark, strategy: str, paths: list[str]):
@@ -406,6 +461,12 @@ def main(argv: list[str] | None = None) -> None:
         return
     if args.compact:
         run_compact(args)
+        return
+    if args.maintain_index:
+        run_maintain_index(args)
+        return
+    if args.maintain_dedup:
+        run_maintain_dedup(args)
         return
     if not args.log_dir or not args.out_dir:
         raise SystemExit("--log-dir and --out-dir are required (or env vars)")

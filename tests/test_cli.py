@@ -281,3 +281,88 @@ def test_parse_hour_anchored_and_loud():
         _parse_hour("postgresql.log.2024-01-02-07.gz")
     with pytest.raises(ValueError, match="YYYY-MM-DD-HH"):
         _parse_hour("README.txt")
+
+
+def test_cli_maintain_index_verb(capsys, spark, tmp_path):
+    """`--maintain-index DIR` end-to-end: one invocation compacts every
+    artifact table, applies pending tombstones physically, and acts on
+    the SQ8 drift audit — a deliberately drifted store auto-heals
+    (grid retrained, prefix arm re-derived, counters reset) and the
+    summary prints what happened. The mutable artifacts are now
+    serviceable from the cron container without writing Python."""
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark import cli
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    half = n // 2
+    d = str(tmp_path / "ann_store")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.add_sq8_to_ann_index(spark, d)
+    AI.add_sq8_prefix_to_ann_index(spark, d)
+    drifted = emb.filter(F.col("vec_id") >= half).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(3.0)).cast("float")
+        ).alias("embedding"),
+    )
+    AI.append_to_ann_index(spark, drifted, d)
+    victims = [int(r.vec_id) for r in emb.limit(3).collect()]
+    AI.delete_from_ann_index(spark, victims, d)
+    assert AI._sq8_drift_numbers(spark, d)[0] > AI.SQ8_RETRAIN_OOB_FRAC
+
+    cli.main(["--maintain-index", d, "--cpus", "8"])
+    msg = capsys.readouterr().out
+    assert "sq8 grid retrained" in msg
+    assert "raw:" in msg and "files" in msg
+    # healed: counters reset, tombstones applied physically
+    frac, n_rows, past = AI._sq8_drift_numbers(spark, d)
+    assert frac == 0.0 and n_rows == n - len(victims)
+    assert M.tombstones(spark, d) is None
+    # prefix arm re-derived against the retrained grid
+    assert (
+        spark.read.parquet(M.table_path(d, "sq8_prefix")).count()
+        == n_rows
+    )
+    # a second invocation is a clean no-retrain pass
+    cli.main(["--maintain-index", d, "--cpus", "8"])
+    msg = capsys.readouterr().out
+    assert "retrained" not in msg
+
+
+def test_cli_maintain_dedup_verb(capsys, spark, tmp_path):
+    """`--maintain-dedup DIR`: the signature store's compaction +
+    tombstone GC from the shell — lookups preserved, file counts
+    repaired, pending tombstones cleared."""
+    from pyspark.sql import functions as F
+
+    from rds_pgbadger_etl_spark import cli
+    from rds_pgbadger_etl_spark.operators import dedup_index as DI
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "dedup_store")
+    DI.build_dedup_index(spark, docs.filter(F.col("doc_id") % 2 == 0), d)
+    DI.append_to_dedup_index(spark, docs.filter(F.col("doc_id") % 2 == 1), d)
+    victims = [int(r.doc_id) for r in docs.limit(2).collect()]
+    DI.delete_from_dedup_index(spark, victims, d)
+
+    probe = docs.limit(20)
+    before = sorted(
+        map(str, DI.dedup_index_lookup(spark, probe, d).collect())
+    )
+    cli.main(["--maintain-dedup", d, "--cpus", "8"])
+    msg = capsys.readouterr().out
+    assert "bands:" in msg and "profiles:" in msg
+    assert M.tombstones(spark, d) is None
+    after = sorted(
+        map(str, DI.dedup_index_lookup(spark, probe, d).collect())
+    )
+    assert after == before
