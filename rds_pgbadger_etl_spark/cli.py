@@ -132,6 +132,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "profiles, apply pending tombstones, upgrade "
                         "the prefix fanout when the store has grown "
                         "past the small-store threshold — and exit")
+    p.add_argument("--index-stats", default=None, metavar="INDEX_DIR",
+                   help="observability verb: print the layout audit of "
+                        "the persisted store at INDEX_DIR as JSON lines "
+                        "(rows/files per partition, bytes/row, and the "
+                        "SQ8 drift audit for ANN stores; store kind "
+                        "auto-detected) and exit")
     return p
 
 
@@ -222,6 +228,41 @@ def run_maintain_dedup(args) -> None:
         print(
             f"{t}: {st['files_before']} -> {st['files_after']} files"
         )
+
+
+def run_index_stats(args) -> None:
+    """The observability half of the store-maintenance surface: the
+    layout audit (and, for ANN stores, the SQ8 drift audit — read from
+    the O(metadata) manifest counters) as JSON lines a cron wrapper can
+    alert on. Store kind is detected from the on-disk quantizer tables
+    — the two artifacts' table sets are disjoint markers."""
+    import json
+
+    from rds_pgbadger_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="rds-pgbadger-etl-spark", cpus=args.cpus)
+    d = args.index_stats
+    if os.path.isdir(os.path.join(d, "centroids")) or os.path.isdir(
+        os.path.join(d, "coarse")
+    ):
+        from rds_pgbadger_etl_spark.operators.ann_index import (
+            ann_index_stats,
+        )
+
+        df = ann_index_stats(spark, d)
+    elif os.path.isdir(os.path.join(d, "profiles")):
+        from rds_pgbadger_etl_spark.operators.dedup_index import (
+            dedup_index_stats,
+        )
+
+        df = dedup_index_stats(spark, d)
+    else:
+        raise SystemExit(
+            f"{d!r} holds neither an ANN index (centroids/ or coarse/) "
+            "nor a dedup store (profiles/)"
+        )
+    for row in df.collect():
+        print(json.dumps(row.asDict(), default=str))
 
 
 def _parser(spark, strategy: str, paths: list[str]):
@@ -467,6 +508,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if args.maintain_dedup:
         run_maintain_dedup(args)
+        return
+    if args.index_stats:
+        run_index_stats(args)
         return
     if not args.log_dir or not args.out_dir:
         raise SystemExit("--log-dir and --out-dir are required (or env vars)")

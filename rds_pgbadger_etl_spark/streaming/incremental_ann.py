@@ -250,6 +250,7 @@ def run_incremental_ann(
     n_centroids: int | None = S.N_CENTROIDS,
     sq8: bool = False,
     residual: bool | str = False,
+    sq8_prefix_dims: int | None = None,
 ) -> None:
     """The ingestion pipeline: per micro-batch, flag each new embedding's
     nearest already-indexed neighbors, write the flags, then admit the
@@ -279,7 +280,31 @@ def run_incremental_ann(
     stored manifest flag, so streaming into a pre-built SQ8 store needs
     no flag here at all. Resuming with ``sq8=True`` over an existing
     store that LACKS the arm derives it once (idempotent) rather than
-    silently ignoring the request."""
+    silently ignoring the request.
+
+    ``sq8_prefix_dims`` materializes the prefix-codes arm
+    (add_sq8_prefix_to_ann_index) right after the SQ8 derive — the
+    scan-side truncated-search arm on a streaming-born store; appends
+    maintain it per batch off the manifest key like the SQ8 arm
+    itself, and a resume over a store lacking it derives it once
+    (same no-silent-drop contract as ``sq8``). Requires ``sq8``."""
+    if sq8_prefix_dims is not None and not sq8:
+        raise ValueError("sq8_prefix_dims requires sq8=True")
+
+    def _ensure_arms(spark) -> None:
+        """Derive any requested-but-absent derived arm (bootstrap and
+        resume share the contract: a request is never silently
+        dropped; both verbs are idempotent)."""
+        if sq8 and not M.read_meta(index_dir, AI._SQ8_KEY, False):
+            AI.add_sq8_to_ann_index(spark, index_dir)
+        if (
+            sq8_prefix_dims is not None
+            and M.read_meta(index_dir, AI._SQ8_PREFIX_DIMS_KEY, None)
+            is None
+        ):
+            AI.add_sq8_prefix_to_ann_index(
+                spark, index_dir, sq8_prefix_dims
+            )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -291,11 +316,7 @@ def run_incremental_ann(
                 "append"
             ).parquet(flags_out_dir)
             AI.append_to_ann_index(spark, batch, index_dir)
-            if sq8 and not M.read_meta(index_dir, AI._SQ8_KEY, False):
-                # requested arm absent from a pre-existing store (e.g. a
-                # resume over a store bootstrapped without it): derive
-                # it now instead of silently dropping the request
-                AI.add_sq8_to_ann_index(spark, index_dir)
+            _ensure_arms(spark)
         else:
             spark.createDataFrame([], _FLAG_SCHEMA).withColumn(
                 "batch_id", F.lit(batch_id)
@@ -307,8 +328,7 @@ def run_incremental_ann(
                 n_centroids=n_centroids,
                 residual=residual,
             )
-            if sq8:
-                AI.add_sq8_to_ann_index(spark, index_dir)
+            _ensure_arms(spark)
 
     q = (
         emb_stream.writeStream.foreachBatch(process)
@@ -339,6 +359,7 @@ def run_incremental_ann_2level(
     n_cells: int | None = AI.N_CELLS_2L,
     residual: bool | str = False,
     sq8: bool = False,
+    sq8_prefix_dims: int | None = None,
 ) -> None:
     """:func:`run_incremental_ann` for the two-level (sharded-quantizer)
     layout — the exactly-once ingestion path past the 4096-cell cap:
@@ -362,7 +383,24 @@ def run_incremental_ann_2level(
     are immutable afterwards); as with the single-level driver, a stream
     expecting to grow should pass ``auto_quantizer_shape(expected_corpus
     _size)`` explicitly rather than ``None`` (which would size for the
-    first batch)."""
+    first batch). ``sq8``/``sq8_prefix_dims`` carry the same derived-arm
+    contract as the single-level driver: derived at bootstrap,
+    maintained per batch off the manifest keys, derived-once on a
+    resume that requests an absent arm."""
+    if sq8_prefix_dims is not None and not sq8:
+        raise ValueError("sq8_prefix_dims requires sq8=True")
+
+    def _ensure_arms(spark) -> None:
+        if sq8 and not M.read_meta(index_dir, AI._SQ8_KEY, False):
+            AI.add_sq8_to_ann_index(spark, index_dir)
+        if (
+            sq8_prefix_dims is not None
+            and M.read_meta(index_dir, AI._SQ8_PREFIX_DIMS_KEY, None)
+            is None
+        ):
+            AI.add_sq8_prefix_to_ann_index(
+                spark, index_dir, sq8_prefix_dims
+            )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -374,10 +412,9 @@ def run_incremental_ann_2level(
                 "append"
             ).parquet(flags_out_dir)
             AI.append_to_ann_index_2level(spark, batch, index_dir)
-            if sq8 and not M.read_meta(index_dir, AI._SQ8_KEY, False):
-                # same resume contract as the single-level driver: a
-                # requested-but-absent arm is derived, never dropped
-                AI.add_sq8_to_ann_index(spark, index_dir)
+            # same resume contract as the single-level driver: a
+            # requested-but-absent arm is derived, never dropped
+            _ensure_arms(spark)
         else:
             spark.createDataFrame([], _FLAG_SCHEMA).withColumn(
                 "batch_id", F.lit(batch_id)
@@ -390,8 +427,7 @@ def run_incremental_ann_2level(
                 n_cells=n_cells,
                 residual=residual,
             )
-            if sq8:
-                AI.add_sq8_to_ann_index(spark, index_dir)
+            _ensure_arms(spark)
 
     q = (
         emb_stream.writeStream.foreachBatch(process)

@@ -332,6 +332,18 @@ def test_cli_maintain_index_verb(capsys, spark, tmp_path):
     cli.main(["--maintain-index", d, "--cpus", "8"])
     msg = capsys.readouterr().out
     assert "retrained" not in msg
+    # the observability verb prints the audit as JSON lines, drift
+    # included (healed store: frac 0), kind auto-detected
+    import json
+
+    cli.main(["--index-stats", d, "--cpus", "8"])
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    by_table = {r["table"]: r for r in rows}
+    assert {"raw", "sq8", "sq8_prefix", "vectors"} <= set(by_table)
+    assert by_table["sq8"]["sq8_oob_code_frac"] == 0.0
 
 
 def test_cli_maintain_dedup_verb(capsys, spark, tmp_path):
@@ -366,3 +378,12 @@ def test_cli_maintain_dedup_verb(capsys, spark, tmp_path):
         map(str, DI.dedup_index_lookup(spark, probe, d).collect())
     )
     assert after == before
+    # kind auto-detection serves the dedup layout audit too
+    import json
+
+    cli.main(["--index-stats", d, "--cpus", "8"])
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert {r["table"] for r in rows} == {"bands", "profiles"}

@@ -873,3 +873,90 @@ def test_stream_resume_with_sq8_derives_missing_arm(spark, tmp_path):
         map(str, AI.ann_index_ivf_topk(spark, store, q, 5).collect())
     )
     assert got == flat and got
+
+
+def test_incremental_ann_sq8_prefix_stream(spark, tmp_path):
+    """Streaming ingestion with BOTH derived arms requested: batch 0
+    bootstraps build + SQ8 + the prefix-codes table; later batches
+    append full and sliced codes per micro-batch off the manifest
+    keys. The streamed store's truncated search must be bit-identical
+    to a batch-built twin WITHOUT the prefix arm over the same corpus
+    and quantizers (scan-side arm, invisible in results), the prefix
+    table must track the store row-for-row, and a resume over a store
+    lacking the arm derives it once instead of dropping the request."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+    from rds_pgbadger_etl_spark.operators import similarity as S
+    from rds_pgbadger_etl_spark.plans.llm_ops import _query_vectors
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        run_incremental_ann,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    src, store, ckpt, flags = (
+        str(tmp_path / d) for d in ("src", "store", "ckpt", "flags")
+    )
+    import os
+
+    os.makedirs(src)  # readStream needs the source dir to exist
+    with pytest.raises(ValueError, match="sq8"):
+        run_incremental_ann(
+            spark.readStream.schema(emb.schema).parquet(src),
+            store, ckpt, flags, sq8=False, sq8_prefix_dims=16,
+        )
+    for b in range(2):
+        (
+            emb.filter(
+                (F.col("vec_id") >= b * n // 2)
+                & (F.col("vec_id") < (b + 1) * n // 2)
+            )
+            .write.mode("append")
+            .parquet(src)
+        )
+        run_incremental_ann(
+            spark.readStream.schema(emb.schema).parquet(src),
+            store, ckpt, flags, k=3, sq8=True, sq8_prefix_dims=16,
+        )
+    assert M.read_meta(store, AI._SQ8_PREFIX_DIMS_KEY) == 16
+    assert (
+        spark.read.parquet(M.table_path(store, "sq8_prefix")).count() == n
+    )
+    # twin: batch store over batch 0 + append, SQ8 only (slice path) —
+    # same quantizers by construction (both trained on batch 0)
+    twin = str(tmp_path / "twin")
+    AI.build_ann_index(
+        spark, emb.filter(F.col("vec_id") < n // 2), twin,
+        n_centroids=S.N_CENTROIDS,
+    )
+    AI.add_sq8_to_ann_index(spark, twin)
+    AI.append_to_ann_index(spark, emb.filter(F.col("vec_id") >= n // 2), twin)
+    q = _query_vectors(spark, sf)
+    got = sorted(map(str, AI.ann_index_sq8_topk(
+        spark, store, q, 5, dims=16).collect()))
+    want = sorted(map(str, AI.ann_index_sq8_topk(
+        spark, twin, q, 5, dims=16).collect()))
+    assert got == want and got
+
+    # resume-derive: a store bootstrapped with sq8 only gains the arm
+    # on the next processed batch when the resume requests it
+    src2, store2, ckpt2, flags2 = (
+        str(tmp_path / d) for d in ("src2", "store2", "ckpt2", "flags2")
+    )
+    emb.filter(F.col("vec_id") < n // 2).write.mode("append").parquet(src2)
+    run_incremental_ann(
+        spark.readStream.schema(emb.schema).parquet(src2),
+        store2, ckpt2, flags2, k=3, sq8=True,
+    )
+    assert M.read_meta(store2, AI._SQ8_PREFIX_DIMS_KEY) is None
+    emb.filter(F.col("vec_id") >= n // 2).write.mode("append").parquet(src2)
+    run_incremental_ann(
+        spark.readStream.schema(emb.schema).parquet(src2),
+        store2, ckpt2, flags2, k=3, sq8=True, sq8_prefix_dims=16,
+    )
+    assert M.read_meta(store2, AI._SQ8_PREFIX_DIMS_KEY) == 16
+    assert (
+        spark.read.parquet(M.table_path(store2, "sq8_prefix")).count() == n
+    )
