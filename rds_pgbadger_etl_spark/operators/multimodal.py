@@ -714,10 +714,21 @@ def _banded(w: DataFrame, extra: list[str]) -> DataFrame:
     ).select(*extra, "doc_id", "bv.band", "bv.val")
 
 
+def signature_bands(words: DataFrame) -> DataFrame:
+    """The 4x16-bit banded rows (doc_id, band, val) of a 64-bit
+    (hi, lo) signature table — :func:`hamming_band_pairs`' candidate
+    source as a standalone plan, exposed (like
+    :func:`image_fused_bands`) so repeated evaluations over a staged
+    corpus can persist it once per process instead of re-exploding per
+    call."""
+    return _banded(words.select("doc_id", "hi", "lo"), [])
+
+
 def hamming_band_pairs(
     words: DataFrame,
     max_hamming: int = _AHASH_MAX_HAMMING,
     max_band_freq: int | str | None = "auto",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Banded Hamming pair join over any 64-bit signature split into
     (doc_id, hi, lo) 32-bit words — the shared engine behind image aHash
@@ -746,19 +757,20 @@ def hamming_band_pairs(
     uncapped join the oracle twins model; an int pins it, None
     disables. With a cap active the bands are persisted — the doc
     count, the hot-set groupBy, the anti-join, and both self-join sides
-    re-read them."""
+    re-read them (the persist lives for the session; repeated-
+    evaluation callers pass ``bands`` instead).
+
+    ``bands`` hands in an already-staged band table
+    (:func:`signature_bands`, hot-pruned by the caller if a cap
+    applies) — ``max_band_freq`` is then ignored: the caller owns the
+    pruning, exactly like the image path's staged variant."""
     w = words.select("doc_id", "hi", "lo")
-    bands = _banded(w, [])
-    if max_band_freq is not None:
-        bands = bands.persist()
-        cap = _auto_band_cap(bands, max_band_freq)
-        hot = (
-            bands.groupBy("band", "val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > cap)
-            .select("band", "val")
-        )
-        bands = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    if bands is None:
+        bands = _banded(w, [])
+        if max_band_freq is not None:
+            bands = bands.persist()
+            cap = _auto_band_cap(bands, max_band_freq)
+            bands = prune_hot_bands(bands, cap, [])
     cand = (
         bands.alias("l")
         .join(
@@ -873,7 +885,9 @@ def audio_contour64(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, AUDIO64_SCHEMA)
 
 
-def audio_near_dup_pairs(contours: DataFrame) -> DataFrame:
+def audio_near_dup_pairs(
+    contours: DataFrame, bands: DataFrame | None = None
+) -> DataFrame:
     """Hamming near-dup pairs over the 64-window audio contour — the
     banded join :func:`image_near_dup_pairs` runs on image hashes,
     applied to the audio modality via the shared
@@ -889,8 +903,10 @@ def audio_near_dup_pairs(contours: DataFrame) -> DataFrame:
     signal, and a frequency cap would cap legitimate near-dups (the
     sf0.01 fixture: all four band values are corpus-wide, yet ~all
     pairs genuinely verify at hamming <= 3). Hot-key pressure for this
-    modality belongs upstream in exact dedup over the contour itself."""
-    return hamming_band_pairs(contours, max_band_freq=None)
+    modality belongs upstream in exact dedup over the contour itself.
+    ``bands`` passes a staged :func:`signature_bands` table through
+    (no pruning in this modality, so it is used as-is)."""
+    return hamming_band_pairs(contours, max_band_freq=None, bands=bands)
 
 
 def audio_fingerprint(df: DataFrame) -> DataFrame:
@@ -1107,10 +1123,42 @@ def video_dedup_pairs(frame_hashes: DataFrame) -> DataFrame:
     )
 
 
+def video_frame_bands(frame_hashes: DataFrame) -> DataFrame:
+    """The distinct per-video frame hashes exploded into 4x16-bit band
+    rows (doc_id, ahash, hi, lo, band, val) — the candidate source of
+    :func:`video_near_dup_pairs` as a standalone plan, exposed so
+    repeated evaluations can stage it (hot-pruned at the resolved cap)
+    once per process, like the image and audio band tables."""
+    hset = frame_hashes.select("doc_id", "ahash", "hi", "lo").distinct()
+    return hset.select(
+        "doc_id",
+        "ahash",
+        "hi",
+        "lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("hi") if i < 2 else F.col("lo"),
+                            16 if i % 2 == 0 else 0,
+                        )
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(_AHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", "hi", "lo", "bv.band", "bv.val")
+
+
 def video_near_dup_pairs(
     frame_hashes: DataFrame,
     max_hamming: int = _AHASH_MAX_HAMMING,
     max_band_freq: int | str | None = "auto",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Video near-dup pairs where frames need only be PERCEPTUALLY
     close, not hash-identical — the near-match refinement of
@@ -1139,40 +1187,18 @@ def video_near_dup_pairs(
     natural perceptual clustering stays below it, so the oracle twins'
     uncapped model is unchanged at fixture scale; an int pins the cap,
     None disables (rehearsed with a planted hot band in
-    tools/multimodal_rehearsal.py)."""
+    tools/multimodal_rehearsal.py). ``bands`` hands in a staged
+    :func:`video_frame_bands` table (hot-pruned by the caller) and
+    ``max_band_freq`` is then ignored, like the image/audio paths; the
+    containment sizes always come from the UNPRUNED distinct frame set
+    (pruning affects candidates, never the denominator)."""
     hset = frame_hashes.select("doc_id", "ahash", "hi", "lo").distinct()
-    bands = hset.select(
-        "doc_id",
-        "ahash",
-        "hi",
-        "lo",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(
-                            F.col("hi") if i < 2 else F.col("lo"),
-                            16 if i % 2 == 0 else 0,
-                        )
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for i in range(_AHASH_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "ahash", "hi", "lo", "bv.band", "bv.val")
-    if max_band_freq is not None:
-        bands = bands.persist()
-        cap = _auto_band_cap(bands, max_band_freq)
-        hot = (
-            bands.groupBy("band", "val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > cap)
-            .select("band", "val")
-        )
-        bands = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    if bands is None:
+        bands = video_frame_bands(frame_hashes)
+        if max_band_freq is not None:
+            bands = bands.persist()
+            cap = _auto_band_cap(bands, max_band_freq)
+            bands = prune_hot_bands(bands, cap, [])
     hamming = (
         F.bit_count(F.col("l.hi").bitwiseXOR(F.col("r.hi")))
         + F.bit_count(F.col("l.lo").bitwiseXOR(F.col("r.lo")))

@@ -1446,9 +1446,41 @@ def multimodal_audio_near_dups(
     Hamming-verified <= 3 by the same hamming_band_pairs engine the
     image modality uses. Oracle replays the sample math and the banding
     in closed form."""
-    docs = load_table(spark, sf_dir, "documents")
     return M.audio_near_dup_pairs(
-        M.audio_contour64(M.attach_real_media(rebalance(docs)))
+        _audio_contours_shared(spark, sf_dir),
+        bands=_audio_bands_shared(spark, sf_dir),
+    )
+
+
+def _audio_contours_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-window contour table, staged once per (process, corpus) —
+    the WAV decode is the audio modality's expensive byte-level pass,
+    exactly like the image decode it mirrors."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "audio_contours",
+        sf_dir,
+        lambda: M.audio_contour64(
+            M.attach_real_media(
+                rebalance(load_table(spark, sf_dir, "documents"))
+            )
+        ),
+    )
+
+
+def _audio_bands_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio signature bands, staged per (process, corpus) — no
+    hot-band cap in this modality (audio_near_dup_pairs docstring), so
+    the staged table is the raw banding."""
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "audio_bands",
+        sf_dir,
+        lambda: M.signature_bands(_audio_contours_shared(spark, sf_dir)),
     )
 
 
@@ -1483,10 +1515,7 @@ def multimodal_audio_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds → 16-hex signature) — the written signature table the
     audio near-dup join reads. Oracle replays the sample math closed
     form."""
-    docs = load_table(spark, sf_dir, "documents")
-    return M.audio_contour64(M.attach_real_media(rebalance(docs))).select(
-        "doc_id", "afp"
-    )
+    return _audio_contours_shared(spark, sf_dir).select("doc_id", "afp")
 
 
 _MULTIMODAL_AUDIO_CONTOUR_SQL = f"""
@@ -1624,7 +1653,30 @@ def multimodal_video_near_dups(
     the same integer containment decision over MATCHED (not equal)
     frames. Oracle replays the closed-form frame words, the banding,
     and the min-side matched count."""
-    return M.video_near_dup_pairs(_video_frame_hashes_shared(spark, sf_dir))
+    return M.video_near_dup_pairs(
+        _video_frame_hashes_shared(spark, sf_dir),
+        bands=_video_bands_shared(spark, sf_dir),
+    )
+
+
+def _video_bands_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video frame bands, hot-pruned at the cap 'auto' resolves for
+    this corpus and staged per (process, corpus) — the cap resolution
+    (one distinct-docs count) runs once inside the staging build, so
+    repeated evaluations skip both the explode and the hot-count
+    anti-join, like the image path."""
+    from rds_pgbadger_etl_spark.operators.multimodal import (
+        _auto_band_cap,
+    )
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    def build():
+        bands = M.video_frame_bands(
+            _video_frame_hashes_shared(spark, sf_dir)
+        )
+        return M.prune_hot_bands(bands, _auto_band_cap(bands, "auto"), [])
+
+    return shared_df(spark, "video_bands_pruned", sf_dir, build)
 
 
 _MULTIMODAL_VIDEO_NEAR_SQL = f"""
