@@ -201,6 +201,7 @@ def run_maintain_index(args) -> None:
     spark = get_spark(app_name="rds-pgbadger-etl-spark", cpus=args.cpus)
     res = AI.compact_ann_index(spark, args.maintain_index)
     retrain = res.pop("sq8_retrain", None)
+    bin_retrain = res.pop("binary_retrain", None)
     for t, st in sorted(res.items()):
         print(
             f"{t}: {st['files_before']} -> {st['files_after']} files"
@@ -210,6 +211,12 @@ def run_maintain_index(args) -> None:
             "sq8 grid retrained: oob_frac "
             f"{retrain['oob_frac']:.4f}, rows_past_grid "
             f"{retrain['rows_past_grid']}"
+        )
+    if bin_retrain:
+        print(
+            "binary thresholds retrained: ones_frac "
+            f"{bin_retrain['ones_frac']:.4f}, rows_past_train "
+            f"{bin_retrain['rows_past_train']}"
         )
 
 

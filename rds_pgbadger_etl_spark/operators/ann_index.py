@@ -395,6 +395,10 @@ def build_ann_index(
     # old corpus); drop the flag so readers fail loudly until it's re-added
     M.write_meta(index_dir, _SQ8_KEY, False)
     M.write_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
+    # ... and any derived binary arm (thresholds trained on the old
+    # corpus) — same fail-loudly contract
+    _BIN_THRESH.pop(index_dir, None)
+    M.write_meta(index_dir, _BINARY_KEY, False)
     if n_centroids is None:  # auto: sqrt-of-corpus rule (one count job)
         n_centroids = auto_n_centroids(emb.count())
     if refine_iters > 0:
@@ -632,6 +636,23 @@ def append_to_ann_index(
                     .partitionBy("cell")
                     .parquet(M.table_path(index_dir, "sq8_prefix"))
                 )
+        if M.read_meta(index_dir, _BINARY_KEY, False):
+            # binary arm present: encode against the STORED thresholds
+            # (immutable, so old and new words stay comparable) + append
+            bin_new = cells.select(
+                "vec_id",
+                "cell",
+                _binary_encode_udf(_read_bin_thresh(spark, index_dir))(
+                    F.col("embedding")
+                ).alias("words"),
+            )
+            (
+                bin_new.repartition("cell")
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(M.table_path(index_dir, "binary"))
+            )
+            _accumulate_binary_counters(index_dir, bin_new)
     finally:
         cells.unpersist()
     (
@@ -1456,6 +1477,485 @@ def ann_index_sq8_topk(
 
 
 # --------------------------------------------------------------------------
+# Binary (1-bit sign) arm — the bottom rung of the probed-bytes ladder:
+# ~dims/8 bytes per vector (8 B at DIM=64, under PQ's 2 B only the LUT
+# codes beat it, but binary's Hamming shortlist needs no codebook LUT
+# at probe time) with the SHORTLIST STAGE entirely JVM-side. Hamming
+# over packed 64-bit words is xor + bit_count + sum — integer
+# bit-arithmetic Catalyst folds into whole-stage codegen — so unlike
+# every other rung there is NO Arrow transfer and NO Python kernel on
+# the scored path; the only Python in the arm is the build/append-time
+# encoder. The rerank stays exact full-dimension cosine, same contract
+# as the SQ8/PQ rungs.
+#
+# Threshold convention: per-dim MIDRANGE (vmin + vmax) / 2 over the
+# live corpus, NOT the mean — min and max are exact under any
+# summation order, so the DuckDB oracle reproduces every bit exactly
+# (a mean threshold differs in the last ulp between the two engines'
+# summation orders, and a boundary component would flip a bit and
+# break parity). bit[d] = x[d] > thresh[d] (strict, so a degenerate
+# dimension encodes 0), packed little-endian: bit (d mod 64) of word
+# (d div 64); bit 63 lands in the long's sign bit — the VALUE may be
+# negative, readers only xor/popcount the bit pattern, and the
+# packed-vs-unpacked Hamming identity is pinned by test.
+
+_BINARY_KEY = "__binary__"
+_BINARY_DIMS_KEY = "__binary_dims__"
+# Row count the thresholds trained on — the growth half of the retrain
+# rule (like _SQ8_TRAINED_ROWS_KEY).
+_BINARY_TRAINED_ROWS_KEY = "__binary_trained_rows__"
+_BINARY_TRAINED_ONES_KEY = "__binary_trained_ones_frac__"
+# Incremental bit-balance accounting (manifest counters, same
+# discipline as the SQ8 drift counters): total set bits / physical
+# rows of the binary table, stamped at (re)train, accumulated per
+# append, recomputed exactly at compaction. Appended vectors encode
+# against the immutable thresholds, so a drifting append distribution
+# shows up as the corpus bit-balance walking away from the trained
+# balance — search stays EXACT (a bit is a bit; nothing goes out of
+# range the way SQ8 codes do) but the shortlist's discrimination
+# degrades as the balance skews, which is why the audit exists.
+_BINARY_ONES_KEY = "__binary_ones__"
+_BINARY_ROWS_KEY = "__binary_rows__"
+_BIN_THRESH: dict[str, np.ndarray] = {}
+
+
+def _read_bin_thresh(spark: SparkSession, index_dir: str) -> np.ndarray:
+    """Per-dim midrange thresholds from the stored ``bin_stats/`` table
+    — metadata-sized, immutable once trained, cached per index_dir like
+    the centroid/codebook/SQ-grid quantizers."""
+    cached = _BIN_THRESH.get(index_dir)
+    if cached is not None:
+        return cached
+    rows = spark.read.parquet(M.table_path(index_dir, "bin_stats")).collect()
+    rows.sort(key=lambda r: r.dim)
+    thresh = np.array([r.thresh for r in rows], dtype=np.float64)
+    _BIN_THRESH[index_dir] = thresh
+    return thresh
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """(n, dims) bool → (n, ceil(dims/64)) int64: little-endian packing
+    (dim d → bit d mod 64 of word d div 64), trailing pad bits zero.
+    The int64 VIEW keeps the uint64 bit pattern (bit 63 = sign bit);
+    readers only xor/popcount, so the sign is never interpreted."""
+    n, dims = bits.shape
+    n_words = (dims + 63) // 64
+    padded = np.zeros((n, n_words * 64), dtype=bool)
+    padded[:, :dims] = bits
+    weights = np.left_shift(
+        np.uint64(1), np.arange(64, dtype=np.uint64)
+    )
+    words = (padded.reshape(n, n_words, 64) * weights).sum(
+        axis=2, dtype=np.uint64
+    )
+    return words.view(np.int64)
+
+
+def _binary_encode_udf(thresh: np.ndarray):
+    """Vectorized sign-bit encoder over the ``embedding`` column —
+    Arrow-batched numpy kernel, same convention as the SQ8/PQ encoders.
+    Build/append-time only: the probe path never runs Python."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(list(_pack_bits(x > thresh[None, :])))
+
+    return encode
+
+
+def _binary_encode_np(vec, thresh: np.ndarray) -> list[int]:
+    """Driver-side twin of :func:`_binary_encode_udf` for query
+    vectors — same thresholds, same strict >, same packing."""
+    x = np.asarray(vec, dtype=np.float64)
+    return [int(w) for w in _pack_bits((x > thresh)[None, :])[0]]
+
+
+def _hamming_col(words, q_words):
+    """Hamming distance between two packed-word array columns — pure
+    Catalyst integer bit-arithmetic (xor → bit_count → sum), zero
+    Python, zero Arrow: the whole shortlist scoring stage stays inside
+    whole-stage codegen."""
+    return F.aggregate(
+        F.zip_with(
+            words, q_words, lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _binary_ones_aggregate(words_df: DataFrame) -> tuple[int, int]:
+    """(set_bits, n_rows) over a binary table or batch — one
+    map-side-combined aggregate; pad bits are zero so only real
+    components count. Maintenance/append-time only."""
+    ones = F.aggregate(
+        "words", F.lit(0), lambda acc, w: acc + F.bit_count(w)
+    )
+    row = words_df.agg(
+        F.sum(ones).alias("ones"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return int(row.ones or 0), int(row.n)
+
+
+def _stamp_binary_counters(index_dir: str, ones: int, n: int) -> None:
+    M.write_meta(index_dir, _BINARY_ONES_KEY, int(ones))
+    M.write_meta(index_dir, _BINARY_ROWS_KEY, int(n))
+
+
+def _accumulate_binary_counters(
+    index_dir: str, words_df: DataFrame
+) -> None:
+    """Append-time half of the bit-balance accounting: fold the new
+    batch's (ones, rows) into the manifest counters — one O(new)
+    aggregate per append, so the balance audit stays O(metadata)."""
+    if M.read_meta(index_dir, _BINARY_ROWS_KEY, None) is None:
+        return
+    ones, n = _binary_ones_aggregate(words_df)
+    _stamp_binary_counters(
+        index_dir,
+        M.read_meta(index_dir, _BINARY_ONES_KEY, 0) + ones,
+        M.read_meta(index_dir, _BINARY_ROWS_KEY, 0) + n,
+    )
+
+
+def add_binary_to_ann_index(spark: SparkSession, index_dir: str) -> None:
+    """Derive the binary arm from the stored ``raw/`` partitions: one
+    per-dim min/max aggregate trains the midrange thresholds
+    (``bin_stats/``), one map-only encode pass lands ``binary/``
+    (vec_id, words array<long>) under the layout's own pruning key —
+    ``cell`` single-level, ``(group, cell)`` two-level — so probed
+    reads stay partition-pruned on either layout. Idempotent
+    (overwrite); re-run to retrain after a rebuild.
+
+    RETRAIN RULE: the thresholds are immutable once trained (appends
+    encode against them, so old and new words stay comparable), and —
+    unlike the SQ8 grid — a drifting append distribution can NEVER
+    make the arm inexact: a bit is a bit, the Hamming shortlist and
+    the exact rerank remain correct. What drift costs is
+    DISCRIMINATION: off-center thresholds skew the corpus bit balance
+    and Hamming distances bunch up. :func:`ann_index_stats` reports
+    ``binary_ones_frac`` (set-bit fraction, from the O(metadata)
+    counters) next to the trained balance; when it walks more than
+    ~5 points from the trained value, or the corpus more than doubles
+    past the thresholds' training set, :func:`compact_ann_index`
+    re-runs this verb automatically (same no-knob contract as the SQ8
+    drift retrain)."""
+    _check_layout(index_dir)
+    _BIN_THRESH.pop(index_dir, None)
+    pcols = ["group", "cell"] if _is_2level(index_dir) else ["cell"]
+    raw = _live(
+        spark, index_dir, spark.read.parquet(M.table_path(index_dir, "raw"))
+    )
+    (
+        raw.select(F.posexplode("embedding").alias("dim", "xf"))
+        .select("dim", F.col("xf").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(((F.min("x") + F.max("x")) / F.lit(2.0)).alias("thresh"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(M.table_path(index_dir, "bin_stats"))
+    )
+    thresh = _read_bin_thresh(spark, index_dir)
+    (
+        raw.select(
+            "vec_id",
+            *pcols,
+            _binary_encode_udf(thresh)(F.col("embedding")).alias("words"),
+        )
+        .repartition(*pcols)
+        .write.mode("overwrite")
+        .partitionBy(*pcols)
+        .parquet(M.table_path(index_dir, "binary"))
+    )
+    ones, n_trained = _binary_ones_aggregate(
+        spark.read.parquet(M.table_path(index_dir, "binary"))
+    )
+    n_bits = n_trained * len(thresh)
+    M.write_meta(index_dir, _BINARY_DIMS_KEY, int(len(thresh)))
+    M.write_meta(index_dir, _BINARY_TRAINED_ROWS_KEY, int(n_trained))
+    M.write_meta(
+        index_dir,
+        _BINARY_TRAINED_ONES_KEY,
+        float(ones) / float(n_bits) if n_bits else 0.0,
+    )
+    _stamp_binary_counters(index_dir, ones, n_trained)
+    M.write_meta(index_dir, _BINARY_KEY, True)
+
+
+def _binary_scored(
+    spark: SparkSession,
+    index_dir: str,
+    probe_rows: list[tuple],
+    probe_schema: str,
+    join_keys: list[str],
+    predicate,
+) -> DataFrame:
+    """Shared Hamming-shortlist stage for both layouts: pruned scan of
+    ``binary/``, broadcast probe join (each probe row carries its
+    query's packed words, so no second join attaches them), and the
+    codegen Hamming column. Returns (q_id, vec_id, ham)."""
+    probes_df = spark.createDataFrame(probe_rows, probe_schema)
+    words = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(M.table_path(index_dir, "binary")).where(
+            predicate
+        ),
+    )
+    return (
+        words.join(F.broadcast(probes_df), join_keys)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _hamming_col("words", "q_words").alias("ham"),
+        )
+    )
+
+
+def ann_index_binary_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    shortlist: int | None = None,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """Two-stage binary search: partition-pruned scan of the probed
+    cells' packed sign bits (~dims/8 B per vector — 8 B at DIM=64, 8x
+    under SQ8, 32x under raw), Hamming shortlist against the broadcast
+    query words ENTIRELY in whole-stage codegen (ties to lower
+    vec_id), exact cosine rerank on the shortlist only. Output
+    contract matches ann_index_ivf_topk: (q_id, vec_id, sim, rank)."""
+    if not M.read_meta(index_dir, _BINARY_KEY, False):
+        raise ValueError(
+            f"no binary arm at {index_dir}: run add_binary_to_ann_index"
+            " first"
+        )
+    shortlist = 4 * k if shortlist is None else shortlist
+    cells, mat = _read_centroids(spark, index_dir)
+    probes = _probe_cells(queries, cells, mat, n_probe)
+    thresh = _read_bin_thresh(spark, index_dir)
+    q_words = {
+        int(q): _binary_encode_np(vec, thresh) for q, vec in queries
+    }
+    scored = _binary_scored(
+        spark,
+        index_dir,
+        [(q, c, q_words[q]) for q, c in probes],
+        "q_id long, cell int, q_words array<long>",
+        ["cell"],
+        _cell_predicate(probes),
+    )
+    short = S.topk_per_key(
+        scored, "q_id", [F.col("ham"), F.col("vec_id")], shortlist
+    ).select("q_id", "vec_id")
+
+    raw = spark.read.parquet(M.table_path(index_dir, "raw")).where(
+        _cell_predicate(probes)
+    )
+    reranked = (
+        raw.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(_queries_df(spark, queries)), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    return S.topk_per_key(
+        reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )
+
+
+def _cascade_stage23(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    scored_bin: DataFrame,
+    predicate,
+    k: int,
+    shortlist: int,
+    coarse_shortlist: int,
+) -> DataFrame:
+    """Stages 2+3 of the three-stage cascade, shared by both layouts:
+    the binary Hamming survivors (stage 1, ``scored_bin``) are cut to
+    ``coarse_shortlist`` per query, code-space SQ8 L2 re-scores ONLY
+    those survivors (broadcast semi-join onto the pruned codes scan —
+    the integer distance work shrinks from the probed population to
+    |queries| x coarse_shortlist pairs, and the per-pair L2 is a
+    ``zip_with`` square-sum that stays in whole-stage codegen, so the
+    cascade's first TWO stages run with no Python at all), and the
+    exact cosine rerank reads only the final ``shortlist`` rows."""
+    short1 = S.topk_per_key(
+        scored_bin, "q_id", [F.col("ham"), F.col("vec_id")], coarse_shortlist
+    ).select("q_id", "vec_id")
+    vmin, scale = _read_sq_stats(spark, index_dir)
+    q_codes_df = spark.createDataFrame(
+        [
+            (int(q), [int(c) for c in _sq8_encode_np(vec, vmin, scale)])
+            for q, vec in queries
+        ],
+        "q_id long, q_codes array<int>",
+    )
+    sq8 = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(M.table_path(index_dir, "sq8")).where(predicate),
+    )
+    # (a-b)^2 summed as int: bounded by dims * 255^2 (~4.2M at dims=64,
+    # overflow-safe far past any real embedding width)
+    sq_dist = F.aggregate(
+        F.zip_with("codes", "q_codes", lambda a, b: (a - b) * (a - b)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sq_scored = (
+        sq8.join(F.broadcast(short1), "vec_id")
+        .join(F.broadcast(q_codes_df), "q_id")
+        .select("q_id", "vec_id", sq_dist.alias("sq_dist"))
+    )
+    short2 = S.topk_per_key(
+        sq_scored, "q_id", [F.col("sq_dist"), F.col("vec_id")], shortlist
+    ).select("q_id", "vec_id")
+    raw = spark.read.parquet(M.table_path(index_dir, "raw")).where(predicate)
+    reranked = (
+        raw.join(F.broadcast(short2), "vec_id")
+        .join(F.broadcast(_queries_df(spark, queries)), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    return S.topk_per_key(
+        reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )
+
+
+def ann_index_cascade_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    shortlist: int | None = None,
+    coarse_shortlist: int | None = None,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """The probed-bytes ladder COMPOSED as a three-stage cascade:
+    binary Hamming over the packed sign bits (~dims/8 B per scanned
+    vector) covers the whole probed population and keeps
+    ``coarse_shortlist`` candidates; exact-integer SQ8 code-space L2
+    re-scores only those survivors down to ``shortlist``; exact cosine
+    reranks only those to the final k. The deep-but-cheap first stage
+    absorbs the 1-bit rung's precision loss (its honest 8M recall at a
+    4K shortlist is 0.82; with the cascade's deeper coarse cut the SQ8
+    stage re-ranks with 8x the precision before anything exact runs),
+    and the first TWO stages are pure whole-stage codegen — the only
+    Python in the plan is the final |q| x shortlist cosine kernel.
+    Requires both derived arms. Output contract matches
+    ann_index_ivf_topk: (q_id, vec_id, sim, rank)."""
+    if not M.read_meta(index_dir, _BINARY_KEY, False):
+        raise ValueError(
+            f"no binary arm at {index_dir}: run add_binary_to_ann_index"
+            " first"
+        )
+    if not M.read_meta(index_dir, _SQ8_KEY, False):
+        raise ValueError(
+            f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
+        )
+    shortlist = 4 * k if shortlist is None else shortlist
+    coarse_shortlist = (
+        4 * shortlist if coarse_shortlist is None else coarse_shortlist
+    )
+    cells, mat = _read_centroids(spark, index_dir)
+    probes = _probe_cells(queries, cells, mat, n_probe)
+    thresh = _read_bin_thresh(spark, index_dir)
+    q_words = {
+        int(q): _binary_encode_np(vec, thresh) for q, vec in queries
+    }
+    scored = _binary_scored(
+        spark,
+        index_dir,
+        [(q, c, q_words[q]) for q, c in probes],
+        "q_id long, cell int, q_words array<long>",
+        ["cell"],
+        _cell_predicate(probes),
+    )
+    return _cascade_stage23(
+        spark,
+        index_dir,
+        queries,
+        scored,
+        _cell_predicate(probes),
+        k,
+        shortlist,
+        coarse_shortlist,
+    )
+
+
+def ann_index_2level_cascade_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    shortlist: int | None = None,
+    coarse_shortlist: int | None = None,
+    n_probe_groups: int | None = None,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """:func:`ann_index_cascade_topk` on the sharded-quantizer layout —
+    the three-stage binary → SQ8 → exact cascade over the
+    (group, cell)-pruned scans, so the composed ladder exists on BOTH
+    layouts like each of its rungs."""
+    if not M.read_meta(index_dir, _BINARY_KEY, False):
+        raise ValueError(
+            f"no binary arm at {index_dir}: run add_binary_to_ann_index"
+            " first"
+        )
+    if not M.read_meta(index_dir, _SQ8_KEY, False):
+        raise ValueError(
+            f"no SQ8 arm at {index_dir}: run add_sq8_to_ann_index first"
+        )
+    shortlist = 4 * k if shortlist is None else shortlist
+    coarse_shortlist = (
+        4 * shortlist if coarse_shortlist is None else coarse_shortlist
+    )
+    if n_probe_groups is None:
+        n_probe_groups = N_PROBE_GROUPS
+    probes = _probe_cells_2level(
+        spark, index_dir, queries, n_probe_groups, n_probe
+    )
+    thresh = _read_bin_thresh(spark, index_dir)
+    q_words = {
+        int(q): _binary_encode_np(vec, thresh) for q, vec in queries
+    }
+    g_pred = F.col("group").isin(sorted({g for _, g, _ in probes}))
+    c_pred = F.col("cell").isin(sorted({c for _, _, c in probes}))
+    scored = _binary_scored(
+        spark,
+        index_dir,
+        [(q, g, c, q_words[q]) for q, g, c in probes],
+        "q_id long, group long, cell long, q_words array<long>",
+        ["group", "cell"],
+        g_pred & c_pred,
+    )
+    return _cascade_stage23(
+        spark,
+        index_dir,
+        queries,
+        scored,
+        g_pred & c_pred,
+        k,
+        shortlist,
+        coarse_shortlist,
+    )
+
+
+# --------------------------------------------------------------------------
 # Index maintenance: compaction + layout audit.
 
 # The three partitioned artifact tables and their partition columns.
@@ -1486,12 +1986,16 @@ def _table_map(index_dir: str) -> dict:
             tables["sq8"] = ("group", "cell")
             if M.read_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None) is not None:
                 tables["sq8_prefix"] = ("group", "cell")
+        if M.read_meta(index_dir, _BINARY_KEY, False):
+            tables["binary"] = ("group", "cell")
         return tables
     tables = dict(_PARTITIONED_TABLES)
     if M.read_meta(index_dir, _SQ8_KEY, False):
         tables["sq8"] = "cell"
         if M.read_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None) is not None:
             tables["sq8_prefix"] = "cell"
+    if M.read_meta(index_dir, _BINARY_KEY, False):
+        tables["binary"] = "cell"
     return tables
 
 
@@ -1514,6 +2018,73 @@ _data_files = M.data_files
 # has more than doubled past what the grid trained on.
 SQ8_RETRAIN_OOB_FRAC = 0.01
 SQ8_RETRAIN_GROWTH = 1.0
+
+# The binary retrain rule (add_binary_to_ann_index docstring):
+# re-derive the thresholds when the corpus bit balance has walked more
+# than 5 points from the trained balance, or the corpus has more than
+# doubled past what the thresholds trained on. Search is exact either
+# way (a bit is a bit) — the rule protects shortlist DISCRIMINATION.
+BINARY_RETRAIN_BALANCE_DELTA = 0.05
+BINARY_RETRAIN_GROWTH = 1.0
+
+
+def _binary_drift_numbers(
+    spark: SparkSession, index_dir: str, exact: bool = False
+) -> tuple[float, int, int | None]:
+    """(ones_frac, n_rows, rows_past_train) for the binary arm —
+    O(metadata) off the manifest counters; ``exact=True`` (and the
+    fallback for an unstamped store) recomputes from the table. Same
+    contract as :func:`_sq8_drift_numbers`."""
+    dims = int(M.read_meta(index_dir, _BINARY_DIMS_KEY, 0) or 0)
+    trained = M.read_meta(index_dir, _BINARY_TRAINED_ROWS_KEY, None)
+    if not exact:
+        ones = M.read_meta(index_dir, _BINARY_ONES_KEY, None)
+        n_rows = M.read_meta(index_dir, _BINARY_ROWS_KEY, None)
+        if ones is not None and n_rows is not None:
+            bits = int(n_rows) * dims
+            frac = float(ones) / float(bits) if bits else 0.0
+            past = (
+                int(n_rows) - int(trained) if trained is not None else None
+            )
+            return frac, int(n_rows), past
+    ones_n, n_rows = _binary_ones_aggregate(
+        spark.read.parquet(M.table_path(index_dir, "binary"))
+    )
+    bits = n_rows * dims
+    frac = float(ones_n) / float(bits) if bits else 0.0
+    past = int(n_rows) - int(trained) if trained is not None else None
+    return frac, int(n_rows), past
+
+
+def _binary_drift_retrain_due(
+    spark: SparkSession, index_dir: str
+) -> dict | None:
+    """The binary-arm drift check :func:`compact_ann_index` runs —
+    O(metadata), returning the evidence dict when the documented rule
+    fires, else None."""
+    if not M.read_meta(index_dir, _BINARY_KEY, False):
+        return None
+    frac, _n_rows, past = _binary_drift_numbers(spark, index_dir)
+    trained_frac = M.read_meta(index_dir, _BINARY_TRAINED_ONES_KEY, None)
+    trained = M.read_meta(index_dir, _BINARY_TRAINED_ROWS_KEY, None)
+    walked = (
+        trained_frac is not None
+        and abs(frac - float(trained_frac)) > BINARY_RETRAIN_BALANCE_DELTA
+    )
+    grown = (
+        past is not None
+        and trained is not None
+        and int(trained) > 0
+        and past > BINARY_RETRAIN_GROWTH * int(trained)
+    )
+    if walked or grown:
+        return {
+            "ones_frac": frac,
+            "trained_ones_frac": trained_frac,
+            "rows_past_train": past,
+            "trained_rows": trained,
+        }
+    return None
 
 
 def _sq8_drift_retrain_due(
@@ -1594,13 +2165,23 @@ def compact_ann_index(
     table; the common no-drift compaction instead restamps the
     counters exactly from the table it rewrote anyway. The returned
     stats carry the evidence under ``"sq8_retrain"`` and the manifest
-    records it (``__sq8_last_retrain__``)."""
+    records it (``__sq8_last_retrain__``). A binary arm gets the same
+    treatment under the same flag: its bit-balance/growth rule
+    (:func:`add_binary_to_ann_index`) is checked O(metadata), a due
+    retrain re-derives the thresholds and words after the rewrite
+    (``"binary_retrain"`` / ``__binary_last_retrain__``), and a
+    no-drift compaction restamps the balance counters exactly."""
     _check_layout(index_dir)
     table_map = _table_map(index_dir)
     todo = tables or tuple(table_map)
     retrain = (
         _sq8_drift_retrain_due(spark, index_dir)
         if sq8_drift_check and "sq8" in todo
+        else None
+    )
+    bin_retrain = (
+        _binary_drift_retrain_due(spark, index_dir)
+        if sq8_drift_check and "binary" in todo
         else None
     )
     stats = M.compact_index(
@@ -1618,6 +2199,15 @@ def compact_ann_index(
             spark.read.parquet(M.table_path(index_dir, "sq8"))
         )
         _stamp_sq8_counters(index_dir, oob, comp, n)
+    if bin_retrain:
+        add_binary_to_ann_index(spark, index_dir)
+        M.write_meta(index_dir, "__binary_last_retrain__", bin_retrain)
+        stats["binary_retrain"] = bin_retrain
+    elif "binary" in todo and M.read_meta(index_dir, _BINARY_KEY, False):
+        ones, n = _binary_ones_aggregate(
+            spark.read.parquet(M.table_path(index_dir, "binary"))
+        )
+        _stamp_binary_counters(index_dir, ones, n)
     return stats
 
 
@@ -1644,22 +2234,43 @@ def ann_index_stats(
     :func:`_sq8_drift_numbers`); ``exact_drift=True`` recomputes them
     with the full-table aggregate for audits. The retrain rule lives
     on :func:`add_sq8_to_ann_index` and fires automatically from
-    :func:`compact_ann_index`."""
+    :func:`compact_ann_index`.
+
+    A binary arm likewise carries its bit-balance audit on its own row
+    (``binary_ones_frac`` = set-bit fraction of the corpus words,
+    ``binary_rows_past_train`` = net growth since the thresholds
+    trained), from the same O(metadata) counter discipline; the
+    retrain rule lives on :func:`add_binary_to_ann_index`."""
     _check_layout(index_dir)
     stats = M.index_stats(spark, index_dir, _table_map(index_dir))
     if not M.read_meta(index_dir, _SQ8_KEY, False):
-        return stats.withColumn(
+        stats = stats.withColumn(
             "sq8_oob_code_frac", F.lit(None).cast("double")
         ).withColumn("sq8_rows_past_grid", F.lit(None).cast("long"))
-    frac, _n_rows, past = _sq8_drift_numbers(
+    else:
+        frac, _n_rows, past = _sq8_drift_numbers(
+            spark, index_dir, exact=exact_drift
+        )
+        stats = stats.withColumn(
+            "sq8_oob_code_frac",
+            F.when(F.col("table") == "sq8", F.lit(frac)).cast("double"),
+        ).withColumn(
+            "sq8_rows_past_grid",
+            F.when(F.col("table") == "sq8", F.lit(past)).cast("long"),
+        )
+    if not M.read_meta(index_dir, _BINARY_KEY, False):
+        return stats.withColumn(
+            "binary_ones_frac", F.lit(None).cast("double")
+        ).withColumn("binary_rows_past_train", F.lit(None).cast("long"))
+    bfrac, _bn, bpast = _binary_drift_numbers(
         spark, index_dir, exact=exact_drift
     )
     return stats.withColumn(
-        "sq8_oob_code_frac",
-        F.when(F.col("table") == "sq8", F.lit(frac)).cast("double"),
+        "binary_ones_frac",
+        F.when(F.col("table") == "binary", F.lit(bfrac)).cast("double"),
     ).withColumn(
-        "sq8_rows_past_grid",
-        F.when(F.col("table") == "sq8", F.lit(past)).cast("long"),
+        "binary_rows_past_train",
+        F.when(F.col("table") == "binary", F.lit(bpast)).cast("long"),
     )
 
 
@@ -2092,6 +2703,10 @@ def build_ann_index_2level(
     # corpus) — drop the flag so readers fail loudly until re-added
     M.write_meta(index_dir, _SQ8_KEY, False)
     M.write_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
+    # ... and any derived binary arm (thresholds trained on the old
+    # corpus) — same fail-loudly contract
+    _BIN_THRESH.pop(index_dir, None)
+    M.write_meta(index_dir, _BINARY_KEY, False)
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(
@@ -2431,6 +3046,24 @@ def append_to_ann_index_2level(
                     .partitionBy("group", "cell")
                     .parquet(M.table_path(index_dir, "sq8_prefix"))
                 )
+        if M.read_meta(index_dir, _BINARY_KEY, False):
+            # binary arm present: stored-threshold encode + append,
+            # same immutable-quantizer invariant as the single-level
+            bin_new = assigned.select(
+                "vec_id",
+                "group",
+                "cell",
+                _binary_encode_udf(_read_bin_thresh(spark, index_dir))(
+                    F.col("embedding")
+                ).alias("words"),
+            )
+            (
+                bin_new.repartition("group", "cell")
+                .write.mode("append")
+                .partitionBy("group", "cell")
+                .parquet(M.table_path(index_dir, "binary"))
+            )
+            _accumulate_binary_counters(index_dir, bin_new)
     finally:
         assigned.unpersist()
 
@@ -2941,6 +3574,65 @@ def ann_index_2level_sq8_topk(
     )
 
 
+def ann_index_2level_binary_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[Query],
+    k: int = 5,
+    shortlist: int | None = None,
+    n_probe_groups: int = N_PROBE_GROUPS,
+    n_probe: int = S.N_PROBE,
+) -> DataFrame:
+    """Binary two-stage search over the sharded-quantizer layout: the
+    (group, cell)-pruned scan reads the packed sign bits (~dims/8 B
+    per vector), the Hamming shortlist runs entirely in whole-stage
+    codegen against the broadcast query words, and the exact cosine
+    rerank reads only the shortlist's raw rows. Output contract
+    matches ann_index_2level_topk: (q_id, vec_id, sim, rank)."""
+    if not M.read_meta(index_dir, _BINARY_KEY, False):
+        raise ValueError(
+            f"no binary arm at {index_dir}: run add_binary_to_ann_index"
+            " first"
+        )
+    shortlist = 4 * k if shortlist is None else shortlist
+    probes = _probe_cells_2level(
+        spark, index_dir, queries, n_probe_groups, n_probe
+    )
+    thresh = _read_bin_thresh(spark, index_dir)
+    q_words = {
+        int(q): _binary_encode_np(vec, thresh) for q, vec in queries
+    }
+    g_pred = F.col("group").isin(sorted({g for _, g, _ in probes}))
+    c_pred = F.col("cell").isin(sorted({c for _, _, c in probes}))
+    scored = _binary_scored(
+        spark,
+        index_dir,
+        [(q, g, c, q_words[q]) for q, g, c in probes],
+        "q_id long, group long, cell long, q_words array<long>",
+        ["group", "cell"],
+        g_pred & c_pred,
+    )
+    short = S.topk_per_key(
+        scored, "q_id", [F.col("ham"), F.col("vec_id")], shortlist
+    ).select("q_id", "vec_id")
+
+    raw = spark.read.parquet(M.table_path(index_dir, "raw")).where(
+        g_pred & c_pred
+    )
+    reranked = (
+        raw.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(_queries_df(spark, queries)), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+    )
+    return S.topk_per_key(
+        reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
+    )
+
+
 # --------------------------------------------------------------------------
 # Distributed 2-level build — the path past the AUTO_MAX_CELLS_2L clamp.
 # The driver-side build (build_ann_index_2level) collects the quantizer
@@ -3115,6 +3807,10 @@ def build_ann_index_2level_distributed(
     # corpus) — drop the flag so readers fail loudly until re-added
     M.write_meta(index_dir, _SQ8_KEY, False)
     M.write_meta(index_dir, _SQ8_PREFIX_DIMS_KEY, None)
+    # ... and any derived binary arm (thresholds trained on the old
+    # corpus) — same fail-loudly contract
+    _BIN_THRESH.pop(index_dir, None)
+    M.write_meta(index_dir, _BINARY_KEY, False)
 
     if refine_iters > 0:
         trained, g_mat, fine_df = _refined_quantizers_2level(

@@ -5974,6 +5974,366 @@ _ANN_2LEVEL_SQ8_TRUNC_SQL = _ANN_2LEVEL_SQ8_SQL.replace(
 )
 
 
+# --- Binary (1-bit) arm: Hamming shortlist + exact rerank ---------------
+# The bottom rung of the probed-bytes ladder (~dims/8 B/vector) with the
+# shortlist stage entirely JVM-side (xor + bit_count in whole-stage
+# codegen — the only rung with NO Python kernel on the scored path).
+# Oracle: the same probe/membership CTEs with bit[d] = x > (min+max)/2
+# per dim (midrange, not mean — min/max are summation-order-exact, so
+# the two engines agree on every bit) and Hamming = count of unequal
+# bits; the relational twin never packs words, proving the packed
+# bit-arithmetic against an unpacked re-derivation.
+
+_BINARY_READY: set[str] = set()
+_BINARY_2L_READY: set[str] = set()
+
+
+def _ann_index_binary_shared(spark: SparkSession, sf_dir: str) -> str:
+    """The shared single-level artifact with its derived binary arm
+    added (once per staged dir, like the SQ8 arm)."""
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        add_binary_to_ann_index,
+    )
+
+    d = _ann_index_shared(spark, sf_dir)
+    if d not in _BINARY_READY:
+        add_binary_to_ann_index(spark, d)
+        _BINARY_READY.add(d)
+    return d
+
+
+def _ann_index_2level_binary_shared(spark: SparkSession, sf_dir: str) -> str:
+    from rds_pgbadger_etl_spark.operators.ann_index import (
+        add_binary_to_ann_index,
+    )
+
+    d = _ann_index_2level_shared(spark, sf_dir)
+    if d not in _BINARY_2L_READY:
+        add_binary_to_ann_index(spark, d)
+        _BINARY_2L_READY.add(d)
+    return d
+
+
+def ann_index_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the binary-quantized two-stage search — sign-bit Hamming
+    shortlist over the probed cells' packed words (~8 B/vector at
+    DIM=64: 8x under SQ8, 32x under raw; the shortlist scoring is pure
+    Catalyst integer bit-arithmetic, no Arrow, no Python), exact cosine
+    rerank on the shortlist only. Oracle = the same probe/membership
+    CTEs with per-dim midrange bits and an unpacked Hamming count."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_binary_topk(
+        spark,
+        _ann_index_binary_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+    )
+
+
+_ANN_BINARY_RERANK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+member AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN asgn a ON a.cell = p.cell
+  WHERE a.vec_id <> p.q_id
+),
+ex AS (
+  SELECT vec_id, i - 1 AS dim, emb[i] AS x
+  FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
+),
+stats AS (SELECT dim, (min(x) + max(x)) / 2.0 AS thresh FROM ex GROUP BY dim),
+bits AS (
+  SELECT vec_id, dim, CASE WHEN x > s.thresh THEN 1 ELSE 0 END AS bit
+  FROM ex JOIN stats s USING (dim)
+),
+ham AS (
+  SELECT m.q_id, m.vec_id,
+         sum(CASE WHEN qb.bit <> cb.bit THEN 1 ELSE 0 END) AS hd
+  FROM member m
+  JOIN bits cb ON cb.vec_id = m.vec_id
+  JOIN bits qb ON qb.vec_id = m.q_id AND qb.dim = cb.dim
+  GROUP BY m.q_id, m.vec_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY hd, vec_id) AS rn
+    FROM ham) WHERE rn <= {_RERANK_SHORTLIST}
+),
+rerank AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'v.emb')} AS sim
+  FROM short s
+  JOIN e v ON v.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM rerank
+) WHERE rnk <= {_TOPK}
+"""
+
+
+def ann_index_2level_binary_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X3: the binary arm on the sharded-quantizer layout — same
+    Hamming-shortlist + exact-rerank contract over the (group, cell)
+    pruned scan, so the 1-bit rung exists on BOTH layouts like every
+    other rung of the ladder."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_binary_topk(
+        spark,
+        _ann_index_2level_binary_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+    )
+
+
+def _ann_2level_binary_sql() -> str:
+    # the 2-level twin's quantizer/membership/probe CTEs with the
+    # midrange-bit encoding + unpacked Hamming shortlist + exact
+    # rerank grafted on (same head surgery as _ann_2level_sq8_sql)
+    base = _ann_2level_ivfpq_sql()
+    marker = ",\nlf AS ("
+    head = base[: base.index(marker)]
+    return (
+        head
+        + f""",
+ex AS (
+  SELECT vec_id, i - 1 AS dim, emb[i] AS x
+  FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
+),
+stats AS (SELECT dim, (min(x) + max(x)) / 2.0 AS thresh FROM ex GROUP BY dim),
+bits AS (
+  SELECT vec_id, dim, CASE WHEN x > s.thresh THEN 1 ELSE 0 END AS bit
+  FROM ex JOIN stats s USING (dim)
+),
+ham AS (
+  SELECT m.q_id, m.vec_id,
+         sum(CASE WHEN qb.bit <> cb.bit THEN 1 ELSE 0 END) AS hd
+  FROM member m
+  JOIN bits cb ON cb.vec_id = m.vec_id
+  JOIN bits qb ON qb.vec_id = m.q_id AND qb.dim = cb.dim
+  GROUP BY m.q_id, m.vec_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY hd, vec_id) AS rn
+    FROM ham) WHERE rn <= {_RERANK_SHORTLIST}
+),
+rerank AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'v.emb')} AS sim
+  FROM short s
+  JOIN e v ON v.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM rerank
+) WHERE rnk <= {_TOPK}
+"""
+    )
+
+
+_ANN_2LEVEL_BINARY_SQL = _ann_2level_binary_sql()
+
+
+# --- The ladder COMPOSED: binary -> SQ8 -> exact cascade ----------------
+# Three stages, each reading less and costing more per row: the ~dims/8 B
+# Hamming stage covers the probed population and keeps a DEEP coarse
+# shortlist (4x the SQ8 shortlist — depth is how the cascade absorbs the
+# 1-bit rung's precision loss), exact-integer SQ8 L2 re-scores only
+# those survivors, exact cosine reranks only the final shortlist. The
+# first two stages are pure whole-stage codegen. Oracle = the binary
+# twin's Hamming CTEs feeding the SQ8 twin's code CTEs feeding the
+# exact rerank — one relational pipeline, no packing anywhere.
+
+_CASCADE_COARSE = 4 * _RERANK_SHORTLIST
+
+
+def _ann_index_cascade_shared(spark: SparkSession, sf_dir: str) -> str:
+    """The shared single-level artifact carrying BOTH derived arms the
+    cascade needs (each derive is once-per-dir idempotent)."""
+    d = _ann_index_sq8_shared(spark, sf_dir)
+    assert _ann_index_binary_shared(spark, sf_dir) == d  # same staged dir
+    return d
+
+
+def ann_index_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the probed-bytes ladder composed as a three-stage cascade —
+    binary Hamming (8 B/vector scan) -> SQ8 integer L2 (survivors
+    only) -> exact cosine (final shortlist only). The only Python in
+    the plan is the last stage's |q| x shortlist cosine kernel."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_cascade_topk(
+        spark,
+        _ann_index_cascade_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+        _CASCADE_COARSE,
+    )
+
+
+_CASCADE_STAGES_SQL = f"""
+ex AS (
+  SELECT vec_id, i - 1 AS dim, emb[i] AS x
+  FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
+),
+bstats AS (SELECT dim, (min(x) + max(x)) / 2.0 AS thresh FROM ex GROUP BY dim),
+bits AS (
+  SELECT vec_id, dim, CASE WHEN x > s.thresh THEN 1 ELSE 0 END AS bit
+  FROM ex JOIN bstats s USING (dim)
+),
+ham AS (
+  SELECT m.q_id, m.vec_id,
+         sum(CASE WHEN qb.bit <> cb.bit THEN 1 ELSE 0 END) AS hd
+  FROM member m
+  JOIN bits cb ON cb.vec_id = m.vec_id
+  JOIN bits qb ON qb.vec_id = m.q_id AND qb.dim = cb.dim
+  GROUP BY m.q_id, m.vec_id
+),
+short1 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY hd, vec_id) AS rn
+    FROM ham) WHERE rn <= {_CASCADE_COARSE}
+),
+qstats AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM ex GROUP BY dim),
+codes AS (
+  SELECT vec_id, dim,
+         CASE WHEN s.vmax = s.vmin THEN 0
+              ELSE CAST(round((x - s.vmin)
+                              / ((s.vmax - s.vmin) / 255.0)) AS bigint)
+         END AS code
+  FROM ex JOIN qstats s USING (dim)
+),
+sqd AS (
+  SELECT s.q_id, s.vec_id,
+         sum((qc.code - cc.code) * (qc.code - cc.code)) AS sq_dist
+  FROM short1 s
+  JOIN codes cc ON cc.vec_id = s.vec_id
+  JOIN codes qc ON qc.vec_id = s.q_id AND qc.dim = cc.dim
+  GROUP BY s.q_id, s.vec_id
+),
+short2 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sq_dist, vec_id) AS rn
+    FROM sqd) WHERE rn <= {_RERANK_SHORTLIST}
+),
+rerank AS (
+  SELECT s.q_id, s.vec_id, {_cos_sql('q.q_emb', 'v.emb')} AS sim
+  FROM short2 s
+  JOIN e v ON v.vec_id = s.vec_id
+  JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sim, cast(rnk AS int) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM rerank
+) WHERE rnk <= {_TOPK}
+"""
+
+_ANN_CASCADE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {S.N_CENTROIDS}),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.cell)
+             AS rn
+    FROM q, c) WHERE rn <= {S.N_PROBE}
+),
+member AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN asgn a ON a.cell = p.cell
+  WHERE a.vec_id <> p.q_id
+),
+{_CASCADE_STAGES_SQL}"""
+
+
+def _ann_index_2level_cascade_shared(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    d = _ann_index_2level_sq8_shared(spark, sf_dir)
+    assert _ann_index_2level_binary_shared(spark, sf_dir) == d
+    return d
+
+
+def ann_index_2level_cascade_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X3: the three-stage cascade on the sharded-quantizer layout —
+    the composed ladder exists on BOTH layouts like each rung."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+
+    return AI.ann_index_2level_cascade_topk(
+        spark,
+        _ann_index_2level_cascade_shared(spark, sf_dir),
+        _query_vectors(spark, sf_dir),
+        _TOPK,
+        _RERANK_SHORTLIST,
+        _CASCADE_COARSE,
+    )
+
+
+def _ann_2level_cascade_sql() -> str:
+    # same head surgery as the other 2-level derived-arm twins
+    base = _ann_2level_ivfpq_sql()
+    marker = ",\nlf AS ("
+    head = base[: base.index(marker)]
+    return head + ",\n" + _CASCADE_STAGES_SQL
+
+
+_ANN_2LEVEL_CASCADE_SQL = _ann_2level_cascade_sql()
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_sigs": (dedup_minhash_sigs, _DEDUP_MINHASH_SIGS_SQL),
@@ -6093,6 +6453,16 @@ QUERIES = {
         _ANN_IVFPQ_RERANK_SQL,
     ),
     "ann_index_sq8_topk": (ann_index_sq8_topk, _ANN_SQ8_RERANK_SQL),
+    "ann_index_binary_topk": (ann_index_binary_topk, _ANN_BINARY_RERANK_SQL),
+    "ann_index_2level_binary_topk": (
+        ann_index_2level_binary_topk,
+        _ANN_2LEVEL_BINARY_SQL,
+    ),
+    "ann_index_cascade_topk": (ann_index_cascade_topk, _ANN_CASCADE_SQL),
+    "ann_index_2level_cascade_topk": (
+        ann_index_2level_cascade_topk,
+        _ANN_2LEVEL_CASCADE_SQL,
+    ),
     "ann_index_sq8_trunc_topk": (
         ann_index_sq8_trunc_topk,
         _ANN_SQ8_TRUNC_SQL,

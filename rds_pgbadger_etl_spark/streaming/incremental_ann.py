@@ -251,6 +251,7 @@ def run_incremental_ann(
     sq8: bool = False,
     residual: bool | str = False,
     sq8_prefix_dims: int | None = None,
+    binary: bool = False,
 ) -> None:
     """The ingestion pipeline: per micro-batch, flag each new embedding's
     nearest already-indexed neighbors, write the flags, then admit the
@@ -287,7 +288,13 @@ def run_incremental_ann(
     scan-side truncated-search arm on a streaming-born store; appends
     maintain it per batch off the manifest key like the SQ8 arm
     itself, and a resume over a store lacking it derives it once
-    (same no-silent-drop contract as ``sq8``). Requires ``sq8``."""
+    (same no-silent-drop contract as ``sq8``). Requires ``sq8``.
+
+    ``binary=True`` derives the 1-bit Hamming arm the same way — its
+    midrange thresholds train on the first batch (immutable; a
+    drifting stream shows up in the bit-balance audit, never as an
+    inexact search), appends maintain the words table off the manifest
+    flag, and a resume over a store lacking the arm derives it once."""
     if sq8_prefix_dims is not None and not sq8:
         raise ValueError("sq8_prefix_dims requires sq8=True")
 
@@ -305,6 +312,8 @@ def run_incremental_ann(
             AI.add_sq8_prefix_to_ann_index(
                 spark, index_dir, sq8_prefix_dims
             )
+        if binary and not M.read_meta(index_dir, AI._BINARY_KEY, False):
+            AI.add_binary_to_ann_index(spark, index_dir)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -360,6 +369,7 @@ def run_incremental_ann_2level(
     residual: bool | str = False,
     sq8: bool = False,
     sq8_prefix_dims: int | None = None,
+    binary: bool = False,
 ) -> None:
     """:func:`run_incremental_ann` for the two-level (sharded-quantizer)
     layout — the exactly-once ingestion path past the 4096-cell cap:
@@ -386,7 +396,7 @@ def run_incremental_ann_2level(
     first batch). ``sq8``/``sq8_prefix_dims`` carry the same derived-arm
     contract as the single-level driver: derived at bootstrap,
     maintained per batch off the manifest keys, derived-once on a
-    resume that requests an absent arm."""
+    resume that requests an absent arm; ``binary`` likewise."""
     if sq8_prefix_dims is not None and not sq8:
         raise ValueError("sq8_prefix_dims requires sq8=True")
 
@@ -401,6 +411,8 @@ def run_incremental_ann_2level(
             AI.add_sq8_prefix_to_ann_index(
                 spark, index_dir, sq8_prefix_dims
             )
+        if binary and not M.read_meta(index_dir, AI._BINARY_KEY, False):
+            AI.add_binary_to_ann_index(spark, index_dir)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

@@ -1625,3 +1625,293 @@ def test_compaction_auto_retrains_drifted_sq8(spark, tmp_path):
     # and a clean store does NOT retrain
     res3 = AI.compact_ann_index(spark, d2)
     assert "sq8_retrain" not in res3
+
+
+# --------------------------------------------------------------------------
+# Binary (1-bit sign) arm: packed-word Hamming shortlist + exact rerank.
+
+
+@pytest.fixture(scope="module")
+def binary_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ann_index_binary"))
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    AI.build_ann_index(spark, emb, d)
+    AI.add_binary_to_ann_index(spark, d)
+    return d
+
+
+def test_binary_reader_requires_arm(spark, index_dir):
+    """Same fail-loudly contract as the SQ8 reader: no arm, no scan."""
+    with pytest.raises(ValueError, match="binary"):
+        AI.ann_index_binary_topk(spark, index_dir, _queries(spark), K)
+
+
+def test_pack_bits_matches_unpacked_hamming():
+    """The packed-word representation is EXACTLY the unpacked bit
+    vector: for random multi-word inputs (70 dims → 2 longs, bit 63
+    exercised in the sign position) the xor/popcount Hamming over the
+    packed words equals the direct unequal-bit count, and the pad bits
+    contribute nothing."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    bits = rng.random((40, 70)) > 0.5
+    words = AI._pack_bits(bits)
+    assert words.shape == (40, 2) and words.dtype == np.int64
+    # sign bit reachable: some word must be negative with p ~ 1
+    assert (words < 0).any()
+    direct = (bits[:, None, :] != bits[None, :, :]).sum(axis=2)
+    u = words.view(np.uint64)
+    packed = np.zeros_like(direct)
+    for w in range(u.shape[1]):
+        x = u[:, None, w] ^ u[None, :, w]
+        packed += np.vectorize(lambda v: bin(int(v)).count("1"))(x)
+    assert (packed == direct).all()
+
+
+def test_binary_words_match_driver_encoder_and_midrange(spark, binary_dir):
+    """The stored words re-derive exactly from raw/ with the driver
+    encoder, and the stored thresholds are the per-dim midrange of the
+    corpus (exact under any summation order — the property that makes
+    the DuckDB twin bit-identical)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    mat = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    want_thresh = (mat.min(axis=0) + mat.max(axis=0)) / 2.0
+    thresh = AI._read_bin_thresh(spark, binary_dir)
+    assert np.array_equal(thresh, want_thresh)
+    stored = {
+        int(r.vec_id): list(r.words)
+        for r in spark.read.parquet(
+            M.table_path(binary_dir, "binary")
+        ).collect()
+    }
+    assert len(stored) == mat.shape[0]
+    for vid in (0, 1, 17, len(stored) - 1):
+        assert stored[vid] == AI._binary_encode_np(mat[vid], thresh), vid
+
+
+def test_binary_rerank_with_full_shortlist_equals_ivf_flat(
+    spark, binary_dir
+):
+    """Semantics anchor, same contract as the SQ8/PQ rerank twins: a
+    covering shortlist makes the Hamming stage unable to drop a
+    candidate, so binary-shortlist + exact-rerank equals the IVF-Flat
+    reader EXACTLY; a tight shortlist still returns k rows per query."""
+    qs = _queries(spark)
+    full = _rows(AI.ann_index_binary_topk(spark, binary_dir, qs, K, 10**9))
+    flat = _rows(AI.ann_index_ivf_topk(spark, binary_dir, qs, K))
+    assert full == flat and len(full) == len(QUERY_IDS) * K
+    tight = AI.ann_index_binary_topk(spark, binary_dir, qs, K, K)
+    assert tight.count() == len(QUERY_IDS) * K
+
+
+def test_binary_plan_is_pruned_jvm_only_shortlist(spark, binary_dir):
+    """The binary plan honors the artifact contract (partition-pruned
+    words scan, no corpus parquet) AND the arm's distinguishing claim:
+    the Hamming shortlist stage runs with NO Python evaluation — the
+    only Arrow/Python node in the whole plan is the exact-rerank
+    cosine kernel."""
+    import re
+
+    df = AI.ann_index_binary_topk(spark, binary_dir, _queries(spark), K)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "embeddings.parquet" not in qe.toString()
+    pf = re.findall(r"PartitionFilters: \[[^\]]*", plan)
+    assert any("cell" in x and " IN " in x for x in pf), pf
+    # exactly one Python-eval node: cosine_batch in the rerank stage
+    n_python = plan.count("ArrowEvalPython") + plan.count(
+        "BatchEvalPython"
+    )
+    assert n_python == 1, plan
+
+
+def test_binary_append_uses_stored_thresholds_and_counters(
+    spark, tmp_path
+):
+    """Append encodes against the STORED midrange thresholds (immutable
+    quantizer — bin_stats bit-identical across the append), the
+    bit-balance counters accumulate to exactly the full-table recount,
+    and the covering-shortlist search still equals IVF-Flat over the
+    grown corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d = str(tmp_path / "binary_upsert")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.add_binary_to_ann_index(spark, d)
+    stats_before = _rows(spark.read.parquet(M.table_path(d, "bin_stats")))
+    AI.append_to_ann_index(spark, emb.filter(F.col("vec_id") >= half), d)
+    assert (
+        _rows(spark.read.parquet(M.table_path(d, "bin_stats")))
+        == stats_before
+    )
+    thresh = AI._read_bin_thresh(spark, d)
+    probe_ids = [int(half), int(half) + 1]
+    want = {
+        int(r.vec_id): AI._binary_encode_np(r.embedding, thresh)
+        for r in emb.filter(F.col("vec_id").isin(probe_ids)).collect()
+    }
+    got = {
+        int(r.vec_id): list(r.words)
+        for r in spark.read.parquet(M.table_path(d, "binary"))
+        .filter(F.col("vec_id").isin(probe_ids))
+        .collect()
+    }
+    assert got == want
+    # counter-vs-exact equality across the append transition
+    assert AI._binary_drift_numbers(spark, d) == AI._binary_drift_numbers(
+        spark, d, exact=True
+    )
+    qs = _queries(spark)
+    assert _rows(AI.ann_index_binary_topk(spark, d, qs, K, 10**9)) == _rows(
+        AI.ann_index_ivf_topk(spark, d, qs, K)
+    )
+
+
+def test_binary_tombstones_compaction_and_growth_retrain(spark, tmp_path):
+    """Lifecycle sweep: tombstoned rows vanish from the binary search;
+    compaction preserves results, restamps the balance counters
+    exactly, and — on a store whose corpus more than doubled past the
+    trained thresholds — auto-retrains the arm (manifest evidence,
+    counters reset, search anchor still exact)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    d = str(tmp_path / "binary_life")
+    AI.build_ann_index(spark, emb, d)
+    AI.add_binary_to_ann_index(spark, d)
+    qs = _queries(spark)
+    base = _rows(AI.ann_index_binary_topk(spark, d, qs, K, 10**9))
+    victim = int(base[0].split("vec_id=")[1].split(",")[0].rstrip(")"))
+    AI.delete_from_ann_index(spark, [victim], d)
+    after = _rows(AI.ann_index_binary_topk(spark, d, qs, K, 10**9))
+    assert not any(f"vec_id={victim}" in r for r in after)
+    res = AI.compact_ann_index(spark, d)
+    assert "binary" in res
+    assert "binary_retrain" not in res  # balance unchanged, no growth
+    assert _rows(AI.ann_index_binary_topk(spark, d, qs, K, 10**9)) == after
+    assert AI._binary_drift_numbers(spark, d) == AI._binary_drift_numbers(
+        spark, d, exact=True
+    )
+
+    # growth-rule trigger: tiny trained prefix, large clean append
+    d2 = str(tmp_path / "binary_growth")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < 100), d2)
+    AI.add_binary_to_ann_index(spark, d2)
+    AI.append_to_ann_index(spark, emb.filter(F.col("vec_id") >= 100), d2)
+    _, _, past = AI._binary_drift_numbers(spark, d2)
+    assert past > AI.BINARY_RETRAIN_GROWTH * 100
+    res2 = AI.compact_ann_index(spark, d2)
+    assert res2["binary_retrain"]["rows_past_train"] == past
+    frac, rows, past2 = AI._binary_drift_numbers(spark, d2)
+    assert (rows, past2) == (n, 0)
+    # retrained thresholds are the FULL corpus's midrange now
+    assert M.read_meta(d2, AI._BINARY_TRAINED_ROWS_KEY) == n
+    assert _rows(
+        AI.ann_index_binary_topk(spark, d2, qs, K, 10**9)
+    ) == _rows(AI.ann_index_ivf_topk(spark, d2, qs, K))
+    # and a clean store does NOT retrain again
+    res3 = AI.compact_ann_index(spark, d2)
+    assert "binary_retrain" not in res3
+
+
+def test_2level_binary_arm_lifecycle(spark, tmp_path):
+    """The binary arm on the sharded-quantizer layout: derive, search
+    (covering shortlist == 2-level flat), append against stored
+    thresholds, rebuild orphans the arm (fail-loudly), re-derive."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    half = emb.count() // 2
+    d = str(tmp_path / "binary_2l")
+    AI.build_ann_index_2level(spark, emb.filter(F.col("vec_id") < half), d)
+    AI.add_binary_to_ann_index(spark, d)
+    qs = _queries(spark)
+    assert _rows(
+        AI.ann_index_2level_binary_topk(spark, d, qs, K, 10**9)
+    ) == _rows(AI.ann_index_2level_topk(spark, d, qs, K))
+    AI.append_to_ann_index_2level(spark, emb.filter(F.col("vec_id") >= half), d)
+    assert AI._binary_drift_numbers(spark, d) == AI._binary_drift_numbers(
+        spark, d, exact=True
+    )
+    assert _rows(
+        AI.ann_index_2level_binary_topk(spark, d, qs, K, 10**9)
+    ) == _rows(AI.ann_index_2level_topk(spark, d, qs, K))
+    AI.build_ann_index_2level(spark, emb, d)
+    assert M.read_meta(d, AI._BINARY_KEY) is False
+    with pytest.raises(ValueError, match="binary"):
+        AI.ann_index_2level_binary_topk(spark, d, qs, K)
+
+
+# --------------------------------------------------------------------------
+# The cascade: binary -> SQ8 -> exact, the ladder composed.
+
+
+@pytest.fixture(scope="module")
+def cascade_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ann_index_cascade"))
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    AI.build_ann_index(spark, emb, d)
+    AI.add_sq8_to_ann_index(spark, d)
+    AI.add_binary_to_ann_index(spark, d)
+    return d
+
+
+def test_cascade_requires_both_arms(spark, sq8_dir, binary_dir):
+    """Each missing arm fails loudly with its own derive hint."""
+    with pytest.raises(ValueError, match="binary"):
+        AI.ann_index_cascade_topk(spark, sq8_dir, _queries(spark), K)
+    with pytest.raises(ValueError, match="SQ8"):
+        AI.ann_index_cascade_topk(spark, binary_dir, _queries(spark), K)
+
+
+def test_cascade_covering_anchors(spark, cascade_dir):
+    """The cascade's two collapse anchors: a covering COARSE shortlist
+    makes stage 1 unable to drop a candidate, so the cascade equals
+    the plain SQ8 two-stage search at the same shortlist; covering
+    BOTH shortlists collapses it to IVF-Flat. And the defaulted
+    cascade still returns k rows per query."""
+    qs = _queries(spark)
+    assert _rows(
+        AI.ann_index_cascade_topk(spark, cascade_dir, qs, K, 4 * K, 10**9)
+    ) == _rows(AI.ann_index_sq8_topk(spark, cascade_dir, qs, K, 4 * K))
+    assert _rows(
+        AI.ann_index_cascade_topk(spark, cascade_dir, qs, K, 10**9, 10**9)
+    ) == _rows(AI.ann_index_ivf_topk(spark, cascade_dir, qs, K))
+    assert (
+        AI.ann_index_cascade_topk(spark, cascade_dir, qs, K).count()
+        == len(QUERY_IDS) * K
+    )
+
+
+def test_cascade_first_two_stages_are_jvm_only(spark, cascade_dir):
+    """The cascade's distinguishing plan property: stages 1 (Hamming)
+    and 2 (integer code L2) run with no Python at all — the single
+    Arrow node in the whole plan is the final cosine rerank."""
+    df = AI.ann_index_cascade_topk(spark, cascade_dir, _queries(spark), K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+    ), plan
+
+
+def test_2level_cascade_covering_anchor(spark, tmp_path):
+    """The cascade on the sharded-quantizer layout: covering both
+    shortlists collapses to the 2-level flat reader."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "cascade_2l")
+    AI.build_ann_index_2level(spark, emb, d)
+    AI.add_sq8_to_ann_index(spark, d)
+    AI.add_binary_to_ann_index(spark, d)
+    qs = _queries(spark)
+    assert _rows(
+        AI.ann_index_2level_cascade_topk(
+            spark, d, qs, K, 10**9, 10**9
+        )
+    ) == _rows(AI.ann_index_2level_topk(spark, d, qs, K))
+    assert (
+        AI.ann_index_2level_cascade_topk(spark, d, qs, K).count()
+        == len(QUERY_IDS) * K
+    )

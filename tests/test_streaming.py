@@ -960,3 +960,109 @@ def test_incremental_ann_sq8_prefix_stream(spark, tmp_path):
     assert (
         spark.read.parquet(M.table_path(store2, "sq8_prefix")).count() == n
     )
+
+
+def test_incremental_ann_binary_stream_and_resume_derive(spark, tmp_path):
+    """Streaming ingestion with the binary arm: batch 0 bootstraps
+    build + add_binary (midrange thresholds trained on batch 0,
+    immutable afterwards); later batches append words encoded against
+    the STORED thresholds, and the stream-built Hamming search with a
+    covering shortlist equals IVF-Flat over the grown store. A resume
+    that requests the arm over a store bootstrapped without it derives
+    it once (same no-silent-drop contract as sq8)."""
+    from rds_pgbadger_etl_spark.operators import ann_index as AI
+    from rds_pgbadger_etl_spark.operators import index_maintenance as M
+    from rds_pgbadger_etl_spark.plans.llm_ops import _query_vectors
+    from rds_pgbadger_etl_spark.sources.tables import load_table
+    from rds_pgbadger_etl_spark.streaming.incremental_ann import (
+        run_incremental_ann,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    src, store, ckpt, flags = (
+        str(tmp_path / d) for d in ("src", "store", "ckpt", "flags")
+    )
+    for b in range(2):
+        (
+            emb.filter(
+                (F.col("vec_id") >= b * n // 2)
+                & (F.col("vec_id") < (b + 1) * n // 2)
+            )
+            .write.mode("append")
+            .parquet(src)
+        )
+        run_incremental_ann(
+            spark.readStream.schema(emb.schema).parquet(src),
+            store, ckpt, flags, k=3, binary=True,
+        )
+    assert M.read_meta(store, AI._BINARY_KEY) is True
+    q = _query_vectors(spark, sf)
+    got = sorted(
+        map(
+            str,
+            AI.ann_index_binary_topk(spark, store, q, 5, 10**9).collect(),
+        )
+    )
+    flat = sorted(
+        map(str, AI.ann_index_ivf_topk(spark, store, q, 5).collect())
+    )
+    assert got == flat and got
+    # appended (batch 1) rows carry BATCH-0-threshold words, and the
+    # stored thresholds are batch 0's midrange — not the union's
+    import numpy as np
+
+    thresh = AI._read_bin_thresh(spark, store)
+    b0 = np.array(
+        emb.filter(F.col("vec_id") < n // 2)
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist()
+    ).astype("float64")
+    assert np.array_equal(
+        thresh, (b0.min(axis=0) + b0.max(axis=0)) / 2.0
+    )
+    probe_ids = [int(n // 2), int(n // 2) + 1]
+    want = {
+        int(r.vec_id): AI._binary_encode_np(r.embedding, thresh)
+        for r in emb.filter(F.col("vec_id").isin(probe_ids)).collect()
+    }
+    stored = {
+        int(r.vec_id): list(r.words)
+        for r in spark.read.parquet(M.table_path(store, "binary"))
+        .filter(F.col("vec_id").isin(probe_ids))
+        .collect()
+    }
+    assert stored == want
+    # counters held exact across the streamed appends
+    assert AI._binary_drift_numbers(spark, store) == (
+        AI._binary_drift_numbers(spark, store, exact=True)
+    )
+
+    # resume-derive: a store bootstrapped WITHOUT the arm gains it on
+    # the first resumed batch that requests it
+    src2, store2, ckpt2, flags2 = (
+        str(tmp_path / d) for d in ("src2", "store2", "ckpt2", "flags2")
+    )
+    emb.filter(F.col("vec_id") < n // 2).write.mode("append").parquet(src2)
+    run_incremental_ann(
+        spark.readStream.schema(emb.schema).parquet(src2),
+        store2, ckpt2, flags2, k=3,
+    )
+    assert M.read_meta(store2, AI._BINARY_KEY, False) is False
+    emb.filter(F.col("vec_id") >= n // 2).write.mode("append").parquet(src2)
+    run_incremental_ann(
+        spark.readStream.schema(emb.schema).parquet(src2),
+        store2, ckpt2, flags2, k=3, binary=True,
+    )
+    assert M.read_meta(store2, AI._BINARY_KEY) is True
+    got2 = sorted(
+        map(
+            str,
+            AI.ann_index_binary_topk(spark, store2, q, 5, 10**9).collect(),
+        )
+    )
+    assert got2 == sorted(
+        map(str, AI.ann_index_ivf_topk(spark, store2, q, 5).collect())
+    )

@@ -195,6 +195,60 @@ def main() -> None:
     )
     out["sq8_flat_sec"] = t_flat
 
+    # (5) the binary (1-bit Hamming) rung: ~DIM/8 B of sign bits per
+    # vector, shortlist scoring entirely JVM-side (no Arrow kernel).
+    # Wall time at the same pruned-probe shape + shortlist, plus the
+    # rung's RECALL against the exact probed-population top-K (binary
+    # is the lossiest rung — the byte cut only matters if the 4K-deep
+    # Hamming shortlist still carries the true neighbors).
+    if not IM.read_meta(d, AI._BINARY_KEY, False):
+        t0 = time.perf_counter()
+        AI.add_binary_to_ann_index(spark, d)
+        out["add_binary_sec"] = round(time.perf_counter() - t0, 1)
+    out["binary_bytes_per_vec"] = round(
+        _dir_bytes(IM.table_path(d, "binary")) / n_vecs, 1
+    )
+    t_bin, r_bin = timed(
+        lambda: rows_of(AI.ann_index_binary_topk(spark, d, queries, K, 4 * K))
+    )
+    out["binary_sec"] = t_bin
+    flat_pairs = {
+        (int(r.q_id), int(r.vec_id))
+        for r in AI.ann_index_ivf_topk(spark, d, queries, K).collect()
+    }
+    bin_pairs = {
+        (
+            int(s.split("q_id=")[1].split(",")[0].rstrip(")")),
+            int(s.split("vec_id=")[1].split(",")[0].rstrip(")")),
+        )
+        for s in r_bin
+    }
+    out["binary_recall_at_k"] = round(
+        len(bin_pairs & flat_pairs) / max(len(flat_pairs), 1), 4
+    )
+
+    # (6) the cascade: binary (deep 16K coarse shortlist) -> SQ8 L2
+    # over survivors -> exact rerank. Measures whether the deep-cheap
+    # first stage recovers the recall the 1-bit rung loses at 4K.
+    def pairs_of(rows):
+        return {
+            (
+                int(s.split("q_id=")[1].split(",")[0].rstrip(")")),
+                int(s.split("vec_id=")[1].split(",")[0].rstrip(")")),
+            )
+            for s in rows
+        }
+
+    t_casc, r_casc = timed(
+        lambda: rows_of(
+            AI.ann_index_cascade_topk(spark, d, queries, K, 4 * K, 16 * K)
+        )
+    )
+    out["cascade_sec"] = t_casc
+    out["cascade_recall_at_k"] = round(
+        len(pairs_of(r_casc) & flat_pairs) / max(len(flat_pairs), 1), 4
+    )
+
     print(json.dumps(out))
 
 
