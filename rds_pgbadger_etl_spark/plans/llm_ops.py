@@ -4609,7 +4609,10 @@ def ann_index_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_recall_report); the fixed denominator is |queries| x k so a
     variant returning short lists is penalized, not excused. This is
     the registry-auditable answer to 'does refining the quantizer
-    change delivered recall on THIS corpus?'."""
+    change delivered recall on THIS corpus?' — and, with the sq8 /
+    binary / cascade arms, the in-engine recall side of the
+    recall-per-probed-byte curve (the byte side is in the stats
+    audit's bytes_per_row and the 8M rehearsal)."""
     from rds_pgbadger_etl_spark.operators import ann_index as AI
 
     truth = _brute_truth(spark, sf_dir, _REFINED_RECALL_K)
@@ -4640,6 +4643,33 @@ def ann_index_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 qvecs,
                 _REFINED_RECALL_K,
                 _REFINED_RECALL_K,
+            ),
+        ),
+        # round 13: the 1-bit rung under the same shortlist==k
+        # set-membership convention — the delta off sq8 isolates
+        # 1-bit-sign vs 8-bit-grid resolution at identical probes
+        (
+            "binary",
+            lambda: AI.ann_index_binary_topk(
+                spark,
+                _ann_index_binary_shared(spark, sf_dir),
+                qvecs,
+                _REFINED_RECALL_K,
+                _REFINED_RECALL_K,
+            ),
+        ),
+        # the composed cascade at shortlist==k with its default-ratio
+        # 4x coarse cut: what the three-stage pipeline DELIVERS vs the
+        # single-stage rungs above
+        (
+            "cascade",
+            lambda: AI.ann_index_cascade_topk(
+                spark,
+                _ann_index_cascade_shared(spark, sf_dir),
+                qvecs,
+                _REFINED_RECALL_K,
+                _REFINED_RECALL_K,
+                4 * _REFINED_RECALL_K,
             ),
         ),
     ]

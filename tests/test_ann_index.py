@@ -136,7 +136,14 @@ def test_refined_build_and_recall_query(spark, index_dir, tmp_path):
     assert got.count() == len(QUERY_IDS) * K
 
     rows = {r.variant: r for r in ann_index_refined_recall(spark, SF_SMOKE).collect()}
-    assert set(rows) == {"first_n", "kmeans_refined", "residual_pq", "sq8"}
+    assert set(rows) == {
+        "first_n",
+        "kmeans_refined",
+        "residual_pq",
+        "sq8",
+        "binary",
+        "cascade",
+    }
     for r in rows.values():
         assert 0.0 <= r.recall_at_k <= 1.0 and r.n_hits >= 0
 
