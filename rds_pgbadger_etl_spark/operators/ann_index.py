@@ -1012,10 +1012,12 @@ def ann_index_truncated_topk(
         .select(
             "q_id",
             "vec_id",
-            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            S.cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return S.topk_per_key(
+    return S.topk_bounded(
         rescored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -1468,10 +1470,12 @@ def ann_index_sq8_topk(
         .select(
             "q_id",
             "vec_id",
-            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            S.cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return S.topk_per_key(
+    return S.topk_bounded(
         reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -1763,10 +1767,12 @@ def ann_index_binary_topk(
         .select(
             "q_id",
             "vec_id",
-            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            S.cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return S.topk_per_key(
+    return S.topk_bounded(
         reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -1818,7 +1824,9 @@ def _cascade_stage23(
         .join(F.broadcast(q_codes_df), "q_id")
         .select("q_id", "vec_id", sq_dist.alias("sq_dist"))
     )
-    short2 = S.topk_per_key(
+    # sq_scored is already bounded (≤ queries × coarse_shortlist rows),
+    # so the mid-cascade cut needs only the single window
+    short2 = S.topk_bounded(
         sq_scored, "q_id", [F.col("sq_dist"), F.col("vec_id")], shortlist
     ).select("q_id", "vec_id")
     raw = spark.read.parquet(M.table_path(index_dir, "raw")).where(predicate)
@@ -1828,10 +1836,12 @@ def _cascade_stage23(
         .select(
             "q_id",
             "vec_id",
-            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            S.cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return S.topk_per_key(
+    return S.topk_bounded(
         reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -2694,6 +2704,7 @@ def build_ann_index_2level(
         n_groups = auto_g if n_groups is None else n_groups
         n_cells = auto_c if n_cells is None else n_cells
     _COARSE.pop(index_dir, None)
+    _FINE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
     _SQ_STATS.pop(index_dir, None)
     _stamp_layout(index_dir)
@@ -3069,6 +3080,36 @@ def append_to_ann_index_2level(
 
 
 _COARSE: dict[str, tuple] = {}
+# Per-(index_dir, group) fine-centroid shards — quantizer metadata,
+# immutable once built (appends/retrains never touch ``fine/``; a
+# compaction rewrite preserves its content), cached like _COARSE /
+# _CENTROIDS so repeated probes skip the per-evaluation shard collect.
+_FINE: dict[str, dict[int, list]] = {}
+
+
+def _fine_shards(
+    spark: SparkSession, index_dir: str, groups: list[int]
+) -> dict[int, list]:
+    """(cell, c_emb) rows of the requested groups' fine shards, from
+    the per-process cache; only never-seen groups hit the (partition-
+    pruned) ``fine/`` table."""
+    cache = _FINE.setdefault(index_dir, {})
+    missing = sorted(g for g in groups if g not in cache)
+    if missing:
+        rows = (
+            spark.read.parquet(M.table_path(index_dir, "fine"))
+            .where(F.col("group").isin(missing))
+            .collect()
+        )
+        for g in missing:
+            cache[g] = []
+        for r in rows:
+            cache[int(r.group)].append(
+                (int(r.cell), np.asarray(r.c_emb, dtype=np.float64))
+            )
+        for g in missing:
+            cache[g].sort(key=lambda ce: ce[0])
+    return {g: cache.get(g, []) for g in groups}
 
 
 def _read_coarse(spark: SparkSession, index_dir: str):
@@ -3107,23 +3148,20 @@ def _probe_cells_2level(
         q_groups[q_id] = [g for g, _ in ranked[:n_probe_groups]]
     probed_groups = sorted({g for gs in q_groups.values() for g in gs})
 
-    fine = (
-        spark.read.parquet(M.table_path(index_dir, "fine"))
-        .where(F.col("group").isin(probed_groups))
-        .collect()
-    )
-    by_group: dict[int, list] = {}
-    for r in fine:
-        by_group.setdefault(int(r.group), []).append(r)
+    by_group = _fine_shards(spark, index_dir, probed_groups)
     probes = []  # (q_id, group, cell)
     for q_id, vec in queries:
-        cand = [r for g in q_groups[q_id] for r in by_group.get(g, [])]
+        cand = [
+            (g, c, emb)
+            for g in q_groups[q_id]
+            for c, emb in by_group.get(g, [])
+        ]
         if not cand:
             continue
-        mat = np.array([r.c_emb for r in cand], dtype=np.float64)
+        mat = np.array([emb for _, _, emb in cand], dtype=np.float64)
         sims = _rounded_cosines(np.asarray(vec, dtype=np.float64), mat)
         ranked = sorted(
-            zip((int(r.group) for r in cand), (int(r.cell) for r in cand), sims),
+            zip((g for g, _, _ in cand), (c for _, c, _ in cand), sims),
             key=lambda gcs: (-gcs[2], gcs[1]),
         )
         probes.extend((q_id, g, c) for g, c, _ in ranked[:n_probe])
@@ -3237,10 +3275,12 @@ def ann_index_2level_truncated_topk(
         .select(
             "q_id",
             "vec_id",
-            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            S.cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return S.topk_per_key(
+    return S.topk_bounded(
         rescored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -3260,17 +3300,12 @@ def _adc_lut_flat_residual_2level(
     n_sub, n_cells, sub_dim = ic.shape
     probed_groups = sorted({g for _, g, _ in probes})
     probed_cells = {c for _, _, c in probes}
-    fine = (
-        spark.read.parquet(M.table_path(index_dir, "fine"))
-        .where(F.col("group").isin(probed_groups))
-        .collect()
-    )
+    by_group = _fine_shards(spark, index_dir, probed_groups)
     icent_by_cell = {
-        int(r.cell): _int_centroids(
-            np.asarray(r.c_emb, dtype=np.float64)[None, :]
-        )[0]
-        for r in fine
-        if int(r.cell) in probed_cells
+        c: _int_centroids(emb[None, :])[0]
+        for g in probed_groups
+        for c, emb in by_group[g]
+        if c in probed_cells
     }
     qvec = {q_id: vec for q_id, vec in queries}
     rows = []
@@ -3414,10 +3449,12 @@ def ann_index_ivfpq_rerank_topk(
         .select(
             "q_id",
             "vec_id",
-            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            S.cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return S.topk_per_key(
+    return S.topk_bounded(
         reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -3481,10 +3518,12 @@ def ann_index_2level_ivfpq_rerank_topk(
         .select(
             "q_id",
             "vec_id",
-            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            S.cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return S.topk_per_key(
+    return S.topk_bounded(
         reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -3566,10 +3605,12 @@ def ann_index_2level_sq8_topk(
         .select(
             "q_id",
             "vec_id",
-            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            S.cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return S.topk_per_key(
+    return S.topk_bounded(
         reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -3625,10 +3666,12 @@ def ann_index_2level_binary_topk(
         .select(
             "q_id",
             "vec_id",
-            S.cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            S.cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return S.topk_per_key(
+    return S.topk_bounded(
         reranked, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -3797,6 +3840,7 @@ def build_ann_index_2level_distributed(
         n_groups = auto_g if n_groups is None else n_groups
         n_cells = auto_c if n_cells is None else n_cells
     _COARSE.pop(index_dir, None)
+    _FINE.pop(index_dir, None)
     _CODEBOOKS.pop(index_dir, None)
     _SQ_STATS.pop(index_dir, None)
     _stamp_layout(index_dir)

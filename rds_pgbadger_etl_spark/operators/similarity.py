@@ -66,6 +66,23 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.round(dots / norms, 6))
 
 
+def cosine_rounded(a: Column, b: Column) -> Column:
+    """JVM-expression twin of :func:`cosine_batch` — same double
+    arithmetic, same round-6 convention, entirely inside whole-stage
+    codegen. Used on BOUNDED stages (rerank/probe-selection inputs
+    capped at |queries| × shortlist rows by construction, independent
+    of corpus size), where removing the Arrow boundary and the Python
+    worker round-trip outweighs BLAS: a per-element higher-order
+    function over ≤ thousands of rows is sub-ms, while every
+    ArrowEvalPython node costs a stage's worth of worker traffic.
+    Corpus-volume scoring stays on :func:`cosine_batch` (one matmul
+    per Arrow batch). Parity: 0 mismatches over the full fixture
+    corpus × query cross product (pinned by test); both paths round
+    at 1e-6, so the engines' fold-order noise (~1e-15) cannot
+    reorder a result."""
+    return F.round(cosine(as_double(a), as_double(b)), 6)
+
+
 def plane_sign(table: int, plane: int, dim_index: int) -> float:
     """Deterministic ±1 entry (table, plane, dim) — md5-derived so the
     DuckDB oracle regenerates the identical hyperplanes."""
@@ -176,6 +193,28 @@ def topk_per_key(
     )
     w = Window.partitionBy(*keys).orderBy(*order)
     return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def topk_bounded(
+    scored: DataFrame, key: str | list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Single-window per-key top-k for inputs that are BOUNDED by
+    construction — rerank stages, whose row count is ≤ |queries| ×
+    shortlist regardless of corpus size. :func:`topk_per_key`'s
+    two-phase plan exists to keep a corpus-sized scored stream out of
+    one window partition; on an input that is already metadata-sized
+    the extra exchange + sort is pure stage latency (measured ~0.1 s
+    per evaluation in local mode, one whole shuffle at scale), so
+    rerank callers use the single window. The ordering includes a
+    unique tie-break everywhere, so the result is IDENTICAL to
+    topk_per_key's. Do NOT use on corpus-volume inputs (shortlist
+    stages, brute scoring) — that is the partition-less-window
+    failure topk_per_key documents."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
 
@@ -350,10 +389,12 @@ def truncated_rerank_topk(
         .select(
             "q_id",
             "vec_id",
-            cosine_batch(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            # bounded rerank (≤ queries × shortlist rows): JVM cosine +
+            # single-window top-k — no Arrow boundary, one less exchange
+            cosine_rounded(F.col("q_emb"), F.col("embedding")).alias("sim"),
         )
     )
-    return topk_per_key(
+    return topk_bounded(
         rescored, "q_id", [F.col("sim").desc(), F.col("vec_id")], k
     )
 
@@ -560,25 +601,61 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
+def _sqdist_argmin_udf(cell_ids: list[int], cent_mat: np.ndarray):
+    """Map-only nearest-centroid assignment by rounded squared L2 —
+    kmeans' analogue of :func:`nearest_cell_udf`: one distance matrix
+    per Arrow batch against the closure-held centroid matrix, argmin
+    after the round-6 (ties to the LOWER cell id — first minimum over
+    ids sorted ascending, the exact (dist asc, cell asc) top-1
+    convention of the previous window formulation). Returns
+    struct<cell, dist> so one kernel pass feeds both columns."""
+    ids = np.asarray(cell_ids, dtype=np.int64)
+    c = cent_mat.astype(np.float64)
+
+    @F.pandas_udf("struct<cell: long, dist: double>")
+    def assign(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame({"cell": [], "dist": []})
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        d = x[:, None, :] - c[None, :, :]
+        dists = np.round(np.einsum("nkd,nkd->nk", d, d), 6)
+        pos = np.argmin(dists, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": ids[pos],
+                "dist": dists[np.arange(len(x)), pos],
+            }
+        )
+
+    return assign
+
+
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast cross join against the
-    tiny centroid table + per-vector top-1 window. Rounded distances +
-    cell-id tie-break keep the argmin deterministic across engines."""
+    """Nearest-centroid assignment, MAP-ONLY: the metadata-sized
+    centroid table (k rows) is collected once and closed over in a
+    vectorized kernel — scan → project, no join, no window, NO SHUFFLE.
+    The previous broadcast-crossJoin + per-vector-window formulation
+    shuffled corpus × k scored rows per Lloyd iteration — k× the corpus
+    on what is the expensive pass of a refinement at 100 TB (the same
+    fix :func:`ivf_cells` documents for the IVF quantizer). Rounded
+    distances + first-minimum ties keep the argmin bit-identical to the
+    window plan (same round-6 + (dist asc, cell asc) convention)."""
     from rds_pgbadger_etl_spark.sources.tables import rebalance
 
-    scored = rebalance(emb).crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        sqdist_batch(
-            as_double(F.col("embedding")), F.col("c_emb")
-        ).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    rows = cents.collect()
+    rows.sort(key=lambda r: r.cell)
+    ids = [int(r.cell) for r in rows]
+    mat = np.array([r.c_emb for r in rows], dtype=np.float64)
+    assign = _sqdist_argmin_udf(ids, mat)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell", "dist")
+        rebalance(emb)
+        .select("vec_id", "embedding", assign(F.col("embedding")).alias("a"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("a.cell").alias("cell"),
+            F.col("a.dist").alias("dist"),
+        )
     )
 
 
@@ -592,8 +669,10 @@ def kmeans_refine(
 
     This trains the IVF coarse quantizer (:func:`ivf_cells` documents
     that production IVF k-means-refines its centroid table — this is
-    that refinement). Per iteration: assignment is a broadcast cross
-    join (the corpus never shuffles for it), and the centroid update
+    that refinement). Per iteration: assignment is map-only (one
+    vectorized kernel over the corpus against the collected
+    metadata-sized centroid table — no join, no shuffle), and the
+    centroid update
     shuffles only (cell, dim, partial-sum) triples via the posexplode
     hash aggregate — map-side combinable, so the shuffle is O(k × dims
     × partitions), independent of corpus size. Centroid components

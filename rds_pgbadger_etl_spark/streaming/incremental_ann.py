@@ -40,15 +40,123 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window
+from pyspark.sql import types as T
 
 from rds_pgbadger_etl_spark.operators import ann_index as AI
 from rds_pgbadger_etl_spark.operators import index_maintenance as M
 from rds_pgbadger_etl_spark.operators import similarity as S
 
 _FLAG_SCHEMA = "vec_id long, neighbor_id long, cosine double, rank int"
+
+
+def _probe_cells_udf(cell_ids: list[int], cent_mat: np.ndarray, n_probe: int):
+    """Map-only probe selection for the batch flag verbs: per Arrow
+    batch, ONE matmul against the closure-held quantizer and a per-row
+    (sim desc, cell asc) cut to the ``n_probe`` nearest cells — the
+    nearest_cell_udf convention (the documented dense-numeric-kernel
+    exception), generalized to top-n. Replaces the previous broadcast
+    crossJoin + per-query window: same round-6 cosine, same tie-break,
+    but the batch never shuffles and no window stage runs — probe
+    selection becomes a projection over the stream."""
+    ids = np.asarray(cell_ids, dtype=np.int64)
+    c = cent_mat.astype(np.float64)
+    cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def topn(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+        sims = np.round((x @ c.T) / (xn[:, None] * cn[None, :]), 6)
+        out = []
+        for row in sims:
+            order = np.lexsort((ids, -row))[:n_probe]
+            out.append([int(ids[i]) for i in order])
+        return pd.Series(out)
+
+    return topn
+
+
+def _probe_pairs_udf_2level(
+    group_ids: list[int],
+    g_mat: np.ndarray,
+    fine_by_group: dict[int, list],
+    n_probe_groups: int,
+    n_probe: int,
+):
+    """Two-level twin of :func:`_probe_cells_udf`: per row, rank the
+    coarse groups ((gsim desc, group asc), keep ``n_probe_groups``),
+    then rank the candidate cells of exactly those groups
+    ((sim desc, cell asc), keep ``n_probe``) — the same two-stage
+    selection the previous crossJoin + two-window formulation computed,
+    now one map-only kernel. The closure holds the same data the old
+    plan BROADCAST (coarse table + fine shards), so the memory envelope
+    is unchanged; past broadcast-sized fine quantizers the distributed
+    build/assign path is the tool either way."""
+    gids = np.asarray(group_ids, dtype=np.int64)
+    g = g_mat.astype(np.float64)
+    gn = np.sqrt(np.einsum("ij,ij->i", g, g))
+    fine = {
+        int(grp): (
+            np.asarray([c for c, _ in rows], dtype=np.int64),
+            np.asarray([e for _, e in rows], dtype=np.float64),
+        )
+        for grp, rows in fine_by_group.items()
+        if rows
+    }
+    for grp, (cids, mat) in fine.items():
+        fine[grp] = (cids, mat, np.sqrt(np.einsum("ij,ij->i", mat, mat)))
+
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("group", T.LongType()),
+                T.StructField("cell", T.LongType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_type)
+    def pairs(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+        gsims = np.round((x @ g.T) / (xn[:, None] * gn[None, :]), 6)
+        out = []
+        for i in range(len(x)):
+            order = np.lexsort((gids, -gsims[i]))[:n_probe_groups]
+            top_groups = [int(gids[j]) for j in order]
+            cand_g: list[np.ndarray] = []
+            cand_c: list[np.ndarray] = []
+            sims: list[np.ndarray] = []
+            for grp in top_groups:
+                entry = fine.get(grp)
+                if entry is None:
+                    continue
+                cids, mat, mn = entry
+                s = np.round((mat @ x[i]) / (mn * xn[i]), 6)
+                cand_g.append(np.full(len(cids), grp, dtype=np.int64))
+                cand_c.append(cids)
+                sims.append(s)
+            if not sims:
+                out.append([])
+                continue
+            cg = np.concatenate(cand_g)
+            cc = np.concatenate(cand_c)
+            ss = np.concatenate(sims)
+            sel = np.lexsort((cc, -ss))[:n_probe]
+            out.append(
+                [{"group": int(cg[j]), "cell": int(cc[j])} for j in sel]
+            )
+        return pd.Series(out)
+
+    return pairs
 
 
 def ann_index_exists(index_dir: str) -> bool:
@@ -70,32 +178,28 @@ def flag_against_index(
     neighbors of each new vector, searched the IVF way — semantic
     near-dup flagging at ingest (also the batch kNN-join entry point:
     plans/llm_ops.ann_knn_join runs corpus-slice query sets through it).
-    Probing broadcasts the metadata-sized centroid table against the
-    batch; scoring cogroups the batch with a partition-pruned,
+    Probing is MAP-ONLY — one matmul per Arrow batch against the cached
+    metadata-sized quantizer (the nearest_cell_udf convention), so the
+    batch never shuffles for probe selection; scoring cogroups the
+    batch with a partition-pruned,
     tombstone-filtered scan of the probed cells only
     (similarity.knn_join_cells). Returns an eagerly local-checkpointed
     DataFrame:
     lineage is truncated, so the result (and any plan derived from it)
     is safe against subsequent index mutation — the append that follows
     in the ingestion cycle cannot leak into the flags."""
-    cents = spark.read.parquet(M.table_path(index_dir, "centroids"))
+    cell_ids, cent_mat = AI._read_centroids(spark, index_dir)
     q = emb_batch.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("sim").desc(), F.col("cell")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "q_id",
-            "q_emb",
-            "cell",
-            S.cosine_batch(F.col("q_emb"), F.col("c_emb")).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("q_id", "q_emb", "cell")
+    # map-only probe selection (one matmul per Arrow batch against the
+    # cached metadata-sized quantizer): the batch never shuffles and no
+    # window stage runs — same (sim desc, cell asc) top-n as before
+    topn = _probe_cells_udf(cell_ids, cent_mat, n_probe)
+    probes = q.select(
+        "q_id",
+        "q_emb",
+        F.explode(topn(F.col("q_emb"))).alias("cell"),
     )
     probes = probes.persist()
     try:
@@ -152,55 +256,38 @@ def flag_against_index_2level(
 ) -> DataFrame:
     """:func:`flag_against_index` for the two-level (sharded-quantizer)
     layout — the streaming/batch flag verb that keeps working past the
-    4096-cell cap. Probe selection runs DISTRIBUTED in two broadcast
-    stages, never collecting the batch: batch x coarse (broadcast,
-    ~n_groups rows) -> top coarse groups per vector, then a broadcast
-    join against the fine table restricted to those groups -> top
-    ``n_probe`` cells per vector. Per-vector quantizer work is
+    4096-cell cap. Probe selection is MAP-ONLY, never collecting the
+    batch: one Arrow kernel holds the coarse matrix plus the fine
+    shards (the same data the previous two-broadcast-stage plan
+    shipped) and emits each vector's top coarse groups -> top
+    ``n_probe`` cells directly, so the batch neither shuffles nor
+    passes a window for probing. Per-vector quantizer work is
     n_groups + n_probe_groups*(n_cells/n_groups) cosines — the same
     term the driver-side reader saves. Scoring is the identical
     cogrouped per-cell matmul over the (group, cell)-pruned,
     tombstone-filtered raw scan; the result is eagerly
     local-checkpointed (mutation-safe, like the single-level verb)."""
-    coarse = spark.read.parquet(M.table_path(index_dir, "coarse")).select(
-        F.col("group"), F.col("g_emb")
-    )
-    fine = spark.read.parquet(M.table_path(index_dir, "fine")).select(
-        "cell", "group", "c_emb"
-    )
+    group_ids, g_mat = AI._read_coarse(spark, index_dir)
+    fine_by_group = AI._fine_shards(spark, index_dir, group_ids)
     q = emb_batch.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    wg = Window.partitionBy("q_id").orderBy(
-        F.col("gsim").desc(), F.col("group")
+    # map-only two-stage probe selection (cached coarse + fine shards in
+    # the kernel closure — the same data the previous plan broadcast):
+    # the batch never shuffles and no window stage runs; same
+    # (gsim desc, group asc) / (sim desc, cell asc) top-n as before
+    pairs_udf = _probe_pairs_udf_2level(
+        group_ids, g_mat, fine_by_group, n_probe_groups, n_probe
     )
-    gprobes = (
-        q.crossJoin(F.broadcast(coarse))
-        .select(
-            "q_id",
-            "q_emb",
-            "group",
-            S.cosine_batch(F.col("q_emb"), F.col("g_emb")).alias("gsim"),
-        )
-        .withColumn("rn", F.row_number().over(wg))
-        .filter(F.col("rn") <= n_probe_groups)
-        .select("q_id", "q_emb", "group")
-    )
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("sim").desc(), F.col("cell")
-    )
-    probes = (
-        gprobes.join(F.broadcast(fine), "group")
-        .select(
-            "q_id",
-            "q_emb",
-            "group",
-            "cell",
-            S.cosine_batch(F.col("q_emb"), F.col("c_emb")).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("q_id", "q_emb", "group", "cell")
+    probes = q.select(
+        "q_id",
+        "q_emb",
+        F.explode(pairs_udf(F.col("q_emb"))).alias("pc"),
+    ).select(
+        "q_id",
+        "q_emb",
+        F.col("pc.group").alias("group"),
+        F.col("pc.cell").alias("cell"),
     )
     probes = probes.persist()
     try:

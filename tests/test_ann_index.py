@@ -1720,9 +1720,9 @@ def test_binary_rerank_with_full_shortlist_equals_ivf_flat(
 def test_binary_plan_is_pruned_jvm_only_shortlist(spark, binary_dir):
     """The binary plan honors the artifact contract (partition-pruned
     words scan, no corpus parquet) AND the arm's distinguishing claim:
-    the Hamming shortlist stage runs with NO Python evaluation — the
-    only Arrow/Python node in the whole plan is the exact-rerank
-    cosine kernel."""
+    the whole query — Hamming shortlist AND the bounded exact rerank
+    (cosine_rounded since r13) — runs with NO Python evaluation at
+    all."""
     import re
 
     df = AI.ann_index_binary_topk(spark, binary_dir, _queries(spark), K)
@@ -1731,11 +1731,11 @@ def test_binary_plan_is_pruned_jvm_only_shortlist(spark, binary_dir):
     assert "embeddings.parquet" not in qe.toString()
     pf = re.findall(r"PartitionFilters: \[[^\]]*", plan)
     assert any("cell" in x and " IN " in x for x in pf), pf
-    # exactly one Python-eval node: cosine_batch in the rerank stage
+    # zero Python-eval nodes: the rerank cosine is a JVM expression
     n_python = plan.count("ArrowEvalPython") + plan.count(
         "BatchEvalPython"
     )
-    assert n_python == 1, plan
+    assert n_python == 0, plan
 
 
 def test_binary_append_uses_stored_thresholds_and_counters(
@@ -1894,13 +1894,13 @@ def test_cascade_covering_anchors(spark, cascade_dir):
 
 
 def test_cascade_first_two_stages_are_jvm_only(spark, cascade_dir):
-    """The cascade's distinguishing plan property: stages 1 (Hamming)
-    and 2 (integer code L2) run with no Python at all — the single
-    Arrow node in the whole plan is the final cosine rerank."""
+    """The cascade's distinguishing plan property: ALL three stages —
+    Hamming, integer code L2, and (since r13) the bounded final cosine
+    rerank — run with no Python evaluation at all."""
     df = AI.ann_index_cascade_topk(spark, cascade_dir, _queries(spark), K)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert (
-        plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+        plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 0
     ), plan
 
 
