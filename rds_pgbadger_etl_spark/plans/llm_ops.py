@@ -932,16 +932,25 @@ def ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     8/16/32 — the measured dims-vs-recall operating curve of
     the dimension ladder. Both arms are deterministic (6-decimal
     rounding, vec_id tie-break), so unlike the index recall audits this
-    one has a real SQL twin."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    full = S.brute_force_topk(emb, _QUERY_IDS, _TOPK).select("q_id", "vec_id")
+    one has a real SQL twin. Arms and ground truth stage per process
+    like the index recall audits (_staged_arm_union / _brute_truth —
+    the r12 arm-staging contract): each arm is a deterministic
+    |queries| x k id list, so warm re-evaluations join cached ids
+    instead of re-running four corpus scans."""
+    full = _brute_truth(spark, sf_dir, _TOPK).select("q_id", "vec_id")
     denom = float(len(_QUERY_IDS) * _TOPK)
-    arms = None
-    for d in _MRL_DIMS_SWEEP:
-        arm = S.truncated_topk(emb, _QUERY_IDS, _TOPK, dims=d).select(
-            F.lit(d).alias("dims"), "q_id", "vec_id"
+
+    def arm_build(d: int):
+        return lambda: S.truncated_topk(
+            load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _TOPK, dims=d
         )
-        arms = arm if arms is None else arms.unionByName(arm)
+
+    arms = _staged_arm_union(
+        spark,
+        "dims_s",
+        [(str(d), arm_build(d)) for d in _MRL_DIMS_SWEEP],
+        ("trunc_recall", sf_dir),
+    ).select(F.col("dims_s").cast("int").alias("dims"), "q_id", "vec_id")
     hits = (
         arms.join(full, ["q_id", "vec_id"])
         .groupBy("dims")
@@ -2520,6 +2529,29 @@ def _dedup_index_shared(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _lookup_batch_encoded(spark: SparkSession, sf_dir: str):
+    """(profiles, bands) of the registered "new batch" (doc_id%10 >=
+    8), encoded once per (session, sf_dir): BOTH lookup queries (plain
+    store and tombstoned store) probe with the identical batch, and the
+    store verbs' own discipline is encode-each-batch-exactly-once
+    (operators/dedup_index._lookup_encoded — streaming ingest already
+    shares one encode between flagging and append). Bands derive from
+    the sigs already in the staged profile rows — a projection, no
+    second pass over text."""
+    from rds_pgbadger_etl_spark.operators import dedup_index as DI
+    from rds_pgbadger_etl_spark.plans._shared import shared_df
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        prof, _ = DI._encode(
+            docs.filter(F.col("doc_id") % 10 >= 8), "doc_id", "text"
+        )
+        return prof
+
+    prof = shared_df(spark, "dedup_lookup_batch_prof", sf_dir, build)
+    return prof, DI.lsh_bands(prof, "doc_id")
+
+
 def dedup_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: near-dup check of a new batch (doc_id%10 >= 8) against the
     persisted signature store holding the other 80% — the old corpus is
@@ -2527,17 +2559,17 @@ def dedup_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned band table, verification from its shingle-profile
     buckets. Oracle = the same pipeline as one SQL over the union
     corpus, restricted to (old, new) role pairs."""
-    from rds_pgbadger_etl_spark.operators.dedup_index import (
-        dedup_index_lookup as _lookup,
-    )
+    from rds_pgbadger_etl_spark.operators import dedup_index as DI
 
-    docs = load_table(spark, sf_dir, "documents")
-    return _lookup(
+    prof, bands = _lookup_batch_encoded(spark, sf_dir)
+    result, _pinned = DI._lookup_encoded(
         spark,
-        docs.filter(F.col("doc_id") % 10 >= 8),
+        prof,
+        bands,
         _dedup_index_shared(spark, sf_dir),
         threshold=0.5,
     )
+    return result
 
 
 _DEDUP_INDEX_SQL = f"""
@@ -2613,17 +2645,19 @@ def dedup_index_delete_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_index_delete_topk``; the physical-apply path (compaction
     clears tombstones, results unchanged) is pinned in
     tests/test_dedup_index.py."""
-    from rds_pgbadger_etl_spark.operators.dedup_index import (
-        dedup_index_lookup as _lookup,
-    )
+    from rds_pgbadger_etl_spark.operators import dedup_index as DI
 
-    docs = load_table(spark, sf_dir, "documents")
-    return _lookup(
+    # same staged batch encode as dedup_index_lookup — the two queries
+    # probe different stores with the identical batch
+    prof, bands = _lookup_batch_encoded(spark, sf_dir)
+    result, _pinned = DI._lookup_encoded(
         spark,
-        docs.filter(F.col("doc_id") % 10 >= 8),
+        prof,
+        bands,
         _dedup_index_delete_shared(spark, sf_dir),
         threshold=0.5,
     )
+    return result
 
 
 def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
