@@ -1043,6 +1043,47 @@ def test_2level_residual_builds_match_and_hold_semantics(spark, tmp_path):
     assert got == want and got
 
 
+def test_assign_cells_grouped_matches_window_formulation(spark):
+    """The cogrouped per-group assignment kernel (r13) is bit-identical
+    to the equi-join + per-vector-top-1-window plan it replaced: same
+    round-6 squared distance, same (dist asc, cell asc) tie-break,
+    restricted to each row's group."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    members = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % 3).alias("group")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < 9)
+        .select(
+            (F.col("vec_id") % 3).alias("group"),
+            F.col("vec_id").alias("cell"),
+            S.as_double(F.col("embedding")).alias("c_emb"),
+        )
+    )
+    got = sorted(
+        (int(r.vec_id), int(r.group), int(r.cell))
+        for r in AI._assign_cells_grouped(members, cents).collect()
+    )
+    scored = members.join(cents, "group").select(
+        "vec_id",
+        "group",
+        "cell",
+        S.sqdist_batch(
+            S.as_double(F.col("embedding")), F.col("c_emb")
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    want = sorted(
+        (int(r.vec_id), int(r.group), int(r.cell))
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert got == want and got
+
+
 def test_2level_refined_builds_match_and_hold_invariants(spark, tmp_path):
     """refine_iters=1 trains BOTH quantizer levels with Lloyd's k-means
     (coarse globally, fine per group — _refined_quantizers_2level). The

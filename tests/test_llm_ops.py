@@ -383,6 +383,38 @@ def test_dedup_cluster_assignments_covers_all_docs(spark, sf_oracle):
     assert any(len(m) > 1 for m in by_comp.values())  # real clusters exist
 
 
+def test_assign_cells_matches_window_formulation(spark, sf_oracle):
+    """The map-only nearest-centroid kernel (r13) is bit-identical to
+    the broadcast-crossJoin + per-vector-top-1-window plan it replaced:
+    same round-6 squared distance, same (dist asc, cell asc) tie-break."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cents = emb.filter(F.col("vec_id") < S.KMEANS_K).select(
+        F.col("vec_id").alias("cell"),
+        S.as_double(F.col("embedding")).alias("c_emb"),
+    )
+    got = sorted(
+        (int(r.vec_id), int(r.cell), float(r.dist))
+        for r in S._assign_cells(emb, cents).collect()
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        S.sqdist_batch(
+            S.as_double(F.col("embedding")), F.col("c_emb")
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    want = sorted(
+        (int(r.vec_id), int(r.cell), float(r.dist))
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert got == want and got
+
+
 def test_kmeans_refine_improves_objective(spark, sf_oracle):
     # one refined round must not worsen the within-cluster sum of
     # squared distances vs assignment to the raw init centroids
