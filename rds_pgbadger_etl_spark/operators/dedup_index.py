@@ -239,6 +239,7 @@ def build_dedup_index(
         _write(prof, bands, index_dir, id_col, "overwrite")
     finally:
         prof.unpersist()
+    _invalidate_lookup_meta(index_dir)
 
 
 def append_to_dedup_index(
@@ -259,6 +260,7 @@ def append_to_dedup_index(
         _write(prof, bands, index_dir, id_col, "append")
     finally:
         prof.unpersist()
+    _invalidate_lookup_meta(index_dir)
 
 
 def dedup_index_exists(index_dir: str) -> bool:
@@ -299,6 +301,28 @@ def dedup_index_lookup(
     return result
 
 
+# Plan-construction metadata of a lookup — the batch's pfx set, the
+# resolved verify strategy, and the candidates' bucket set — is a pure
+# function of (store files, tombstones, batch): cached per that
+# fingerprint so a repeated lookup of the same batch against an
+# unchanged store (re-run analyst flagging, repeated evaluations)
+# skips its three driver-side collect jobs. The key embeds the
+# manifest snapshot, the bands data-file list, and the tombstone file
+# list, so ANY store mutation (append, delete, compaction flip)
+# changes the key and the entry self-invalidates; the maintenance
+# verbs below also pop eagerly, the _COARSE/_FINE discipline. Streaming
+# micro-batches have distinct plans (new source offsets), so their
+# semanticHash never collides — they simply miss. Only metadata
+# (lists of hex prefixes / bucket ints, a strategy string) is cached,
+# never rows.
+_LOOKUP_META: dict[tuple, tuple[list, str, list]] = {}
+
+
+def _invalidate_lookup_meta(index_dir: str) -> None:
+    for k in [k for k in _LOOKUP_META if k[0] == index_dir]:
+        _LOOKUP_META.pop(k, None)
+
+
 def _lookup_encoded(
     spark: SparkSession,
     prof_new: DataFrame,
@@ -335,12 +359,31 @@ def _lookup_encoded(
     # upgrade and probe the new layout at the old width (silently-empty
     # lookups)
     snap = M.manifest_snapshot(index_dir)
+    meta_key = (
+        index_dir,
+        tuple(sorted(snap.items())),
+        tuple(
+            sorted(
+                M.data_files(M.table_path_in(snap, index_dir, "bands"))
+            )
+        ),
+        tuple(M._tombstone_files(index_dir)),
+        bands_new.semanticHash(),
+        id_col,
+        str(max_band_freq),
+        verify_strategy,
+    )
+    meta = _LOOKUP_META.get(meta_key)
     bands_new = bands_new.withColumn(
         "pfx", F.substring("band", 1, int(snap.get(_PFX_KEY, PFX_LEN)))
     ).persist()
     pinned.append(bands_new)
-    pfxs = sorted(
-        r.pfx for r in bands_new.select("pfx").distinct().collect()
+    pfxs = (
+        meta[0]
+        if meta is not None
+        else sorted(
+            r.pfx for r in bands_new.select("pfx").distinct().collect()
+        )
     )
     stored_bands = M.live(
         spark,
@@ -381,15 +424,21 @@ def _lookup_encoded(
         .distinct()
         .persist()
     )
-    strategy = resolve_verify_strategy(verify_strategy, cands)
-    buckets = sorted(
-        r.b
-        for r in cands.select(
-            F.pmod(F.abs(F.hash("old_id")), F.lit(N_BUCKETS)).alias("b")
+    if meta is not None:
+        strategy, buckets = meta[1], meta[2]
+    else:
+        strategy = resolve_verify_strategy(verify_strategy, cands)
+        buckets = sorted(
+            r.b
+            for r in cands.select(
+                F.pmod(F.abs(F.hash("old_id")), F.lit(N_BUCKETS)).alias(
+                    "b"
+                )
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
+        _LOOKUP_META[meta_key] = (pfxs, strategy, buckets)
     prof_old = (
         spark.read.parquet(M.table_path(index_dir, "profiles"))
         .where(F.col("bucket").isin(buckets))
@@ -427,6 +476,7 @@ def delete_from_dedup_index(
     must match the store's doc_id dtype (string-id corpora pass
     ``"string"``); mismatches raise instead of tombstoning NULLs."""
     M.write_tombstones(spark, doc_ids, index_dir, "doc_id", key_type)
+    _invalidate_lookup_meta(index_dir)
 
 
 def compact_dedup_index(
@@ -464,7 +514,7 @@ def compact_dedup_index(
                 )
             }
             updates = {_PFX_KEY: PFX_LEN}
-    return M.compact_index(
+    out = M.compact_index(
         spark,
         index_dir,
         _PARTITIONED_TABLES,
@@ -475,6 +525,8 @@ def compact_dedup_index(
         manifest_updates=updates,
         manifest_updates_after="bands",
     )
+    _invalidate_lookup_meta(index_dir)
+    return out
 
 
 def dedup_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -129,6 +129,42 @@ def test_verify_strategy_plumbed(spark, docs, tmp_path):
     ) == _rows(DI.dedup_index_lookup(spark, new, d, verify_strategy="broadcast"))
 
 
+def test_lookup_meta_cache_hits_and_invalidates(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A repeated lookup of the same batch against an unchanged store
+    reuses the cached plan metadata (pfx set / strategy / buckets —
+    the strategy resolver runs ONCE), with rows identical to the first
+    run; any store mutation (here a tombstone write) changes the
+    fingerprint, so the metadata is recomputed and the result reflects
+    the mutation instead of reusing stale buckets."""
+    calls = []
+    real = DI.resolve_verify_strategy
+
+    def spy(strategy, cands):
+        calls.append(strategy)
+        return real(strategy, cands)
+
+    monkeypatch.setattr(DI, "resolve_verify_strategy", spy)
+    d = str(tmp_path / "store")
+    DI.build_dedup_index(spark, docs.filter(F.col("doc_id") % 10 < 8), d)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    first_df = DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD)
+    first = _rows(first_df)
+    victims = sorted({int(r.old_id) for r in first_df.collect()})
+    assert victims  # the planted cross dups guarantee hits
+    assert len(calls) == 1
+    assert (
+        _rows(DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD))
+        == first
+    )
+    assert len(calls) == 1  # cache hit: resolver not re-run
+    DI.delete_from_dedup_index(spark, victims, d)
+    got = DI.dedup_index_lookup(spark, new, d, threshold=THRESHOLD)
+    assert len(calls) == 2  # mutation invalidated the entry
+    assert not ({int(r.old_id) for r in got.collect()} & set(victims))
+
+
 def test_delete_then_compaction_applies(spark, docs, tmp_path):
     """Tombstoned docs vanish from lookup results (logical, zero
     rewrites); compaction applies tombstones physically — results
