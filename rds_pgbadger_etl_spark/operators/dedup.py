@@ -746,29 +746,35 @@ def span_removal(
             (F.col("p_lo") + F.col("run_tokens") - 1).alias("p_hi"),
         )
     )
-    # distinct because two runs in one doc can overlap in token space
-    # (runs are maximal in GRAM positions; their +n-1-token tails overlap)
-    covered = runs.select(
-        id_col, F.explode(F.sequence("p_lo", "p_hi")).alias("pos")
-    ).distinct()
-    tokens = t.select(
-        id_col, F.size("tk").alias("n_tokens"), F.posexplode("tk")
-    ).select(id_col, "n_tokens", (F.col("pos") + 1).alias("pos"), "col")
-    flagged = tokens.join(
-        covered.withColumn("rm", F.lit(True)), [id_col, "pos"], "left"
+    # Reassembly runs on the doc's token ARRAY, not an exploded token
+    # stream: runs collapse to a per-doc ranges array (a handful of
+    # (p_lo, p_hi) structs — bounded by token_cap/min_run per doc), one
+    # 1:1 equi-join attaches them to the doc row, and a position-aware
+    # higher-order filter drops covered tokens entirely inside codegen.
+    # The pre-r14 shape re-exploded every doc to per-token rows, joined
+    # them against an exploded+distinct'd covered-position table on
+    # (id, pos), and rebuilt the text with collect_list + array_sort —
+    # two extra corpus-volume shuffles (the (id, pos) join and the
+    # reassembly aggregate) plus a sort per doc, all to compute what a
+    # filter over the already-in-hand array expresses directly.
+    # Overlapping runs (maximal in GRAM positions; their +n-1-token
+    # tails overlap) need no dedup here: `exists` over the ranges array
+    # is naturally idempotent where the old covered-position explode
+    # needed a distinct.
+    ranges = runs.groupBy(id_col).agg(
+        F.collect_list(F.struct("p_lo", "p_hi")).alias("_rs")
     )
-    return flagged.groupBy(id_col).agg(
-        F.max("n_tokens").cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("rm"), 1).otherwise(0)).alias("n_removed"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("rm").isNull(), F.struct("pos", "col"))
-                    )
-                ),
-                lambda x: x["col"],
-            ),
-        ).alias("clean_text"),
+    with_ranges = t.join(ranges, id_col, "left")
+    pos_covered = lambda i: F.exists(  # noqa: E731 — 1-based token pos
+        "_rs",
+        lambda r: ((i + 1) >= r["p_lo"]) & ((i + 1) <= r["p_hi"]),
+    )
+    kept = F.when(F.col("_rs").isNull(), F.col("tk")).otherwise(
+        F.filter("tk", lambda x, i: ~pos_covered(i))
+    )
+    return with_ranges.select(
+        F.col(id_col),
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.size("tk") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )

@@ -307,19 +307,56 @@ def dedup_index_lookup(
 # fingerprint so a repeated lookup of the same batch against an
 # unchanged store (re-run analyst flagging, repeated evaluations)
 # skips its three driver-side collect jobs. The key embeds the
-# manifest snapshot, the bands data-file list, and the tombstone file
-# list, so ANY store mutation (append, delete, compaction flip)
-# changes the key and the entry self-invalidates; the maintenance
-# verbs below also pop eagerly, the _COARSE/_FINE discipline. Streaming
-# micro-batches have distinct plans (new source offsets), so their
-# semanticHash never collides — they simply miss. Only metadata
-# (lists of hex prefixes / bucket ints, a strategy string) is cached,
-# never rows.
+# manifest snapshot, the bands data-file list, the tombstone file
+# list, AND the batch plan's own leaf input files — semanticHash()
+# hashes the LOGICAL plan, so a batch re-read from an external path
+# whose contents were replaced (same root path) would otherwise
+# collide with the stale entry and silently prune to the old pfx/
+# bucket sets; the leaf-file list separates them (LocalRelation
+# batches list no files — their data is already in the semanticHash).
+# Any store mutation (append, delete, compaction flip) changes the key
+# and the entry self-invalidates; the maintenance verbs below also pop
+# eagerly, the _COARSE/_FINE discipline. Streaming micro-batches have
+# distinct plans (new source offsets), so their semanticHash never
+# collides — they simply miss. Only metadata (lists of hex prefixes /
+# bucket ints, a strategy string) is cached, never rows, and the cache
+# is bounded per store (insertion-ordered LRU, _LOOKUP_META_PER_DIR)
+# so a long-running driver cycling distinct batches against a stable
+# store cannot accumulate dead entries forever.
 _LOOKUP_META: dict[tuple, tuple[list, str, list]] = {}
+_LOOKUP_META_PER_DIR = 8
+
+
+def _lookup_meta_dir(index_dir: str) -> str:
+    """Canonical per-store cache identity — normalized so mutation verbs
+    and lookups spelling the path differently still hit/invalidate the
+    same entries."""
+    import os
+
+    return os.path.normpath(index_dir)
+
+
+def _batch_plan_files(df: DataFrame) -> tuple:
+    """The batch plan's leaf input files, the part of the batch identity
+    semanticHash() does not cover. A plan whose files cannot be listed
+    gets a never-matching sentinel: caching is skipped rather than
+    risked."""
+    try:
+        return tuple(sorted(df.inputFiles()))
+    except Exception:
+        return ("__unlistable__", object())
+
+
+def _remember_lookup_meta(key: tuple, value: tuple) -> None:
+    _LOOKUP_META[key] = value
+    stale = [k for k in _LOOKUP_META if k[0] == key[0]]
+    for k in stale[: -_LOOKUP_META_PER_DIR]:
+        _LOOKUP_META.pop(k, None)
 
 
 def _invalidate_lookup_meta(index_dir: str) -> None:
-    for k in [k for k in _LOOKUP_META if k[0] == index_dir]:
+    d = _lookup_meta_dir(index_dir)
+    for k in [k for k in _LOOKUP_META if k[0] == d]:
         _LOOKUP_META.pop(k, None)
 
 
@@ -360,7 +397,7 @@ def _lookup_encoded(
     # lookups)
     snap = M.manifest_snapshot(index_dir)
     meta_key = (
-        index_dir,
+        _lookup_meta_dir(index_dir),
         tuple(sorted(snap.items())),
         tuple(
             sorted(
@@ -369,6 +406,7 @@ def _lookup_encoded(
         ),
         tuple(M._tombstone_files(index_dir)),
         bands_new.semanticHash(),
+        _batch_plan_files(bands_new),
         id_col,
         str(max_band_freq),
         verify_strategy,
@@ -438,7 +476,7 @@ def _lookup_encoded(
             .distinct()
             .collect()
         )
-        _LOOKUP_META[meta_key] = (pfxs, strategy, buckets)
+        _remember_lookup_meta(meta_key, (pfxs, strategy, buckets))
     prof_old = (
         spark.read.parquet(M.table_path(index_dir, "profiles"))
         .where(F.col("bucket").isin(buckets))

@@ -165,34 +165,28 @@ def lsh_buckets_long(
 def topk_per_key(
     scored: DataFrame, key: str | list[str], order: list[Column], k: int
 ) -> DataFrame:
-    """Distributed per-key top-k WITHOUT a corpus-sized window partition.
+    """Distributed per-key top-k, safe on corpus-sized scored streams.
 
-    ``Window.partitionBy(q_id)`` alone puts one query's ENTIRE scored
-    stream in one task — the partition-less-window class of failure at
-    100 TB (a handful of queries ⇒ a handful of straggler tasks sorting
-    the corpus). Two phases instead: (1) rank within (key, input
-    partition) — thousands of bounded sorts in parallel — and keep ≤ k
-    rows each; (2) rank the ≤ k x n_partitions survivors per key. Any
-    global top-k row is also top-k within its own partition, and the
-    ordering includes a unique tie-break everywhere, so the result is
-    IDENTICAL to the single-window plan; only the straggler is gone.
-    Shuffle volume is unchanged (phase 1 shuffles the same rows, into
-    (key, pid) groups instead of k giant ones; phase 2 is k x parts).
+    One rank window + filter. The straggler hazard of a bare window —
+    ``Window.partitionBy(q_id)`` puts one query's ENTIRE scored stream
+    in one task at 100 TB — is handled by the ENGINE, not by hand:
+    Spark (3.5+/4.x, SPARK-37099) plans a ``rank <= k`` filter over a
+    rank-like window as ``WindowGroupLimit Partial`` BELOW the exchange
+    (each map task keeps at most k rows per key before shuffling) plus
+    ``Final`` above it, so only ≤ k × n_map_partitions survivors per
+    key cross the wire and reach the one sorting task — exactly the
+    two-phase plan this helper hand-rolled through round 13, minus that
+    version's extra full-volume Exchange + Window + 2 Sorts into
+    (key, input-partition) groups (measured: 2 Exchanges → 1, same
+    rows, −24 % wall on a 10M-row stream; plans/r14). The pushdown
+    applies while k < spark.sql.optimizer.windowGroupLimitThreshold
+    (default 1000) — every caller here passes single/double-digit k.
+    The ordering must include a unique tie-break (all callers do), so
+    results are deterministic and identical to the old plan's.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    local = (
-        scored.withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_lr",
-            F.row_number().over(
-                Window.partitionBy(*keys, "_pid").orderBy(*order)
-            ),
-        )
-        .filter(F.col("_lr") <= k)
-        .drop("_pid", "_lr")
-    )
     w = Window.partitionBy(*keys).orderBy(*order)
-    return local.withColumn("rank", F.row_number().over(w)).filter(
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
 
@@ -202,21 +196,14 @@ def topk_bounded(
 ) -> DataFrame:
     """Single-window per-key top-k for inputs that are BOUNDED by
     construction — rerank stages, whose row count is ≤ |queries| ×
-    shortlist regardless of corpus size. :func:`topk_per_key`'s
-    two-phase plan exists to keep a corpus-sized scored stream out of
-    one window partition; on an input that is already metadata-sized
-    the extra exchange + sort is pure stage latency (measured ~0.1 s
-    per evaluation in local mode, one whole shuffle at scale), so
-    rerank callers use the single window. The ordering includes a
-    unique tie-break everywhere, so the result is IDENTICAL to
-    topk_per_key's. Do NOT use on corpus-volume inputs (shortlist
-    stages, brute scoring) — that is the partition-less-window
-    failure topk_per_key documents."""
-    keys = [key] if isinstance(key, str) else list(key)
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    shortlist regardless of corpus size. Since round 14 this is the
+    same plan as :func:`topk_per_key` (whose hand-rolled two-phase
+    shape the engine's WindowGroupLimit pushdown made redundant — see
+    its docstring); the two names are kept because callers document
+    intent with them (bounded rerank vs corpus-volume stream), and
+    because the bounded contract would stay correct even on engines
+    without the rank-limit pushdown."""
+    return topk_per_key(scored, key, order, k)
 
 
 def knn_join_cells(
@@ -737,6 +724,10 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     return (
         pairs.join(ea, "a")
         .join(eb, "b")
+        # candidate volume is corpus-proportional (LSH collisions), so
+        # this stays on the Arrow kernel: the JVM higher-order cosine
+        # is interpreted per element and measured 3x SLOWER here
+        # (r14 A/B/A) — the r13 bounded-rerank boundary does not apply
         .select("a", "b", cosine_batch(F.col("emb_a"), F.col("emb_b")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

@@ -3851,10 +3851,14 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(
         e.select("a", F.col("b").alias("c")), ["a", "c"]
     ).select("a", "b", "c")
-    verts = (
-        tri.selectExpr("a AS doc_id")
-        .unionAll(tri.selectExpr("b AS doc_id"))
-        .unionAll(tri.selectExpr("c AS doc_id"))
+    # one vertex row per triangle slot via a single explode — NOT
+    # unionAll of three projections of `tri`: Spark does not share
+    # common subtrees, so the union form enumerated every triangle
+    # THREE times (three copies of both wedge joins — the r13 plan was
+    # 38k lines / 3x the join work for the same rows). explode keeps
+    # one enumeration and generates the same (a, b, c) vertex stream.
+    verts = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
     )
     return (
         verts.groupBy("doc_id")
@@ -3918,6 +3922,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cell",
             "b",
+            # within-cell pair volume is corpus-proportional — stays on
+            # the Arrow kernel (JVM HOF cosine measured slower, r14)
             F.round(S.cosine_batch(F.col("ea"), F.col("eb")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= _SEMDEDUP_THRESHOLD)

@@ -165,6 +165,64 @@ def test_lookup_meta_cache_hits_and_invalidates(
     assert not ({int(r.old_id) for r in got.collect()} & set(victims))
 
 
+def test_lookup_meta_keyed_on_batch_files_not_plan_hash(
+    spark, docs, tmp_path
+):
+    """semanticHash() hashes the LOGICAL plan, not the data: a batch
+    re-READ from an external path whose files were replaced (same root
+    path, same schema ⇒ same plan hash) must NOT reuse the previous
+    batch's cached pfx/bucket pruning metadata — that returned silently
+    wrong/empty dup pairs before the leaf-file list joined the cache
+    key (the r13 ADVICE high item). Also pins the per-store LRU bound:
+    cycling many distinct batches never grows the cache past
+    _LOOKUP_META_PER_DIR entries for the store."""
+    d = str(tmp_path / "store")
+    DI.build_dedup_index(spark, docs.filter(F.col("doc_id") % 10 < 8), d)
+    bdir = str(tmp_path / "batch")
+    # first batch: doc 29 (copies stored doc 3)
+    docs.filter(F.col("doc_id") % 10 == 9).write.mode("overwrite").parquet(
+        bdir
+    )
+    got1 = _rows(
+        DI.dedup_index_lookup(
+            spark, spark.read.parquet(bdir), d, threshold=THRESHOLD
+        )
+    )
+    assert any("old_id=3)" in r for r in got1), got1
+    # replace the path's contents: doc 18 (copies stored doc 11)
+    docs.filter(F.col("doc_id") % 10 == 8).write.mode("overwrite").parquet(
+        bdir
+    )
+    got2 = _rows(
+        DI.dedup_index_lookup(
+            spark, spark.read.parquet(bdir), d, threshold=THRESHOLD
+        )
+    )
+    DI._LOOKUP_META.clear()
+    want2 = _rows(
+        DI.dedup_index_lookup(
+            spark, spark.read.parquet(bdir), d, threshold=THRESHOLD
+        )
+    )
+    assert got2 == want2 and any("old_id=11)" in r for r in got2), got2
+    # LRU bound: distinct batches cycle, entries for the store stay capped
+    for i in range(DI._LOOKUP_META_PER_DIR + 3):
+        # each literal makes a distinct plan hash => a distinct key
+        DI.dedup_index_lookup(
+            spark,
+            docs.filter(
+                (F.col("doc_id") % 10 >= 8) & (F.col("doc_id") >= i)
+            ),
+            d,
+            threshold=THRESHOLD,
+        )
+    key_dir = DI._lookup_meta_dir(d)
+    assert (
+        len([k for k in DI._LOOKUP_META if k[0] == key_dir])
+        <= DI._LOOKUP_META_PER_DIR
+    )
+
+
 def test_delete_then_compaction_applies(spark, docs, tmp_path):
     """Tombstoned docs vanish from lookup results (logical, zero
     rewrites); compaction applies tombstones physically — results

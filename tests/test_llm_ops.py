@@ -54,9 +54,14 @@ def test_ivf_cells_assignment_is_map_only(spark, sf_smoke):
 
 
 def test_topk_rankers_have_no_corpus_sized_window_partition(spark, sf_smoke):
-    """Query-side top-k must rank in two phases: a (key, input-partition)
-    local prune before the per-key global rank — a window partitioned by
-    q_id alone sorts one query's whole scored stream in ONE task."""
+    """Query-side top-k must not sort one query's whole scored stream in
+    ONE task. Since round 14 the guard is the engine's own rank-limit
+    pushdown (SPARK-37099): the ``rank <= k`` filter over the q_id window
+    must plan as ``WindowGroupLimit`` with a map-side ``Partial`` cut
+    BELOW the exchange — each scan task forwards at most k rows per key,
+    which is exactly the bounded local prune the old hand-rolled
+    two-phase ranker provided, minus its extra full-volume Exchange +
+    Window (see similarity.topk_per_key)."""
     from rds_pgbadger_etl_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_smoke, "embeddings")
@@ -66,9 +71,13 @@ def test_topk_rankers_have_no_corpus_sized_window_partition(spark, sf_smoke):
         S.pq_adc_topk(emb, [0, 1], 5),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # the local phase ranks within (q_id, _pid=spark_partition_id())
-        assert "_pid" in plan, plan[:500]
         assert "windowspecdefinition(q_id" in plan
+        # the map-side cut: a Partial WindowGroupLimit must exist (the
+        # Final one above the exchange is always planned with it)
+        wgl = [
+            ln for ln in plan.splitlines() if "WindowGroupLimit" in ln
+        ]
+        assert any("Partial" in ln for ln in wgl), plan[:800]
 
 
 def test_embed_documents_plumbing(spark, sf_smoke):

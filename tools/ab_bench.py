@@ -34,18 +34,31 @@ _LINE = re.compile(
 )
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _run_arm(tree: str, names: list[str]) -> dict[str, dict]:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     env.setdefault("SPARK_GRAFT_CPUS", "32")
-    out = subprocess.run(
+    # "." = the CURRENT checkout regardless of the caller's cwd; the
+    # before-arm passes its worktree path explicitly
+    cwd = _REPO_ROOT if tree == "." else tree
+    proc = subprocess.run(
         [sys.executable, "tools/profile_query.py", *names],
-        cwd=tree,
+        cwd=cwd,
         env=env,
         capture_output=True,
         text=True,
-        check=True,
-    ).stdout
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(
+            f"arm in {cwd} failed (rc={proc.returncode})\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+            f"--- stderr ---\n{proc.stderr[-4000:]}\n"
+        )
+        raise SystemExit(1)
+    out = proc.stdout
     parsed = {}
     for line in out.splitlines():
         m = _LINE.match(line.strip())
@@ -93,6 +106,7 @@ def main() -> int:
         ["git", "worktree", "add", "--detach", wt, ref],
         check=True,
         capture_output=True,
+        cwd=_REPO_ROOT,
     )
     try:
         print(f"A (before, {ref}) ...", flush=True)
@@ -105,6 +119,7 @@ def main() -> int:
         subprocess.run(
             ["git", "worktree", "remove", "--force", wt],
             capture_output=True,
+            cwd=_REPO_ROOT,
         )
 
     print(
