@@ -2472,6 +2472,45 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def containment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation report over the two staged containment pair tables —
+    the consumer that makes their per-process materialization a real
+    written artifact (each table is now read by its own query AND this
+    report, the `_near_pairs` multi-consumer shape): per candidate
+    scheme, the pair count, the containment range, and the pairs the
+    OTHER scheme missed. The prefix-filter scheme is provably complete
+    at the threshold (pigeonhole — see containment_prefix_pairs), so
+    its `n_only_this_scheme` IS the band scheme's documented recall gap
+    (excerpt-inside-host pairs resemblance bands cannot catch), and the
+    band row's own gap count is structurally 0 — the report is how an
+    operator decides whether LSH banding alone leaves containment
+    duplicates in a corpus. min/max (not avg) keep every value
+    summation-order-free, so the oracle hashes exactly."""
+    band = dedup_containment(spark, sf_dir)
+    pfx = dedup_containment_prefix(spark, sf_dir)
+
+    def leg(df: DataFrame, other: DataFrame, name: str) -> DataFrame:
+        gap = df.join(other.select("a", "b"), ["a", "b"], "left_anti")
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("containment"), 6).alias("min_containment"),
+            F.round(F.max("containment"), 6).alias("max_containment"),
+        )
+        return stats.crossJoin(
+            F.broadcast(
+                gap.agg(F.count(F.lit(1)).alias("n_only_this_scheme"))
+            )
+        ).select(
+            F.lit(name).alias("scheme"),
+            "n_pairs",
+            "min_containment",
+            "max_containment",
+            "n_only_this_scheme",
+        )
+
+    return leg(band, pfx, "bands").unionAll(leg(pfx, band, "prefix"))
+
+
 # The prefix-filtered pipeline provably generates a superset of all
 # qualifying pairs (pigeonhole on the smaller side's prefix), and exact
 # verification then cuts it to precisely "all pairs >= t" — so the
@@ -2492,6 +2531,30 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.a
 JOIN sizes nb ON nb.doc_id = i.b
 WHERE cast(i.inter AS double) / cast(least(na.n, nb.n) AS double) >= 0.8
+"""
+
+
+# Report twin: both pair sets re-derived inline (DuckDB allows a CTE
+# chain inside a subquery, so the two schemes' colliding CTE names stay
+# scoped); min/max aggregates are summation-order-free by construction.
+_CONTAINMENT_REPORT_SQL = f"""
+WITH bandp AS (SELECT * FROM ({_CONTAINMENT_SQL})),
+pfxp AS (SELECT * FROM ({_CONTAINMENT_PREFIX_SQL}))
+SELECT 'bands' AS scheme, count(*) AS n_pairs,
+       round(min(containment), 6) AS min_containment,
+       round(max(containment), 6) AS max_containment,
+       (SELECT count(*) FROM bandp x
+        WHERE NOT EXISTS (SELECT 1 FROM pfxp y
+                          WHERE y.a = x.a AND y.b = x.b))
+         AS n_only_this_scheme
+FROM bandp
+UNION ALL
+SELECT 'prefix', count(*),
+       round(min(containment), 6), round(max(containment), 6),
+       (SELECT count(*) FROM pfxp x
+        WHERE NOT EXISTS (SELECT 1 FROM bandp y
+                          WHERE y.a = x.a AND y.b = x.b))
+FROM pfxp
 """
 
 
@@ -6533,6 +6596,10 @@ QUERIES = {
     "dedup_containment_prefix": (
         dedup_containment_prefix,
         _CONTAINMENT_PREFIX_SQL,
+    ),
+    "containment_dedup_report": (
+        containment_dedup_report,
+        _CONTAINMENT_REPORT_SQL,
     ),
     "dedup_index_lookup": (dedup_index_lookup, _DEDUP_INDEX_SQL),
     "dedup_index_delete_lookup": (

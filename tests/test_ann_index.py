@@ -612,6 +612,41 @@ def test_2level_flag_matches_reader(spark, tmp_path):
     }
     assert flags == reader and len(flags) == len(queries) * K
 
+
+def test_flag_probe_meta_cache_hits_and_invalidates(
+    spark, tmp_path, monkeypatch
+):
+    """A repeated flag of the same batch against an unchanged store
+    reuses the cached probe-cell metadata (the distinct+collect runs
+    ONCE) with identical rows; a store REBUILD rewrites the quantizer
+    files, so the fingerprint key changes and the probe set is
+    recomputed instead of reusing stale cells."""
+    from rds_pgbadger_etl_spark.streaming import incremental_ann as IA
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "idx_probe_meta")
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < 30), d)
+    batch = emb.filter(F.col("vec_id") >= 35)
+    remembers = []
+    real = IA._remember_probe_meta
+    monkeypatch.setattr(
+        IA,
+        "_remember_probe_meta",
+        lambda k, v: (remembers.append(k), real(k, v))[1],
+    )
+    first = sorted(map(str, IA.flag_against_index(spark, batch, d, k=K).collect()))
+    assert len(remembers) == 1
+    again = sorted(map(str, IA.flag_against_index(spark, batch, d, k=K).collect()))
+    assert again == first and len(remembers) == 1  # cache hit
+    # rebuild: quantizer files rewritten -> new fingerprint -> recompute
+    AI.build_ann_index(spark, emb.filter(F.col("vec_id") < 35), d)
+    third = sorted(map(str, IA.flag_against_index(spark, batch, d, k=K).collect()))
+    assert len(remembers) == 2
+    IA._PROBE_META.clear()
+    fresh = sorted(map(str, IA.flag_against_index(spark, batch, d, k=K).collect()))
+    assert third == fresh
+
+
 def test_2level_ivfpq_reader_matches_upsert_build(spark, index2_dir, tmp_path):
     """The 2-level PQ arm: (a) well-formed top-k from codes alone, and
     (b) build(half) + append(rest) is search-identical to the one-shot

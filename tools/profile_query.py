@@ -90,10 +90,33 @@ def main() -> int:
             flush=True,
         )
         if explain:
-            with open(f"/tmp/explain_{name}.txt", "w") as fh:
-                fh.write(qs[name](spark, sf_dir)._jdf.queryExecution().explainString(
+            from rds_pgbadger_etl_spark.streaming import incremental_ann
+
+            def _fmt(df) -> str:
+                return df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-                ))
+                )
+
+            # flag verbs eagerly localCheckpoint: their returned plan is
+            # a stub, so capture the REAL plan via the pre-checkpoint
+            # hook (written as the primary explain when it fires)
+            captured = []
+            incremental_ann.PRE_CHECKPOINT_PLAN_HOOK = (
+                lambda df: captured.append(_fmt(df))
+            )
+            try:
+                post = _fmt(qs[name](spark, sf_dir))
+            finally:
+                incremental_ann.PRE_CHECKPOINT_PLAN_HOOK = None
+            with open(f"/tmp/explain_{name}.txt", "w") as fh:
+                if captured:
+                    fh.write(
+                        "-- pre-checkpoint plan(s) (the returned plan is"
+                        " a localCheckpoint stub; stub appended below)\n"
+                    )
+                    fh.write("\n".join(captured))
+                    fh.write("\n-- post-checkpoint (returned) plan\n")
+                fh.write(post)
     spark.stop()
     return 0
 
