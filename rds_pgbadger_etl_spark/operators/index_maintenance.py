@@ -356,20 +356,23 @@ def index_stats(
     for t, pc in tables.items():
         pcs = _partition_cols(pc)
         scan = spark.read.parquet(table_path(index_dir, t))
-        per_part = scan.groupBy(*[F.col(c) for c in pcs]).agg(
+        # ONE scan per table: aggregate to per-file grain first (a file
+        # lives in exactly one partition directory, and _metadata
+        # repeats its size on every row, so first() per file is exact),
+        # then roll files → partitions → table. The previous shape read
+        # the scan twice (per-partition agg + a separate distinct pass
+        # for bytes) — same numbers, double the IO.
+        per_file = scan.groupBy(
+            *[F.col(c) for c in pcs],
+            F.col("_metadata.file_path").alias("_fp"),
+        ).agg(
             F.count(F.lit(1)).alias("rows"),
-            F.countDistinct(F.col("_metadata.file_path")).alias("files"),
+            F.first(F.col("_metadata.file_size")).alias("sz"),
         )
-        # bytes from the DISTINCT (path, size) pairs — _metadata
-        # repeats each file's size on every row, so a plain sum would
-        # multiply it by the row count
-        sizes = (
-            scan.select(
-                F.col("_metadata.file_path").alias("fp"),
-                F.col("_metadata.file_size").alias("sz"),
-            )
-            .distinct()
-            .agg(F.sum("sz").cast("long").alias("bytes"))
+        per_part = per_file.groupBy(*[F.col(c) for c in pcs]).agg(
+            F.sum("rows").alias("rows"),
+            F.count(F.lit(1)).alias("files"),
+            F.sum("sz").alias("pbytes"),
         )
         summary = (
             per_part.agg(
@@ -379,9 +382,18 @@ def index_stats(
                 F.max("rows").alias("max_part_rows"),
                 F.round(F.avg("rows"), 2).alias("avg_part_rows"),
                 F.max("files").cast("long").alias("max_part_files"),
+                F.sum("pbytes").cast("long").alias("bytes"),
             )
-            .select(F.lit(t).alias("table"), "*")
-            .crossJoin(F.broadcast(sizes))  # 1x1: metadata-sized
+            .select(
+                F.lit(t).alias("table"),
+                "n_partitions",
+                "rows",
+                "files",
+                "max_part_rows",
+                "avg_part_rows",
+                "max_part_files",
+                "bytes",
+            )
             .withColumn(
                 "bytes_per_row",
                 F.round(F.col("bytes") / F.greatest("rows", F.lit(1)), 1),
